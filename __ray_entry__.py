@@ -1,44 +1,211 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init(...)`` BEFORE importing this module; nothing here
+(or in chunksilo_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship KG-construction pipeline on a deterministic synthetic
+  transcript corpus at smoke scale (FIXTURES.md §1 schema — the BASELINE.json
+  input_hint table), returning the edges Dataset.
+- ``queries()``: one callable per implemented operator/pipeline from
+  SURVEY.md §2 + the training-data ops (dedup / similarity / text analysis /
+  multimodal plumbing). Callables take sf_dir (driver testdata tables).
+- ``oracle_sql()``: matching DuckDB SQL for the SQL-expressible subset
+  (column names match exactly; float aggregates ROUND()ed identically on
+  both sides). KG / sketch / ANN ops are rows-only by design.
 """
 
 from __future__ import annotations
 
+import pathlib
 from collections.abc import Callable
 from typing import Any
 
 
+# --------------------------------------------------------------------------
+# KG pipeline helpers (synthetic transcripts keyed to the sf of the testdata
+# dir the driver passes; cached under /tmp)
+
+
+def _kg_result(sf_dir: str) -> dict:
+    from chunksilo_ray import datagen
+    from chunksilo_ray.pipelines.kg import build_kg
+
+    sf = datagen.sf_from_dir(sf_dir)
+    corpus = datagen.corpus_dir(sf)
+    out = f"/tmp/chunksilo_ray_kg_out/sf{sf:g}"
+    return build_kg(
+        f"{corpus}/transcripts.parquet", f"{corpus}/alias_index.parquet", out, with_chunks=True
+    )
+
+
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at smoke scale; driver checks rows>=0 + stable schema."""
+    from chunksilo_ray import datagen
+    from chunksilo_ray.pipelines.kg import build_kg
+
+    corpus = datagen.corpus_dir(0.001)
+    res = build_kg(
+        f"{corpus}/transcripts.parquet",
+        f"{corpus}/alias_index.parquet",
+        "/tmp/chunksilo_ray_kg_out/sf0.001",
+        with_chunks=True,
+    )
+    return res["edges"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from chunksilo_ray.ops import dedup, multimodal, relational, similarity, textstats
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[str], Any]] = {
+        # --- relational operator library (SURVEY.md §2.2/2.5/2.6/2.7, M9) ---
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "lineitem_minmax_by_flag": relational.lineitem_minmax_by_flag,
+        "orders_per_customer": relational.orders_per_customer,
+        "events_value_by_type": relational.events_value_by_type,
+        "orders_by_year": relational.orders_by_year,
+        "filter_events_date_range": relational.filter_events_date_range,
+        "top_orders_by_price": relational.top_orders_by_price,
+        "high_value_projection": relational.high_value_projection,
+        "distinct_mktsegment": relational.distinct_mktsegment,
+        "union_regions_dedup": relational.union_regions_dedup,
+        "customers_per_nation": relational.customers_per_nation,
+        "orders_with_customer_segment": relational.orders_with_customer_segment,
+        "customers_without_orders": relational.customers_without_orders,
+        "supplier_nation_region": relational.supplier_nation_region,
+        "recent_events_boosted": relational.recent_events_boosted,
+        # --- text analysis over documents (task brief) ---
+        "doc_token_counts": textstats.doc_token_counts,
+        "docs_by_lang": textstats.docs_by_lang,
+        "detect_language": textstats.detect_language,
+        "quality_scores": textstats.quality_scores,
+        "fingerprint_docs": textstats.fingerprint_docs,
+        # --- dedup suite (task brief) ---
+        "exact_dedup_docs": dedup.exact_dedup_docs,
+        "distinct_text_count": dedup.distinct_text_count,
+        "minhash_dup_groups": dedup.minhash_dup_groups,
+        "simhash_docs": dedup.simhash_docs,
+        "simhash_dup_pairs": dedup.simhash_dup_pairs,
+        "embedding_near_dups": dedup.embedding_near_dups,
+        # --- similarity search (task brief) ---
+        "cosine_topk": similarity.cosine_topk,
+        "ivf_topk": similarity.ivf_topk,
+        "label_centroids": similarity.label_centroids,
+        # --- multimodal plumbing (task brief; synthetic media, stub decode) ---
+        "media_features": lambda sf_dir: multimodal.media_features(),
+        "video_frames": lambda sf_dir: multimodal.video_frames(),
+        # --- KG flagship pipeline outputs (non-SQL: Ray-native semantics) ---
+        "kg_edges": lambda sf_dir: _kg_result(sf_dir)["edges"],
+        "kg_nodes": lambda sf_dir: _kg_result(sf_dir)["nodes"],
+        "kg_chunks": lambda sf_dir: _kg_result(sf_dir)["chunks"].drop_columns(["embedding"]),
+    }
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 4) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 4) AS avg_qty,
+                   COUNT(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "lineitem_minmax_by_flag": """
+            SELECT l_returnflag,
+                   MIN(l_extendedprice) AS min_price,
+                   MAX(l_extendedprice) AS max_price,
+                   ROUND(AVG(l_extendedprice), 4) AS avg_price,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "orders_per_customer": """
+            SELECT o_custkey, COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 4) AS total_spent
+            FROM orders GROUP BY o_custkey
+        """,
+        "events_value_by_type": """
+            SELECT event_type, ROUND(SUM(value), 4) AS total_value,
+                   COUNT(value) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "orders_by_year": """
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 4) AS total_price
+            FROM orders GROUP BY 1
+        """,
+        "filter_events_date_range": """
+            SELECT event_type, COUNT(*) AS n FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+            GROUP BY event_type
+        """,
+        "top_orders_by_price": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC LIMIT 10
+        """,
+        "high_value_projection": """
+            SELECT l_orderkey, l_quantity,
+                   l_extendedprice * (1 - l_discount) AS disc_price
+            FROM lineitem WHERE l_quantity > 45
+        """,
+        "distinct_mktsegment": "SELECT DISTINCT c_mktsegment FROM customer",
+        "union_regions_dedup": """
+            SELECT r_regionkey, r_name FROM
+              (SELECT * FROM region UNION ALL SELECT * FROM region)
+            GROUP BY r_regionkey, r_name
+        """,
+        "customers_per_nation": """
+            SELECT n.n_name, COUNT(*) AS n_customers
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "orders_with_customer_segment": """
+            SELECT c.c_mktsegment,
+                   ROUND(SUM(o.o_totalprice), 4) AS segment_revenue,
+                   COUNT(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        """,
+        "supplier_nation_region": """
+            SELECT s.s_suppkey, s.s_name, n.n_name, r.r_name
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+        """,
+        "recent_events_boosted": """
+            SELECT event_id,
+                   ROUND(value * (1 + 0.5 * EXP(-LN(2) *
+                       (EXTRACT(epoch FROM ((SELECT MAX(ts) FROM events) - ts)) / 86400.0)
+                       / 30.0)), 6) AS boosted_score
+            FROM events ORDER BY boosted_score DESC LIMIT 20
+        """,
+        "doc_token_counts": """
+            SELECT doc_id,
+                   CAST(LEN(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+                   CAST(LENGTH(text) AS BIGINT) AS n_chars
+            FROM documents
+        """,
+        "docs_by_lang": """
+            SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 4) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "exact_dedup_docs": """
+            SELECT MIN(doc_id) AS doc_id, MD5(text) AS text_hash
+            FROM documents GROUP BY text
+        """,
+        "distinct_text_count": "SELECT COUNT(DISTINCT text) AS n_distinct FROM documents",
+        "cosine_topk": """
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                        WHERE vec_id = 0)), 6) AS cosine
+            FROM embeddings ORDER BY cosine DESC LIMIT 10
+        """,
+    }

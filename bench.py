@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Benchmark driver: headline KG pipeline + operator suite over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "kg_e2e", "value": <sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": .., "num_cpus": N,
+   "turns": N, "turns_per_sec": X}
+
+--scaling: runs the headline pipeline twice in FRESH processes
+(num_cpus=8 then 32) on the same input and reports both throughputs +
+scaling efficiency (the sandbox stand-in for N vs 4N Ray nodes;
+BASELINE.md target efficiency >= 0.8).
+
+This script OWNS its Ray session (the driver contract excludes bench.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from chunksilo_ray import datagen
+    from chunksilo_ray.pipelines.kg import build_kg
+
+    sf = datagen.sf_from_dir(sf_dir)
+    corpus = datagen.corpus_dir(sf)  # generated once, cached (untimed warm read below)
+
+    # warm the OS page cache so we measure compute + shuffle, not cold disk
+    with open(f"{corpus}/transcripts.parquet", "rb") as f:
+        while f.read(1 << 24):
+            pass
+
+    queries: dict[str, float] = {}
+
+    # headline: full KG construction, fresh output dir (no checkpoint reuse)
+    out_dir = f"/tmp/chunksilo_ray_bench/kg-sf{sf:g}-cpus{num_cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    res = build_kg(
+        f"{corpus}/transcripts.parquet",
+        f"{corpus}/alias_index.parquet",
+        out_dir,
+        with_chunks=True,
+    )
+    kg_sec = time.perf_counter() - t0
+    n_turns = res["metrics"]["turns"] or 0
+    queries["kg_e2e"] = round(kg_sec, 3)
+
+    # operator suite over the driver's testdata tables (sf_dir)
+    from chunksilo_ray.ops import dedup, relational, similarity, textstats
+
+    def timed(name, fn):
+        t = time.perf_counter()
+        out = fn(sf_dir)
+        # consume: Datasets are lazy — count() forces full execution
+        if hasattr(out, "count"):
+            out.count()
+        queries[name] = round(time.perf_counter() - t, 3)
+
+    timed("q1_pricing_summary", relational.q1_pricing_summary)
+    timed("orders_with_customer_segment", relational.orders_with_customer_segment)
+    timed("recent_events_boosted", relational.recent_events_boosted)
+    timed("doc_token_counts", textstats.doc_token_counts)
+    timed("quality_scores", textstats.quality_scores)
+    timed("exact_dedup_docs", dedup.exact_dedup_docs)
+    timed("minhash_dup_groups", dedup.minhash_dup_groups)
+    timed("cosine_topk", similarity.cosine_topk)
+
+    result = {
+        "metric": "kg_e2e",
+        "value": round(kg_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "turns": int(n_turns),
+        "turns_per_sec": round(n_turns / kg_sec, 1) if kg_sec > 0 else None,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job at two parallelism levels in fresh processes (N vs 4N)."""
+    lo, hi = 8, 32
+    out = {}
+    for ncpu in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        out[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+    t_lo, t_hi = out[lo]["value"], out[hi]["value"]
+    tp_lo = out[lo]["turns_per_sec"]
+    tp_hi = out[hi]["turns_per_sec"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "turns_per_sec_lo": tp_lo,
+        "turns_per_sec_hi": tp_hi,
+        "scaling_efficiency": round(eff, 3),
+        "speedup": round(t_lo / t_hi, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,176 @@
+"""Per-turn mention detection + triple rules (pure Python, no Ray).
+
+This module is the shared *inner kernel* of the extraction spec documented in
+:mod:`chunksilo_ray.rules`. Both executors use it:
+
+- the Ray pipeline (chunksilo_ray.stages.link / .extract) calls it per row
+  inside actor-pool ``map_batches`` with the alias index broadcast once via
+  ``ray.put`` and materialized per actor in ``__init__``;
+- the single-process oracle (chunksilo_ray.oracle.extractor) calls it in a
+  plain loop.
+
+What the P/R >= 0.95 gate then measures is everything *distribution* can get
+wrong: the groupby/sort reassembly, batch boundaries, the approximate
+MinHash-LSH canonicalization (vs the oracle's exact all-pairs clustering),
+and the final shuffle aggregation.
+
+Mention-scan behavior models the reference's retrieval matching: longest
+alias-n-gram-first scanning (analog of BM25 filename token match, reference
+src/chunksilo/index.py:1218-1265), ID normalization (search.py:381-425),
+stopword gating (search.py:79-96).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from .functions.textutils import (
+    ID_LIKE_RE,
+    RAW_TOKEN_RE,
+    STOPWORDS,
+    normalize_surface,
+    tokenize_surface,
+)
+from . import rules
+
+
+@dataclass(frozen=True)
+class Mention:
+    entity_id: str  # canonical id for known; rules.UNKNOWN_PREFIX + norm for unknown
+    surface: str
+    norm: str
+    entity_type: str  # person/system/tool/artifact for known; "unknown" otherwise
+    known: bool
+
+
+class AliasIndex:
+    """Token-tuple keyed alias lookup. Built once (driver or actor __init__)
+    from the small alias table; the broadcast small-side of the KG graft."""
+
+    def __init__(self, aliases: list[tuple[str, str, str]], max_ngram: int = 3):
+        # aliases: (alias_surface, entity_id, entity_type)
+        self.max_ngram = max_ngram
+        self.by_tokens: dict[tuple[str, ...], tuple[str, str]] = {}
+        for surf, eid, etype in aliases:
+            key = tuple(tokenize_surface(surf))
+            if key:
+                # first writer wins (stable — alias tables are deduped upstream)
+                self.by_tokens.setdefault(key, (eid, etype))
+
+    @classmethod
+    def from_arrow(cls, table, max_ngram: int = 3) -> "AliasIndex":
+        cols = (
+            table.column("alias").to_pylist(),
+            table.column("entity_id").to_pylist(),
+            table.column("entity_type").to_pylist(),
+        )
+        return cls(list(zip(*cols)), max_ngram=max_ngram)
+
+    def lookup_tool(self, tool_name: str) -> tuple[str, str]:
+        """Tool column -> entity id (alias lookup, else tool:<norm> fallback)."""
+        key = tuple(tokenize_surface(tool_name))
+        hit = self.by_tokens.get(key)
+        if hit is not None:
+            return hit
+        return rules.TOOL_FALLBACK_PREFIX + normalize_surface(tool_name), "tool"
+
+
+def _is_alpha(tok: str) -> bool:
+    return tok.isalpha()
+
+
+def _is_digits(tok: str) -> bool:
+    return tok.isdigit()
+
+
+def scan_mentions(text: str, alias: AliasIndex) -> list[Mention]:
+    """Greedy left-to-right longest-match mention scan (rules.py spec, rule 1).
+
+    Order at each position: (a) alias n-gram, longest first; (b) ID-like —
+    single token or (alpha{2,10}, digits{1,6}) bigram; (c) token with inner
+    delimiters / camelCase; (d) Capitalized non-stopword token of length >= 3.
+    """
+    raw = RAW_TOKEN_RE.findall(text)
+    out: list[Mention] = []
+    i, n = 0, len(raw)
+    while i < n:
+        matched = False
+        # (a) alias n-grams, longest first
+        for k in range(min(alias.max_ngram, n - i), 0, -1):
+            surf = " ".join(raw[i : i + k])
+            key = tuple(tokenize_surface(surf))
+            hit = alias.by_tokens.get(key)
+            if hit is not None:
+                eid, etype = hit
+                out.append(Mention(eid, surf, normalize_surface(surf), etype, True))
+                i += k
+                matched = True
+                break
+        if matched:
+            continue
+        tok = raw[i]
+        # (b) ID-like: single token, or (alpha, digits) bigram
+        if ID_LIKE_RE.match(tok):
+            norm = normalize_surface(tok)
+            out.append(Mention(rules.UNKNOWN_PREFIX + norm, tok, norm, "unknown", False))
+            i += 1
+            continue
+        if (
+            i + 1 < n
+            and _is_alpha(tok)
+            and 2 <= len(tok) <= 10
+            and _is_digits(raw[i + 1])
+            and len(raw[i + 1]) <= 6
+            and tok.lower() not in STOPWORDS
+        ):
+            surf = f"{tok} {raw[i + 1]}"
+            norm = f"{tok.lower()}-{raw[i + 1]}"
+            out.append(Mention(rules.UNKNOWN_PREFIX + norm, surf, norm, "unknown", False))
+            i += 2
+            continue
+        # (c) inner delimiters / camelCase (multi-part surface)
+        parts = tokenize_surface(tok)
+        if len(parts) > 1:
+            norm = "-".join(parts)
+            out.append(Mention(rules.UNKNOWN_PREFIX + norm, tok, norm, "unknown", False))
+            i += 1
+            continue
+        # (d) Capitalized non-stopword
+        if (
+            len(tok) >= rules.MIN_CAP_LEN
+            and tok[0].isupper()
+            and tok.lower() not in STOPWORDS
+            and not _is_digits(tok)
+        ):
+            norm = normalize_surface(tok)
+            out.append(Mention(rules.UNKNOWN_PREFIX + norm, tok, norm, "unknown", False))
+        i += 1
+    return out
+
+
+def triples_for_turn(
+    role: str, tool: str, text: str, mentions: list[Mention], alias: AliasIndex
+) -> list[tuple[str, str, str]]:
+    """Role/tool-aware triple rules (rules.py spec, rules 2-5).
+    Returns (subj, pred, obj) with placeholder ids for unknown entities."""
+    triples: list[tuple[str, str, str]] = []
+    if role == "tool" and tool:
+        subj, _ = alias.lookup_tool(tool)
+        for m in mentions:
+            triples.append((subj, rules.PRED_PRODUCES, m.entity_id))
+    elif len(mentions) >= 2:
+        pred = rules.PRED_BY_ROLE.get(role, "mentions")
+        subj = mentions[0].entity_id
+        for m in mentions[1:]:
+            triples.append((subj, pred, m.entity_id))
+
+    m_inv = rules.INVOKE_RE.search(text)
+    if m_inv is not None:
+        key = tuple(tokenize_surface(m_inv.group(1)))
+        hit = alias.by_tokens.get(key)
+        if hit is not None and hit[1] == "tool":
+            triples.append((rules.ROLE_PREFIX + role, rules.PRED_INVOKES, hit[0]))
+
+    if role == "assistant" and len(mentions) >= 2 and rules.CONFIGURE_RE.search(text):
+        triples.append((mentions[0].entity_id, rules.PRED_CONFIGURES, mentions[1].entity_id))
+    return triples

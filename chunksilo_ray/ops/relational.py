@@ -1,0 +1,334 @@
+"""Generic relational operator library over Parquet tables (SURVEY.md §2 /
+M9): filters, projections, computed columns, date predicates, groupby
+aggregates, top-k, exact dedup, union, broadcast joins, semi/anti joins.
+
+Every function takes ``sf_dir`` (a directory of the driver's TPC-H-ish
+tables, TESTDATA.md) and returns a Ray Dataset / pandas DataFrame whose
+column NAMES match the paired oracle SQL in __ray_entry__.oracle_sql().
+
+Scale discipline: reads prune columns (``columns=[...]``); predicates are
+vectorized pyarrow.compute kernels inside map_batches (never per-row
+Python); small dimension tables are broadcast via ``ray.put`` and joined
+with a per-batch lookup — no shuffle; aggregates rely on Ray Data's
+partial-combining hash aggregation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _pq(sf_dir: str, table: str, columns: list[str] | None = None) -> Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def round_columns(ds: Dataset, cols: list[str], digits: int = 4) -> Dataset:
+    """Round float columns of a (small, post-aggregate) dataset so
+    value-hash comparison against the DuckDB oracle is robust to
+    summation-order float noise (both sides ROUND to the same digits)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        for c in cols:
+            if c in t.column_names:
+                t = t.set_column(
+                    t.column_names.index(c), c, pc.round(t[c], ndigits=digits)
+                )
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# aggregates
+
+
+def q1_pricing_summary(sf_dir: str) -> Dataset:
+    """TPC-H Q1-style grouped aggregate over lineitem with a computed
+    revenue column (reference analog: corpus stats groupby,
+    reference test/test_indexing_benchmark.py:50-71)."""
+    ds = _pq(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def add_revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("revenue", rev)
+
+    agg = (
+        ds.map_batches(add_revenue, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("revenue", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+    )
+    return round_columns(agg, ["sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"])
+
+
+def lineitem_minmax_by_flag(sf_dir: str) -> Dataset:
+    ds = _pq(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    agg = ds.groupby("l_returnflag").aggregate(
+        Min("l_extendedprice", alias_name="min_price"),
+        Max("l_extendedprice", alias_name="max_price"),
+        Mean("l_extendedprice", alias_name="avg_price"),
+        Count(alias_name="n"),
+    )
+    return round_columns(agg, ["avg_price"])
+
+
+def orders_per_customer(sf_dir: str) -> Dataset:
+    ds = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    agg = ds.groupby("o_custkey").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_spent")
+    )
+    return round_columns(agg, ["total_spent"])
+
+
+def events_value_by_type(sf_dir: str) -> Dataset:
+    """Partial-aggregate pattern: per-batch combine before the shuffle."""
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate([("value", "sum"), ("value", "count")])
+        return g.rename_columns(["event_type", "value_sum", "value_count"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partials.groupby("event_type").aggregate(
+        Sum("value_sum", alias_name="total_value"), Sum("value_count", alias_name="n_events")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.column_names.index("n_events"),
+            "n_events",
+            pc.cast(t.column("n_events"), pa.int64()),
+        )
+
+    return round_columns(agg.map_batches(finish, batch_format="pyarrow"), ["total_value"])
+
+
+def orders_by_year(sf_dir: str) -> Dataset:
+    ds = _pq(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def add_year(t: pa.Table) -> pa.Table:
+        return t.append_column("order_year", pc.cast(pc.year(t["o_orderdate"]), pa.int64()))
+
+    agg = (
+        ds.map_batches(add_year, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("order_year")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_price"))
+    )
+    return round_columns(agg, ["total_price"])
+
+
+# ---------------------------------------------------------------------------
+# filters / projections / top-k
+
+
+def filter_events_date_range(sf_dir: str) -> Dataset:
+    """Inclusive date-range filter on a timestamp column (the reference's
+    date filter semantics, search.py:1018-1050) as a vectorized predicate."""
+    ds = _pq(sf_dir, "events", ["ts", "event_type"])
+    lo = pa.scalar(np.datetime64("2024-01-10T00:00:00", "us"))
+    hi = pa.scalar(np.datetime64("2024-01-20T00:00:00", "us"))
+
+    def f(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.greater_equal(t["ts"], lo), pc.less(t["ts"], hi))
+        return t.filter(mask)
+
+    return (
+        ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def top_orders_by_price(sf_dir: str, k: int = 10) -> Dataset:
+    """Global top-k = sort desc + limit (SURVEY.md §2.6)."""
+    ds = _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort("o_totalprice", descending=True).limit(k)
+
+
+def high_value_projection(sf_dir: str) -> Dataset:
+    """Filter + projection + computed column."""
+    ds = _pq(sf_dir, "lineitem", ["l_orderkey", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_quantity"], pa.scalar(45.0)))
+        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        t = t.append_column("disc_price", disc_price)
+        return t.select(["l_orderkey", "l_quantity", "disc_price"])
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def distinct_mktsegment(sf_dir: str) -> Dataset:
+    """Distinct values of one column (shuffle dedup)."""
+    ds = _pq(sf_dir, "customer", ["c_mktsegment"])
+    return ds.groupby("c_mktsegment").map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+
+
+def union_regions_dedup(sf_dir: str) -> Dataset:
+    """union + exact dedup by key, first-seen-wins (reference
+    MultiDirectoryDataSource path dedup, index.py:1011-1020)."""
+    a = _pq(sf_dir, "region")
+    b = _pq(sf_dir, "region")
+    return (
+        a.union(b)
+        .groupby("r_regionkey")
+        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins
+
+
+def customers_per_nation(sf_dir: str) -> Dataset:
+    """Broadcast hash join: nation (small) shipped once via ray.put, looked
+    up vectorized per batch (SURVEY.md §2.4 broadcast-map-join pattern)."""
+    nation = _pq(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    class JoinNation:
+        def __init__(self, ref):
+            lut = ray.get(ref)
+            self.keys = np.fromiter(lut.keys(), dtype=np.int64)
+            self.vals = np.array(list(lut.values()), dtype=object)
+            order = np.argsort(self.keys)
+            self.keys, self.vals = self.keys[order], self.vals[order]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            nk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(self.keys, nk)
+            names = self.vals[np.clip(pos, 0, len(self.vals) - 1)]
+            return t.append_column("n_name", pa.array(names.tolist(), pa.string()))
+
+    return (
+        cust.map_batches(JoinNation, fn_constructor_args=(lookup_ref,),
+                         batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n_customers"))
+    )
+
+
+def orders_with_customer_segment(sf_dir: str) -> Dataset:
+    """Broadcast join of orders against the customer dimension, then grouped
+    revenue per market segment."""
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    class JoinSeg:
+        def __init__(self, r):
+            self.lut = ray.get(r)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            seg = [self.lut.get(k) for k in t["o_custkey"].to_pylist()]
+            return t.append_column("c_mktsegment", pa.array(seg, pa.string()))
+
+    joined = (
+        orders.map_batches(JoinSeg, fn_constructor_args=(ref,),
+                           batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("c_mktsegment")
+        .aggregate(Sum("o_totalprice", alias_name="segment_revenue"),
+                   Count(alias_name="n_orders"))
+    )
+    return round_columns(joined, ["segment_revenue"])
+
+
+def customers_without_orders(sf_dir: str) -> Dataset:
+    """Anti join via broadcast key set (SURVEY.md §2.4: deleted = anti-join):
+    customers with no HIGH-VALUE order (threshold keeps the anti side
+    non-empty at every sf)."""
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def big(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["o_totalprice"], pa.scalar(300_000.0)))
+
+    custkeys_with_orders = orders.map_batches(
+        big, batch_format="pyarrow", zero_copy_batch=True
+    ).unique("o_custkey")
+    key_set_ref = ray.put(set(custkeys_with_orders))
+
+    class Anti:
+        def __init__(self, r):
+            self.keys = ray.get(r)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = [k not in self.keys for k in t["c_custkey"].to_pylist()]
+            return t.filter(pa.array(mask, pa.bool_()))
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_name"])
+    return cust.map_batches(Anti, fn_constructor_args=(key_set_ref,),
+                            batch_format="pyarrow", concurrency=(1, 4))
+
+
+def supplier_nation_region(sf_dir: str) -> Dataset:
+    """Two-level broadcast join chain: supplier -> nation -> region."""
+    nation = _pq(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = _pq(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rlut = dict(zip(region["r_regionkey"], region["r_name"]))
+    nlut = {
+        int(k): (v, rlut.get(int(rk)))
+        for k, v, rk in zip(nation["n_nationkey"], nation["n_name"], nation["n_regionkey"])
+    }
+    ref = ray.put(nlut)
+    sup = _pq(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+
+    class JoinNR:
+        def __init__(self, r):
+            self.lut = ray.get(r)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            pairs = [self.lut.get(k, (None, None)) for k in t["s_nationkey"].to_pylist()]
+            t = t.append_column("n_name", pa.array([p[0] for p in pairs], pa.string()))
+            t = t.append_column("r_name", pa.array([p[1] for p in pairs], pa.string()))
+            return t.select(["s_suppkey", "s_name", "n_name", "r_name"])
+
+    return sup.map_batches(JoinNR, fn_constructor_args=(ref,), batch_format="pyarrow",
+                           concurrency=(1, 2))
+
+
+# ---------------------------------------------------------------------------
+# search-style ops on events (reference retrieval semantics)
+
+
+def recent_events_boosted(sf_dir: str, k: int = 20) -> Dataset:
+    """Recency-boost + global top-k: score = value * (1 + w*exp(-ln2*age/hl))
+    (the reference's recency boost, search.py:1053-1090, over the events
+    fixture). Age is measured in days from the max ts in the table."""
+    ds = _pq(sf_dir, "events", ["event_id", "ts", "value"])
+    max_ts = ds.aggregate(Max("ts"))["max(ts)"]
+    import pandas as pd
+
+    anchor = pd.Timestamp(max_ts).to_datetime64().astype("datetime64[us]").astype("int64")
+    half_life, weight = 30.0, 0.5
+
+    def boost(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        age_days = (anchor - ts) / 86_400_000_000.0
+        val = t["value"].to_numpy(zero_copy_only=False)
+        boosted = val * (1.0 + weight * np.exp(-np.log(2.0) * np.maximum(age_days, 0) / half_life))
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "boosted_score": pa.array(np.round(boosted, 6), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(boost, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "boosted_score", descending=True
+    ).limit(k)

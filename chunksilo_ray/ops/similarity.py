@@ -1,0 +1,181 @@
+"""Similarity search over the ``embeddings`` table: brute-force cosine top-k
+(baseline; the reference's vector top-k semantics, reference
+src/chunksilo/search.py:1093-1099) and an IVF-bucketed variant (scale path).
+
+The query matrix is broadcast once via ``ray.put``; every map_batches task
+does one numpy matmul per batch against it — the distributed analog of the
+reference's single in-memory vector index scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data import Dataset
+
+
+def _emb(sf_dir: str) -> Dataset:
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    return np.divide(m, norms, where=norms > 0)
+
+
+def query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    """Deterministic query: the embedding of ``vec_id`` (float64)."""
+    t = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def grab(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.equal(b["vec_id"], vec_id))
+
+    rows = t.map_batches(grab, batch_format="pyarrow").take(1)
+    return np.asarray(rows[0]["embedding"], dtype=np.float64)
+
+
+def cosine_topk(sf_dir: str, vec_id: int = 0, k: int = 10) -> "pa.Table":
+    """Brute-force cosine top-k: per-batch partial top-k (np.argpartition)
+    against the broadcast query, then a tiny global merge — the all-data
+    sort never happens (SURVEY.md §2.6 vector top-k mapping)."""
+    q = query_vector(sf_dir, vec_id)
+    qn = q / np.linalg.norm(q)
+    q_ref = ray.put(qn)
+
+    class PartialTopK:
+        def __init__(self, ref, k):
+            self.q = ray.get(ref)
+            self.k = k
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            emb = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+            emb = _normalize(emb)
+            sims = emb @ self.q
+            if len(sims) > self.k:
+                keep = np.argpartition(-sims, self.k)[: self.k]
+            else:
+                keep = np.arange(len(sims))
+            ids = np.asarray(t["vec_id"].to_pylist())[keep]
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "cosine": pa.array(np.round(sims[keep], 6), pa.float64()),
+                }
+            )
+
+    partials = _emb(sf_dir).map_batches(
+        PartialTopK, fn_constructor_args=(q_ref, k), batch_format="pyarrow",
+        concurrency=(1, 4), zero_copy_batch=True
+    )
+    merged = partials.sort("cosine", descending=True).limit(k)
+    t = pa.Table.from_pylist(merged.take_all())
+    return t.select(["vec_id", "cosine"])
+
+
+def ivf_topk(sf_dir: str, vec_id: int = 0, k: int = 10, n_cells: int = 16, n_probe: int = 4) -> "pa.Table":
+    """IVF-style ANN: k-means-lite centroids from a deterministic sample,
+    search only the n_probe nearest cells. The scale path for 100 TB:
+    centroid assignment is a per-batch matmul; only ~n_probe/n_cells of the
+    data is scanned at query time."""
+    # deterministic "training" sample: first 256 vectors by vec_id
+    sample = (
+        _emb(sf_dir)
+        .sort("vec_id")
+        .limit(256)
+        .take_all()
+    )
+    X = _normalize(np.asarray([r["embedding"] for r in sample], dtype=np.float64))
+    rng = np.random.default_rng(5)
+    centroids = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(5):  # few Lloyd iterations, deterministic
+        assign = np.argmax(X @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            m = X[assign == c]
+            if len(m):
+                v = m.mean(axis=0)
+                centroids[c] = v / (np.linalg.norm(v) or 1.0)
+
+    q = query_vector(sf_dir, vec_id)
+    qn = q / np.linalg.norm(q)
+    probe_cells = set(np.argsort(-(centroids @ qn))[:n_probe].tolist())
+    state_ref = ray.put((centroids, qn, probe_cells))
+
+    class ProbeTopK:
+        def __init__(self, ref, k):
+            self.centroids, self.q, self.cells = ray.get(ref)
+            self.k = k
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            emb = _normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float64))
+            cell = np.argmax(emb @ self.centroids.T, axis=1)
+            mask = np.isin(cell, list(self.cells))
+            if not mask.any():
+                return pa.table({"vec_id": pa.array([], pa.int64()),
+                                 "cosine": pa.array([], pa.float64())})
+            emb = emb[mask]
+            ids = np.asarray(t["vec_id"].to_pylist())[mask]
+            sims = emb @ self.q
+            if len(sims) > self.k:
+                keep = np.argpartition(-sims, self.k)[: self.k]
+            else:
+                keep = np.arange(len(sims))
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids[keep], pa.int64()),
+                    "cosine": pa.array(np.round(sims[keep], 6), pa.float64()),
+                }
+            )
+
+    partials = _emb(sf_dir).map_batches(
+        ProbeTopK, fn_constructor_args=(state_ref, k), batch_format="pyarrow",
+        concurrency=(1, 4), zero_copy_batch=True
+    )
+    merged = partials.sort("cosine", descending=True).limit(k)
+    t = pa.Table.from_pylist(merged.take_all())
+    return t.select(["vec_id", "cosine"]) if t.num_rows else pa.table(
+        {"vec_id": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}
+    )
+
+
+def label_centroids(sf_dir: str) -> Dataset:
+    """Mean embedding per label: list-column aggregation via per-batch
+    partial sums -> tiny final combine (mergeable-sketch pattern)."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        emb = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        labels = np.asarray(t["label"].to_pylist())
+        out_l, out_s, out_n = [], [], []
+        for lab in np.unique(labels):
+            m = labels == lab
+            out_l.append(int(lab))
+            out_s.append(emb[m].sum(axis=0).tolist())
+            out_n.append(int(m.sum()))
+        return pa.table(
+            {
+                "label": pa.array(out_l, pa.int32()),
+                "vec_sum": pa.array(out_s, pa.list_(pa.float64())),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    def merge_group(t: pa.Table) -> pa.Table:
+        sums = np.asarray(t["vec_sum"].to_pylist(), dtype=np.float64).sum(axis=0)
+        n = int(sum(t["n"].to_pylist()))
+        return pa.table(
+            {
+                "label": pa.array([t["label"][0].as_py()], pa.int32()),
+                "centroid": pa.array([np.round(sums / n, 6).tolist()], pa.list_(pa.float64())),
+                "n_vectors": pa.array([n], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("label")
+        .map_groups(merge_group, batch_format="pyarrow")
+    )

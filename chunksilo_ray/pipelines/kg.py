@@ -1,0 +1,160 @@
+"""The flagship pipeline: transcripts Parquet -> knowledge-graph Parquet.
+
+End-to-end composition (SURVEY.md §3.4 lifecycle):
+
+    read_parquet(transcripts)
+      -> assemble_dialogues        SHUFFLE #1 (conv_id, salt)       [ckpt]
+      -> link_extract              actor pool + broadcast aliases   [ckpt]
+      -> explode triples/mentions  (two branches off one checkpoint)
+      -> build_canonical_map       SHUFFLE #2 (LSH bands) -> driver union-find
+      -> apply map + materialize   SHUFFLE #3 (groupby-aggregate)
+      -> write edges/ nodes/ Parquet
+    (side branch) assembled -> chunk -> embed -> chunks/ Parquet
+
+Checkpoint boundaries sit right after the shuffles (SURVEY.md §7.4), so a
+resumed run skips the expensive exchanges. No ray.init() here — the driver
+owns the session.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from ..config import Config
+from ..stages.assemble import assemble_dialogues
+from ..stages.canon import apply_canonical_map, build_canonical_map
+from ..stages.chunk import chunk_turns
+from ..stages.embed import embed_chunks
+from ..stages.link import explode_mentions, explode_triples, link_extract
+from ..stages.materialize import materialize_edges, materialize_nodes
+from ..state.manifest import StageCheckpoint, fingerprint, input_fingerprint
+
+
+def build_kg(
+    transcripts_path: str,
+    alias_path: str,
+    out_dir: str,
+    cfg: Config | None = None,
+    with_chunks: bool = True,
+) -> dict:
+    """Run (or resume) the KG construction pipeline. Returns
+    {"edges": Dataset, "nodes": Dataset, "chunks": Dataset|None,
+     "metrics": dict, "out_dir": str}."""
+    cfg = cfg or Config()
+    out = pathlib.Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    in_fp = fingerprint(input_fingerprint(transcripts_path), input_fingerprint(alias_path))
+
+    # ---- stage 1: assembly (shuffle #1) -------------------------------------
+    salt_threshold = cfg.get("assembly.salt_threshold")
+    asm_fp = fingerprint(in_fp, "assemble", salt_threshold)
+    asm_ckpt = StageCheckpoint(out_dir, "assembled", asm_fp)
+    assembled = asm_ckpt.run(
+        lambda: assemble_dialogues(
+            rd.read_parquet(transcripts_path), salt_threshold=salt_threshold
+        )
+    )
+
+    # ---- stage 2: mention detect + entity link + triple extraction ----------
+    alias_table = pq.read_table(alias_path)
+    link_cfg = cfg.section("linking")
+    ext_fp = fingerprint(asm_fp, "extract", sorted(link_cfg.items()))
+    ext_ckpt = StageCheckpoint(out_dir, "extracted", ext_fp)
+
+    def _build_extracted():
+        alias_ref = ray.put(alias_table)  # broadcast once
+        return link_extract(
+            asm_ckpt.read(),
+            alias_ref,
+            max_ngram=link_cfg["max_ngram"],
+            batch_size=link_cfg["batch_size"],
+            concurrency=link_cfg["concurrency"],
+            num_cpus=link_cfg["num_cpus"],
+        )
+
+    extracted = ext_ckpt.run(_build_extracted)
+
+    # ---- stage 3: canonicalization (shuffle #2 + driver union-find) ---------
+    canon_cfg = cfg.section("canon")
+    cmap_path = out / "canonical_map.json"
+    cmap_fp = fingerprint(ext_fp, "canon", sorted(canon_cfg.items()))
+    cmap: dict[str, str]
+    if cmap_path.exists():
+        saved = json.loads(cmap_path.read_text())
+        if saved.get("fingerprint") == cmap_fp:
+            cmap = saved["map"]
+        else:
+            cmap = None  # type: ignore[assignment]
+    else:
+        cmap = None  # type: ignore[assignment]
+    if cmap is None:
+        cmap = build_canonical_map(
+            explode_mentions(ext_ckpt.read()),
+            num_perm=canon_cfg["num_perm"],
+            bands=canon_cfg["bands"],
+            shingle_k=canon_cfg["shingle_k"],
+            max_group=canon_cfg["max_group"],
+            max_pairs=canon_cfg["max_pairs"],
+        )
+        cmap_path.write_text(json.dumps({"fingerprint": cmap_fp, "map": cmap}))
+
+    # ---- stage 4: graph materialize (shuffle #3) ----------------------------
+    edges_fp = fingerprint(cmap_fp, "edges")
+    edges_ckpt = StageCheckpoint(out_dir, "edges", edges_fp)
+    edges = edges_ckpt.run(
+        lambda: materialize_edges(
+            apply_canonical_map(explode_triples(ext_ckpt.read()), cmap, ["subj", "obj"])
+        )
+    )
+
+    nodes_fp = fingerprint(cmap_fp, "nodes")
+    nodes_ckpt = StageCheckpoint(out_dir, "nodes", nodes_fp)
+    nodes = nodes_ckpt.run(
+        lambda: materialize_nodes(
+            apply_canonical_map(explode_mentions(ext_ckpt.read()), cmap, ["entity_id"])
+        )
+    )
+
+    # ---- side branch: chunk + embed (the reference's chunk-and-embed core) --
+    chunks = None
+    if with_chunks:
+        chk_cfg = cfg.section("chunking")
+        emb_cfg = cfg.section("embedding")
+        chunks_fp = fingerprint(asm_fp, "chunks", sorted(chk_cfg.items()), sorted(emb_cfg.items()))
+        chunks_ckpt = StageCheckpoint(out_dir, "chunks", chunks_fp)
+        chunks = chunks_ckpt.run(
+            lambda: embed_chunks(
+                chunk_turns(
+                    asm_ckpt.read(),
+                    chunk_size=chk_cfg["chunk_size"],
+                    chunk_overlap=chk_cfg["chunk_overlap"],
+                ),
+                backend=emb_cfg["backend"],
+                dim=emb_cfg["dim"],
+                batch_size=emb_cfg["batch_size"],
+                concurrency=emb_cfg["concurrency"],
+                num_cpus=emb_cfg["num_cpus"],
+            )
+        )
+
+    metrics = {
+        "turns": (asm_ckpt.manifest() or {}).get("rows"),
+        "extracted_turns": (ext_ckpt.manifest() or {}).get("rows"),
+        "edges": (edges_ckpt.manifest() or {}).get("rows"),
+        "nodes": (nodes_ckpt.manifest() or {}).get("rows"),
+        "canonical_merges": len(cmap),
+    }
+    edges_ckpt.record_metrics({"emitted_edges": metrics["edges"]})
+    return {
+        "edges": edges,
+        "nodes": nodes,
+        "chunks": chunks,
+        "metrics": metrics,
+        "out_dir": str(out),
+    }

@@ -1,0 +1,243 @@
+"""Entity-surface canonicalization: MinHash-LSH banding + verify + union-find.
+
+The graft's near-dup merge (SURVEY.md §2.7): unknown mention surfaces (those
+the alias index could not link) are clustered so variants like "Flumetrics" /
+"flu-metrics" / "Flumetric" collapse to one canonical entity id.
+
+Distributed shape (the LSH groupby is SHUFFLE #2 of the pipeline):
+
+    distinct unknown norms (groupby(norm) over a batch-deduped stream)
+      -> map_batches: MinHash signatures over char shingles (vectorized,
+         crc32 base hashes — deterministic across processes, unlike hash())
+      -> explode to (band_id, band_hash, norm) rows
+      -> groupby(band_id, band_hash) -> candidate pairs (group-size capped:
+         skew guard, reference-style cap pattern search.py:338)
+      -> verify: exact jaccard >= tau OR BoW-cosine >= tau2
+      -> driver-side union-find over the (small, capped) verified edge list
+      -> broadcast canonical map -> map_batches rewrite of placeholder ids
+
+The oracle (chunksilo_ray.oracle.extractor) runs the same verify thresholds
+EXACTLY (all candidate pairs, no LSH) — the P/R gate absorbs LSH misses.
+"""
+
+from __future__ import annotations
+
+import logging
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ray.data import Dataset
+from ray.data.aggregate import Count
+
+from .. import rules
+from .embed import bow_hash_embed
+
+logger = logging.getLogger(__name__)
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def minhash_signature(norm: str, a: np.ndarray, b: np.ndarray, k: int = rules.SHINGLE_K) -> np.ndarray:
+    """num_perm minhash values over crc32-hashed char shingles."""
+    shingles = rules.char_shingles(norm, k)
+    base = np.fromiter(
+        (zlib.crc32(s.encode("utf-8")) for s in shingles), dtype=np.int64, count=len(shingles)
+    )
+    # (num_perm, n_shingles) universal hashing, min over shingles
+    vals = (a[:, None] * base[None, :] + b[:, None]) % _MERSENNE
+    return vals.min(axis=1)
+
+
+class _BandRows:
+    """map_batches: norm -> (band_id, band_hash, norm) rows."""
+
+    def __init__(self, num_perm: int, bands: int, shingle_k: int):
+        assert num_perm % bands == 0
+        self.rows_per_band = num_perm // bands
+        self.bands = bands
+        self.shingle_k = shingle_k
+        self.a, self.b = _hash_params(num_perm)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        norms = t.column("norm").to_pylist()
+        band_ids: list[int] = []
+        band_hashes: list[int] = []
+        out_norms: list[str] = []
+        for norm in norms:
+            sig = minhash_signature(norm, self.a, self.b, self.shingle_k)
+            for bi in range(self.bands):
+                chunk = sig[bi * self.rows_per_band : (bi + 1) * self.rows_per_band]
+                h = zlib.crc32(chunk.tobytes())
+                band_ids.append(bi)
+                band_hashes.append(h)
+                out_norms.append(norm)
+        return pa.table(
+            {
+                "band_id": pa.array(band_ids, pa.int32()),
+                "band_hash": pa.array(band_hashes, pa.int64()),
+                "norm": pa.array(out_norms, pa.string()),
+            }
+        )
+
+
+def _candidate_pairs_group(max_group: int):
+    def fn(t: pa.Table) -> pa.Table:
+        norms = sorted(set(t.column("norm").to_pylist()))
+        if len(norms) > max_group:
+            logger.warning(
+                "LSH bucket capped: %d norms > max_group=%d (skew guard)", len(norms), max_group
+            )
+            norms = norms[:max_group]
+        left: list[str] = []
+        right: list[str] = []
+        for i in range(len(norms)):
+            for j in range(i + 1, len(norms)):
+                left.append(norms[i])
+                right.append(norms[j])
+        return pa.table({"a": pa.array(left, pa.string()), "b": pa.array(right, pa.string())})
+
+    return fn
+
+
+def verify_pair(a: str, b: str) -> bool:
+    """Exact verify shared with the oracle: jaccard OR BoW-cosine threshold."""
+    ja = rules.jaccard(rules.char_shingles(a), rules.char_shingles(b))
+    if ja >= rules.JACCARD_THRESHOLD:
+        return True
+    va, vb = bow_hash_embed([a.replace("-", " "), b.replace("-", " ")])
+    return float(va @ vb) >= rules.COSINE_THRESHOLD
+
+
+def _verify_batch(t: pa.Table) -> pa.Table:
+    # batch-local pair dedup first: the same pair fires in many LSH bands
+    seen: set[tuple[str, str]] = set()
+    av = t.column("a").to_pylist()
+    bv = t.column("b").to_pylist()
+    keep_a: list[str] = []
+    keep_b: list[str] = []
+    for x, y in zip(av, bv):
+        if (x, y) in seen:
+            continue
+        seen.add((x, y))
+        if verify_pair(x, y):
+            keep_a.append(x)
+            keep_b.append(y)
+    return pa.table({"a": pa.array(keep_a, pa.string()), "b": pa.array(keep_b, pa.string())})
+
+
+class UnionFind:
+    def __init__(self):
+        self.parent: dict[str, str] = {}
+
+    def find(self, x: str) -> str:
+        p = self.parent.setdefault(x, x)
+        if p != x:
+            root = self.find(p)
+            self.parent[x] = root
+            return root
+        return x
+
+    def union(self, x: str, y: str) -> None:
+        rx, ry = self.find(x), self.find(y)
+        if rx != ry:
+            # deterministic: lexicographically smaller root wins
+            if ry < rx:
+                rx, ry = ry, rx
+            self.parent[ry] = rx
+
+
+def canonical_map_from_edges(edges: list[tuple[str, str]]) -> dict[str, str]:
+    """Union-find merge; canonical representative = lexicographic min of the
+    cluster. Returns only norms whose canonical differs from themselves plus
+    cluster members (identity mappings omitted)."""
+    uf = UnionFind()
+    for a, b in edges:
+        uf.union(a, b)
+    out: dict[str, str] = {}
+    for x in list(uf.parent):
+        root = uf.find(x)
+        if root != x:
+            out[x] = root
+    # second pass: roots of multi-member clusters map to themselves implicitly
+    return out
+
+
+def build_canonical_map(
+    mentions: Dataset,
+    num_perm: int = 64,
+    bands: int = 32,
+    shingle_k: int = rules.SHINGLE_K,
+    max_group: int = 256,
+    max_pairs: int = 2_000_000,
+) -> dict[str, str]:
+    """Full distributed candidate generation + verify; returns the (small)
+    canonical map for the driver to broadcast. ``mentions`` is the exploded
+    mention dataset (needs columns norm, known)."""
+    unknown = mentions.map_batches(
+        # batch-local dedup before the shuffle (partial-aggregate pattern)
+        lambda t: pa.table({"norm": pc.unique(t.column("norm").filter(pc.invert(t.column("known"))))}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    distinct = unknown.groupby("norm").aggregate(Count(alias_name="n")).select_columns(["norm"])
+
+    bands_ds = distinct.map_batches(
+        _BandRows(num_perm, bands, shingle_k), batch_format="pyarrow", batch_size=8192
+    )
+    pairs = bands_ds.groupby(["band_id", "band_hash"]).map_groups(
+        _candidate_pairs_group(max_group), batch_format="pyarrow"
+    )
+    # verify with batch-local pair dedup (the same pair fires in many bands);
+    # the final cross-batch dedup happens in the driver's set — the edge list
+    # is small by construction (capped buckets, verified pairs only)
+    verified = pairs.map_batches(_verify_batch, batch_format="pyarrow", batch_size=8192)
+    edge_rows = verified.take(max_pairs)
+    if len(edge_rows) >= max_pairs:
+        logger.warning("canonical edge list hit max_pairs=%d cap", max_pairs)
+    edges = sorted({(r["a"], r["b"]) for r in edge_rows})
+    return canonical_map_from_edges(edges)
+
+
+def canonicalize_id(entity_id: str, cmap: dict[str, str]) -> str:
+    if entity_id.startswith(rules.UNKNOWN_PREFIX):
+        norm = entity_id[len(rules.UNKNOWN_PREFIX) :]
+        return rules.CANONICAL_PREFIX + cmap.get(norm, norm)
+    return entity_id
+
+
+def apply_canonical_map(ds: Dataset, cmap: dict[str, str], columns: list[str]) -> Dataset:
+    """Rewrite placeholder ``surface:<norm>`` ids -> ``ent:<canonical>`` in the
+    given columns. The map is broadcast once via ray.put; tasks fetch it from
+    the object store (not re-pickled per batch into the closure)."""
+    cmap_ref = ray.put(cmap)
+
+    class Rewrite:
+        def __init__(self, ref):
+            self.cmap = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            for col in columns:
+                vals = t.column(col).to_pylist()
+                new = [canonicalize_id(v, self.cmap) for v in vals]
+                idx = t.column_names.index(col)
+                t = t.set_column(idx, col, pa.array(new, pa.string()))
+            return t
+
+    return ds.map_batches(
+        Rewrite,
+        fn_constructor_args=(cmap_ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        zero_copy_batch=True,
+    )

@@ -1,0 +1,88 @@
+"""Embedding as an actor-pool map_batches stage.
+
+The reference hosts a FastEmbed ONNX model created once per process and fed
+512-text bulk calls (reference src/chunksilo/index.py:1091-1124 — the comment
+there documents a ~38x call-overhead reduction vs per-10 batching). The Ray
+translation: a callable CLASS passed to ``map_batches(..., concurrency=N)``
+so the model loads once per actor in ``__init__`` and every ``__call__``
+embeds a whole Arrow batch.
+
+Default backend is the deterministic 384-d Bag-of-Words hash embedding that
+the reference's own test suite swaps in for ML-free runs (reference
+test/conftest.py:36-55: ``vec[sum(ord(c) for c in word) % 384] += 1`` per
+lowercase word) — FIXTURES.md §7 makes that the gated-test contract. A real
+ONNX model would drop into ``_load_backend`` without touching the pipeline.
+Vectors are L2-normalized so cosine similarity is a plain dot product
+downstream.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+_WORD_RE = re.compile(r"[A-Za-z0-9]+")
+
+
+def bow_hash_embed(texts: list[str], dim: int = 384) -> np.ndarray:
+    """Deterministic BoW-hash embeddings, L2-normalized float32 (n, dim)."""
+    out = np.zeros((len(texts), dim), dtype=np.float32)
+    for i, text in enumerate(texts):
+        words = _WORD_RE.findall(text.lower())
+        if not words:
+            continue
+        idx = np.fromiter(
+            (sum(map(ord, w)) % dim for w in words), dtype=np.int64, count=len(words)
+        )
+        np.add.at(out[i], idx, 1.0)
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    np.divide(out, norms, out=out, where=norms > 0)
+    return out
+
+
+class EmbedActor:
+    """Actor-pool stage: adds a fixed-size ``embedding`` list<float32>[dim]
+    column. State (model/backend) initialized once per actor."""
+
+    def __init__(self, backend: str = "bow", dim: int = 384, text_column: str = "text"):
+        self.dim = dim
+        self.text_column = text_column
+        if backend == "bow":
+            self._embed = lambda texts: bow_hash_embed(texts, self.dim)
+        else:  # pragma: no cover - model backends are not baked into this env
+            raise NotImplementedError(
+                f"embedding backend {backend!r}: real ONNX/transformer backends "
+                "plug in here; this environment ships none (stub per task brief)"
+            )
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        vecs = self._embed(t.column(self.text_column).to_pylist())
+        col = pa.FixedSizeListArray.from_arrays(pa.array(vecs.ravel(), pa.float32()), self.dim)
+        return t.append_column("embedding", col)
+
+
+def embed_chunks(
+    chunks: Dataset,
+    backend: str = "bow",
+    dim: int = 384,
+    batch_size: int = 512,
+    concurrency: int | tuple[int, int] = 4,
+    num_cpus: float = 1,
+) -> Dataset:
+    # an int means "up to N actors": autoscale from 1 so the pool never
+    # reserves every CPU up front and starves the read/write stages
+    if isinstance(concurrency, int):
+        concurrency = (1, concurrency)
+    return chunks.map_batches(
+        EmbedActor,
+        fn_constructor_kwargs={"backend": backend, "dim": dim},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+        zero_copy_batch=True,
+    )

@@ -1,0 +1,160 @@
+"""Mention detection + entity linking + triple extraction (one actor stage).
+
+The KG analog of the reference's scoring stages: alias matching plays the
+role of BM25 filename match (reference src/chunksilo/index.py:1218-1265) and
+rerank scoring (search.py:1184-1248); the alias table is the broadcast
+small-side (``ray.put`` once on the driver, ``ray.get`` once per actor in
+``__init__`` — never re-shipped per batch).
+
+One stage computes BOTH nested outputs per turn —
+
+    mentions: list<struct<entity_id, surface, norm, entity_type, known>>
+    triples:  list<struct<subj, pred, obj>>
+
+— so the two downstream branches (nodes <- mentions, edges <- triples) can
+explode from one checkpointed dataset instead of re-running the scan. Turn
+atomicity is trivially preserved: a turn's mentions/triples live in its own
+row, so batch boundaries can never split a turn.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+
+from ray.data import Dataset
+
+from ..extraction_core import AliasIndex, scan_mentions, triples_for_turn
+
+MENTION_STRUCT = pa.struct(
+    [
+        ("entity_id", pa.string()),
+        ("surface", pa.string()),
+        ("norm", pa.string()),
+        ("entity_type", pa.string()),
+        ("known", pa.bool_()),
+    ]
+)
+TRIPLE_STRUCT = pa.struct([("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string())])
+
+
+class LinkExtractActor:
+    """Actor-pool stage: per-turn mention scan + rule-based triple extraction.
+
+    ``alias_ref`` is an ``ray.ObjectRef`` to the alias Arrow table (broadcast
+    once); the token-tuple lookup dict is built once per actor.
+    """
+
+    def __init__(self, alias_ref, max_ngram: int = 3):
+        alias_table = ray.get(alias_ref)
+        self.alias = AliasIndex.from_arrow(alias_table, max_ngram=max_ngram)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        roles = t.column("role").to_pylist()
+        tools = t.column("tool").to_pylist()
+        texts = t.column("text").to_pylist()
+
+        mentions_col: list[list[dict]] = []
+        triples_col: list[list[dict]] = []
+        for r in range(t.num_rows):
+            ms = scan_mentions(texts[r], self.alias)
+            ts3 = triples_for_turn(roles[r], tools[r], texts[r], ms, self.alias)
+            mentions_col.append(
+                [
+                    {
+                        "entity_id": m.entity_id,
+                        "surface": m.surface,
+                        "norm": m.norm,
+                        "entity_type": m.entity_type,
+                        "known": m.known,
+                    }
+                    for m in ms
+                ]
+            )
+            triples_col.append([{"subj": s, "pred": p, "obj": o} for s, p, o in ts3])
+
+        keep = [c for c in ("conv_id", "turn_idx", "role", "tool", "ts") if c in t.column_names]
+        out = t.select(keep)
+        out = out.append_column("mentions", pa.array(mentions_col, pa.list_(MENTION_STRUCT)))
+        out = out.append_column("triples", pa.array(triples_col, pa.list_(TRIPLE_STRUCT)))
+        return out
+
+
+def link_extract(
+    turns: Dataset,
+    alias_ref,
+    max_ngram: int = 3,
+    batch_size: int = 2048,
+    concurrency: int | tuple[int, int] = 4,
+    num_cpus: float = 1,
+) -> Dataset:
+    # autoscale from 1 actor — a fixed-size pool that reserves every CPU
+    # deadlocks small sessions and starves sibling stages on big ones
+    if isinstance(concurrency, int):
+        concurrency = (1, concurrency)
+    return turns.map_batches(
+        LinkExtractActor,
+        fn_constructor_kwargs={"alias_ref": alias_ref, "max_ngram": max_ngram},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+        zero_copy_batch=True,
+    )
+
+
+def explode_triples(extracted: Dataset) -> Dataset:
+    """Flatten the nested triples column -> one row per (subj, pred, obj)
+    occurrence, keyed by (conv_id, turn_idx). Vectorized with Arrow list
+    flatten (no Python row loop)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        lst = t.column("triples")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        flat = lst.flatten()
+        # parent index per flattened element
+        import numpy as np
+
+        lengths = lst.value_lengths().to_numpy(zero_copy_only=False).astype("int64")
+        parents = np.repeat(np.arange(len(lengths)), lengths)
+        idx = pa.array(parents)
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id").take(idx),
+                "turn_idx": t.column("turn_idx").take(idx),
+                "subj": flat.field("subj"),
+                "pred": flat.field("pred"),
+                "obj": flat.field("obj"),
+            }
+        )
+
+    return extracted.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def explode_mentions(extracted: Dataset) -> Dataset:
+    """Flatten the nested mentions column -> one row per mention occurrence."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        lst = t.column("mentions")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        flat = lst.flatten()
+        import numpy as np
+
+        lengths = lst.value_lengths().to_numpy(zero_copy_only=False).astype("int64")
+        parents = np.repeat(np.arange(len(lengths)), lengths)
+        idx = pa.array(parents)
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id").take(idx),
+                "turn_idx": t.column("turn_idx").take(idx),
+                "entity_id": flat.field("entity_id"),
+                "surface": flat.field("surface"),
+                "norm": flat.field("norm"),
+                "entity_type": flat.field("entity_type"),
+                "known": flat.field("known"),
+            }
+        )
+
+    return extracted.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,118 @@
+"""Per-stage checkpoint manifests with lineage + metrics (resume support).
+
+The Ray analog of the reference's incremental-ingest state (reference
+src/chunksilo/index.py:295-406 SQLite IngestionState + index.py:1664-1676
+count/time checkpoints): instead of a central DB, every materialized stage
+writes its Parquet parts to a temp dir, renames atomically, and records a
+JSON manifest carrying a lineage fingerprint (hash of the stage's inputs +
+parameters), per-part row counts, and stage metrics (e.g. emitted-triple
+counters). A rerun with the same fingerprint skips the stage and re-reads
+the checkpoint (``read_parquet``) — a killed job resumes without
+recomputation, stage by stage; a changed input invalidates exactly the
+stages whose fingerprints change (analog of the reference's mtime+hash
+change detection, index.py:1497-1533).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import pathlib
+import shutil
+import time
+from typing import Callable
+
+import pyarrow.parquet as pq
+
+from ray.data import Dataset
+import ray.data as rd
+
+MANIFEST_NAME = "_MANIFEST.json"
+
+
+def fingerprint(*parts: object) -> str:
+    """Stable lineage fingerprint over stage inputs/parameters."""
+    h = hashlib.sha256()
+    for p in parts:
+        h.update(repr(p).encode("utf-8"))
+        h.update(b"\x00")
+    return h.hexdigest()[:16]
+
+
+def input_fingerprint(path: str) -> str:
+    """Fingerprint of an input file/dir: paths + sizes + mtimes (the
+    reference's mtime fast-path, index.py:815-824 — no full-content hash)."""
+    p = pathlib.Path(path)
+    entries = []
+    if p.is_dir():
+        for f in sorted(p.rglob("*")):
+            if f.is_file():
+                st = f.stat()
+                entries.append((str(f), st.st_size, int(st.st_mtime)))
+    elif p.is_file():
+        st = p.stat()
+        entries.append((str(p), st.st_size, int(st.st_mtime)))
+    return fingerprint(entries)
+
+
+class StageCheckpoint:
+    """One materialized stage = one directory of Parquet parts + manifest."""
+
+    def __init__(self, root: str, stage: str, fp: str):
+        self.stage = stage
+        self.fp = fp
+        self.dir = pathlib.Path(root) / stage
+        self.manifest_path = self.dir / MANIFEST_NAME
+
+    def manifest(self) -> dict | None:
+        if not self.manifest_path.exists():
+            return None
+        try:
+            return json.loads(self.manifest_path.read_text())
+        except (OSError, json.JSONDecodeError):
+            return None
+
+    def complete(self) -> bool:
+        m = self.manifest()
+        return bool(m) and m.get("fingerprint") == self.fp
+
+    def read(self) -> Dataset:
+        return rd.read_parquet(str(self.dir))
+
+    def run(self, build: Callable[[], Dataset], metrics: dict | None = None) -> Dataset:
+        """Build-or-reuse: if a manifest with a matching fingerprint exists,
+        re-read the checkpoint; otherwise execute ``build`` into a temp dir,
+        rename atomically, and write the manifest with per-part lineage."""
+        if self.complete():
+            return self.read()
+        tmp = pathlib.Path(str(self.dir) + ".tmp")
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        if self.dir.exists():
+            shutil.rmtree(self.dir)
+        tmp.mkdir(parents=True)
+        ds = build()
+        ds.write_parquet(str(tmp))
+        parts = []
+        total_rows = 0
+        for f in sorted(tmp.glob("*.parquet")):
+            meta = pq.read_metadata(f)
+            parts.append({"file": f.name, "rows": meta.num_rows, "bytes": f.stat().st_size})
+            total_rows += meta.num_rows
+        os.replace(tmp, self.dir)
+        manifest = {
+            "stage": self.stage,
+            "fingerprint": self.fp,
+            "rows": total_rows,
+            "parts": parts,
+            "metrics": metrics or {},
+            "created_unix": int(time.time()),
+        }
+        self.manifest_path.write_text(json.dumps(manifest, indent=1))
+        return self.read()
+
+    def record_metrics(self, extra: dict) -> None:
+        m = self.manifest() or {}
+        m.setdefault("metrics", {}).update(extra)
+        self.manifest_path.write_text(json.dumps(m, indent=1))

@@ -1,0 +1,80 @@
+"""Dialogue-assembly invariants (north rule: per-turn text equality under
+stable turn ordering) + salted-skew offset stitching."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from chunksilo_ray import datagen
+from chunksilo_ray.stages.assemble import assemble_dialogues
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _reference_offsets(rows):
+    """Single-process recomputation of doc_char_start for verification."""
+    rows = sorted(rows, key=lambda r: r["turn_idx"])
+    out = {}
+    acc = 0
+    for r in rows:
+        out[r["turn_idx"]] = acc + len(r["role"]) + 2
+        acc += len(r["role"]) + 2 + len(r["text"]) + 1
+    return out
+
+
+def test_per_turn_text_equality_and_order():
+    src = datagen.generate_transcripts(3000, seed=42)
+    ds = rd.from_arrow(src)
+    out = assemble_dialogues(ds, salt_threshold=512).take_all()
+
+    # per-turn text byte-equality vs the input column
+    expected = {
+        (c, i): t
+        for c, i, t in zip(
+            src.column("conv_id").to_pylist(),
+            src.column("turn_idx").to_pylist(),
+            src.column("text").to_pylist(),
+        )
+    }
+    assert len(out) == src.num_rows
+    for r in out:
+        assert r["text"] == expected[(r["conv_id"], r["turn_idx"])]
+
+    # offsets match a single-process reassembly for a few conversations
+    by_conv: dict[str, list] = {}
+    for r in out:
+        by_conv.setdefault(r["conv_id"], []).append(r)
+    for conv_id in list(by_conv)[:10]:
+        rows = by_conv[conv_id]
+        ref = _reference_offsets(rows)
+        for r in rows:
+            assert r["doc_char_start"] == ref[r["turn_idx"]]
+        assert all(r["conv_n_turns"] == len(rows) for r in rows)
+
+
+def test_salting_stitches_giant_conversation():
+    # one conversation far above the salt threshold, shuffled input
+    n = 1500
+    rng = np.random.default_rng(7)
+    perm = rng.permutation(n)
+    t = pa.table(
+        {
+            "conv_id": pa.array(["conv-big"] * n),
+            "turn_idx": pa.array(perm.astype("int32")),
+            "role": pa.array(["user" if i % 2 == 0 else "assistant" for i in perm]),
+            "text": pa.array([f"turn text number {i}" for i in perm]),
+            "tool": pa.array([""] * n),
+            "ts": pa.array(np.arange(n)[perm], pa.timestamp("us")),
+        }
+    )
+    out = assemble_dialogues(rd.from_arrow(t), salt_threshold=128).take_all()
+    assert len(out) == n
+    assert all(r["conv_n_turns"] == n for r in out)
+    ref = _reference_offsets(
+        [{"turn_idx": i, "role": "user" if i % 2 == 0 else "assistant",
+          "text": f"turn text number {i}"} for i in range(n)]
+    )
+    for r in out:
+        assert r["doc_char_start"] == ref[r["turn_idx"]], r["turn_idx"]
