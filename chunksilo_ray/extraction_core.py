@@ -83,24 +83,48 @@ def _is_digits(tok: str) -> bool:
     return tok.isdigit()
 
 
-def scan_mentions(text: str, alias: AliasIndex) -> list[Mention]:
+_TOKEN_CACHE_CAP = 1 << 16
+
+
+def scan_mentions(
+    text: str, alias: AliasIndex, _cache: dict[str, tuple[str, ...]] | None = None
+) -> list[Mention]:
     """Greedy left-to-right longest-match mention scan (rules.py spec, rule 1).
 
     Order at each position: (a) alias n-gram, longest first; (b) ID-like —
     single token or (alpha{2,10}, digits{1,6}) bigram; (c) token with inner
     delimiters / camelCase; (d) Capitalized non-stopword token of length >= 3.
+
+    ``_cache`` is an optional {raw_token: token_tuple} memo (actor-lifetime
+    in the Ray stage) — semantically transparent, saves re-tokenizing the
+    heavy-tailed token distribution of real corpora. N-gram keys are built by
+    tuple concatenation (tokenize_surface distributes over space-joins), so
+    each raw token is tokenized at most once per scan.
     """
     raw = RAW_TOKEN_RE.findall(text)
+    n = len(raw)
+    if _cache is None:
+        tuples = [tuple(tokenize_surface(tok)) for tok in raw]
+    else:
+        if len(_cache) > _TOKEN_CACHE_CAP:
+            _cache.clear()
+        tuples = []
+        for tok in raw:
+            tt = _cache.get(tok)
+            if tt is None:
+                tt = tuple(tokenize_surface(tok))
+                _cache[tok] = tt
+            tuples.append(tt)
     out: list[Mention] = []
-    i, n = 0, len(raw)
+    i = 0
     while i < n:
         matched = False
         # (a) alias n-grams, longest first
         for k in range(min(alias.max_ngram, n - i), 0, -1):
-            surf = " ".join(raw[i : i + k])
-            key = tuple(tokenize_surface(surf))
+            key = tuples[i] if k == 1 else sum(tuples[i : i + k], ())
             hit = alias.by_tokens.get(key)
             if hit is not None:
+                surf = " ".join(raw[i : i + k])
                 eid, etype = hit
                 out.append(Mention(eid, surf, normalize_surface(surf), etype, True))
                 i += k
@@ -129,7 +153,7 @@ def scan_mentions(text: str, alias: AliasIndex) -> list[Mention]:
             i += 2
             continue
         # (c) inner delimiters / camelCase (multi-part surface)
-        parts = tokenize_surface(tok)
+        parts = tuples[i]
         if len(parts) > 1:
             norm = "-".join(parts)
             out.append(Mention(rules.UNKNOWN_PREFIX + norm, tok, norm, "unknown", False))

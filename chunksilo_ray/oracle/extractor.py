@@ -28,7 +28,9 @@ def exact_canonical_map(norms: set[str]) -> dict[str, str]:
     shingles (a superset of every pair with jaccard >= threshold for realistic
     surface lengths); verify with the shared thresholds; union-find."""
     by_shingle: dict[str, list[str]] = collections.defaultdict(list)
-    sorted_norms = sorted(norms)
+    # ID-like norms are already canonical (rules.is_id_norm) — excluded from
+    # fuzzy clustering in BOTH the oracle and the pipeline (same spec)
+    sorted_norms = sorted(n for n in norms if not rules.is_id_norm(n))
     shingle_sets = {n: rules.char_shingles(n) for n in sorted_norms}
     for n in sorted_norms:
         for sh in shingle_sets[n]:

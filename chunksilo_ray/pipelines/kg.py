@@ -27,11 +27,15 @@ import ray.data as rd
 
 from ..config import Config
 from ..stages.assemble import assemble_dialogues
-from ..stages.canon import apply_canonical_map, build_canonical_map
+from ..stages.canon import build_canonical_map
 from ..stages.chunk import chunk_turns
 from ..stages.embed import embed_chunks
-from ..stages.link import explode_mentions, explode_triples, link_extract
-from ..stages.materialize import materialize_edges, materialize_nodes
+from ..stages.link import explode_mentions, link_extract
+from ..stages.materialize import (
+    materialize_edges,
+    materialize_edges_agg,
+    materialize_nodes,
+)
 from ..state.manifest import StageCheckpoint, fingerprint, input_fingerprint
 
 
@@ -95,7 +99,7 @@ def build_kg(
         cmap = None  # type: ignore[assignment]
     if cmap is None:
         cmap = build_canonical_map(
-            explode_mentions(ext_ckpt.read()),
+            ext_ckpt.read(),  # nested extraction output read directly
             num_perm=canon_cfg["num_perm"],
             bands=canon_cfg["bands"],
             shingle_k=canon_cfg["shingle_k"],
@@ -104,22 +108,20 @@ def build_kg(
         )
         cmap_path.write_text(json.dumps({"fingerprint": cmap_fp, "map": cmap}))
 
-    # ---- stage 4: graph materialize (shuffle #3) ----------------------------
+    # ---- stage 4: graph materialize -----------------------------------------
+    # edges: shuffle-free (per-turn weights computed in the explode pass);
+    # edges_agg + nodes: partial pre-agg, then the small groupby exchange
     edges_fp = fingerprint(cmap_fp, "edges")
     edges_ckpt = StageCheckpoint(out_dir, "edges", edges_fp)
-    edges = edges_ckpt.run(
-        lambda: materialize_edges(
-            apply_canonical_map(explode_triples(ext_ckpt.read()), cmap, ["subj", "obj"])
-        )
-    )
+    edges = edges_ckpt.run(lambda: materialize_edges(ext_ckpt.read(), cmap))
+
+    edges_agg_fp = fingerprint(edges_fp, "edges_agg")
+    edges_agg_ckpt = StageCheckpoint(out_dir, "edges_agg", edges_agg_fp)
+    edges_agg = edges_agg_ckpt.run(lambda: materialize_edges_agg(edges_ckpt.read()))
 
     nodes_fp = fingerprint(cmap_fp, "nodes")
     nodes_ckpt = StageCheckpoint(out_dir, "nodes", nodes_fp)
-    nodes = nodes_ckpt.run(
-        lambda: materialize_nodes(
-            apply_canonical_map(explode_mentions(ext_ckpt.read()), cmap, ["entity_id"])
-        )
-    )
+    nodes = nodes_ckpt.run(lambda: materialize_nodes(ext_ckpt.read(), cmap))
 
     # ---- side branch: chunk + embed (the reference's chunk-and-embed core) --
     chunks = None
@@ -147,12 +149,14 @@ def build_kg(
         "turns": (asm_ckpt.manifest() or {}).get("rows"),
         "extracted_turns": (ext_ckpt.manifest() or {}).get("rows"),
         "edges": (edges_ckpt.manifest() or {}).get("rows"),
+        "edges_agg": (edges_agg_ckpt.manifest() or {}).get("rows"),
         "nodes": (nodes_ckpt.manifest() or {}).get("rows"),
         "canonical_merges": len(cmap),
     }
     edges_ckpt.record_metrics({"emitted_edges": metrics["edges"]})
     return {
         "edges": edges,
+        "edges_agg": edges_agg,
         "nodes": nodes,
         "chunks": chunks,
         "metrics": metrics,

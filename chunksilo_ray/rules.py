@@ -60,6 +60,20 @@ SHINGLE_K = 3
 JACCARD_THRESHOLD = 0.6
 COSINE_THRESHOLD = 0.90
 
+# ID-like norms ("proj-1234") are ALREADY canonical — the ID normalizer
+# (reference search.py:381-425 analog) unified their surface variants at
+# mention time. They are excluded from fuzzy canonicalization: two distinct
+# ticket numbers must never merge, and excluding them keeps LSH buckets free
+# of systematic same-prefix collisions (the skew that would otherwise
+# dominate banding at scale).
+import re as _re
+
+ID_NORM_RE = _re.compile(r"^[a-z]{2,10}-\d{1,6}$")
+
+
+def is_id_norm(norm: str) -> bool:
+    return ID_NORM_RE.match(norm) is not None
+
 
 def char_shingles(norm: str, k: int = SHINGLE_K) -> set[str]:
     """Character k-shingles of a normalized surface (padded so short strings

@@ -58,16 +58,41 @@ def _prep_batch(salt_threshold: int):
     return fn
 
 
-def _collect_multi_salt_bases(totals: Dataset) -> dict[tuple[str, int], tuple[int, int]]:
-    """From the per-(conv_id, salt) totals dataset, build
-    {(conv_id, salt): (base_char_offset, conv_total_turns)} for conversations
-    that have MORE than one salt group. Everything else defaults to (0, group
-    size) downstream. The collected set is tiny (only skew-salted convs)."""
-    big = totals.filter(lambda row: row["salt"] > 0)
-    big_conv_ids = {r["conv_id"] for r in big.take_all()}
+def _find_big_convs(prepped: Dataset, salt_threshold: int) -> set[str]:
+    """Conversations that cross the salt threshold identify themselves: they
+    are exactly the ones owning rows with salt >= 1. A vectorized filter +
+    per-batch unique leaves only O(#skew conversations x their overflow
+    rows), so no full-cardinality groupby ever runs."""
+
+    def salted_convs(t: pa.Table) -> pa.Table:
+        hit = t.filter(pc.greater_equal(t["salt"], 1))
+        return pa.table({"conv_id": pc.unique(hit["conv_id"])})
+
+    rows = prepped.map_batches(
+        salted_convs, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    return {r["conv_id"] for r in rows}
+
+
+def _collect_bases_for(
+    prepped: Dataset, big_conv_ids: set[str]
+) -> dict[tuple[str, int], tuple[int, int]]:
+    """{(conv_id, salt): (base_char_offset, conv_total_turns)} for the (few)
+    skew-salted conversations only — the totals aggregate runs on a filtered
+    stream, never over the whole input."""
     if not big_conv_ids:
         return {}
-    rows = totals.filter(lambda row: row["conv_id"] in big_conv_ids).take_all()
+
+    def keep(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t["conv_id"], value_set=pa.array(sorted(big_conv_ids)))
+        return t.filter(mask)
+
+    totals = (
+        prepped.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["conv_id", "salt"])
+        .aggregate(Sum("contrib_len", alias_name="salt_total"), Count(alias_name="n_turns"))
+    )
+    rows = totals.take_all()
     by_conv: dict[str, list] = {}
     for r in rows:
         by_conv.setdefault(r["conv_id"], []).append(r)
@@ -111,12 +136,11 @@ def assemble_dialogues(turns: Dataset, salt_threshold: int = 512) -> Dataset:
     ordered by turn_idx within each (conv_id, salt) group, with
     ``conv_n_turns`` and ``doc_char_start`` (offset of the turn text inside
     the assembled "<role>: <text>\\n" conversation document)."""
-    prepped = turns.map_batches(_prep_batch(salt_threshold), batch_format="pyarrow")
-    totals = prepped.groupby(["conv_id", "salt"]).aggregate(
-        Sum("contrib_len", alias_name="salt_total"),
-        Count(alias_name="n_turns"),
+    prepped = turns.map_batches(
+        _prep_batch(salt_threshold), batch_format="pyarrow", zero_copy_batch=True
     )
-    bases = _collect_multi_salt_bases(totals)
+    big = _find_big_convs(prepped, salt_threshold)
+    bases = _collect_bases_for(prepped, big)
     return prepped.groupby(["conv_id", "salt"]).map_groups(
         _assemble_group_fn(bases), batch_format="pyarrow"
     )

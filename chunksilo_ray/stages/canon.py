@@ -184,11 +184,26 @@ def build_canonical_map(
     """Full distributed candidate generation + verify; returns the (small)
     canonical map for the driver to broadcast. ``mentions`` is the exploded
     mention dataset (needs columns norm, known)."""
+    def _batch_distinct_unknown(t: pa.Table) -> pa.Table:
+        # batch-local dedup before the shuffle (partial-aggregate pattern);
+        # ID-like norms are excluded — already canonical (rules.is_id_norm).
+        # Accepts either flat mention rows (norm/known columns) or the nested
+        # extraction output (mentions list<struct>) — the nested path avoids
+        # materializing an exploded mention dataset just to collect norms.
+        if "mentions" in t.column_names:
+            lst = t.column("mentions")
+            if isinstance(lst, pa.ChunkedArray):
+                lst = lst.combine_chunks()
+            flat = lst.flatten()
+            norm_col = flat.field("norm").filter(pc.invert(flat.field("known")))
+        else:
+            norm_col = t.column("norm").filter(pc.invert(t.column("known")))
+        norms = pc.unique(norm_col)
+        mask = pc.invert(pc.match_substring_regex(norms, rules.ID_NORM_RE.pattern))
+        return pa.table({"norm": norms.filter(mask)})
+
     unknown = mentions.map_batches(
-        # batch-local dedup before the shuffle (partial-aggregate pattern)
-        lambda t: pa.table({"norm": pc.unique(t.column("norm").filter(pc.invert(t.column("known"))))}),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+        _batch_distinct_unknown, batch_format="pyarrow", zero_copy_batch=True
     )
     distinct = unknown.groupby("norm").aggregate(Count(alias_name="n")).select_columns(["norm"])
 

@@ -28,17 +28,30 @@ from ray.data import Dataset
 _WORD_RE = re.compile(r"[A-Za-z0-9]+")
 
 
-def bow_hash_embed(texts: list[str], dim: int = 384) -> np.ndarray:
-    """Deterministic BoW-hash embeddings, L2-normalized float32 (n, dim)."""
+_BUCKET_CACHE_CAP = 1 << 16
+
+
+def bow_hash_embed(
+    texts: list[str], dim: int = 384, _cache: dict[str, int] | None = None
+) -> np.ndarray:
+    """Deterministic BoW-hash embeddings, L2-normalized float32 (n, dim).
+    ``_cache`` memoizes word->bucket (actor-lifetime in the Ray stage)."""
     out = np.zeros((len(texts), dim), dtype=np.float32)
+    cache = _cache if _cache is not None else {}
+    if len(cache) > _BUCKET_CACHE_CAP:
+        cache.clear()
+    get = cache.get
     for i, text in enumerate(texts):
         words = _WORD_RE.findall(text.lower())
         if not words:
             continue
-        idx = np.fromiter(
-            (sum(map(ord, w)) % dim for w in words), dtype=np.int64, count=len(words)
-        )
-        np.add.at(out[i], idx, 1.0)
+        row = out[i]
+        for w in words:
+            b = get(w)
+            if b is None:
+                b = sum(map(ord, w)) % dim
+                cache[w] = b
+            row[b] += 1.0
     norms = np.linalg.norm(out, axis=1, keepdims=True)
     np.divide(out, norms, out=out, where=norms > 0)
     return out
@@ -52,7 +65,8 @@ class EmbedActor:
         self.dim = dim
         self.text_column = text_column
         if backend == "bow":
-            self._embed = lambda texts: bow_hash_embed(texts, self.dim)
+            self._bucket_cache: dict[str, int] = {}
+            self._embed = lambda texts: bow_hash_embed(texts, self.dim, self._bucket_cache)
         else:  # pragma: no cover - model backends are not baked into this env
             raise NotImplementedError(
                 f"embedding backend {backend!r}: real ONNX/transformer backends "

@@ -48,6 +48,7 @@ class LinkExtractActor:
     def __init__(self, alias_ref, max_ngram: int = 3):
         alias_table = ray.get(alias_ref)
         self.alias = AliasIndex.from_arrow(alias_table, max_ngram=max_ngram)
+        self.token_cache: dict[str, tuple[str, ...]] = {}  # actor-lifetime memo
 
     def __call__(self, t: pa.Table) -> pa.Table:
         roles = t.column("role").to_pylist()
@@ -57,7 +58,7 @@ class LinkExtractActor:
         mentions_col: list[list[dict]] = []
         triples_col: list[list[dict]] = []
         for r in range(t.num_rows):
-            ms = scan_mentions(texts[r], self.alias)
+            ms = scan_mentions(texts[r], self.alias, self.token_cache)
             ts3 = triples_for_turn(roles[r], tools[r], texts[r], ms, self.alias)
             mentions_col.append(
                 [

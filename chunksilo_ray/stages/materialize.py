@@ -1,55 +1,190 @@
-"""Graph materialize: dedupe/weight triples and mentions into Parquet-ready
-node / edge tables (SHUFFLE #3 of the pipeline, SURVEY.md §3.4).
+"""Graph materialize: canonicalize + weight triples/mentions into
+Parquet-ready node / edge tables.
 
 Output schemas (SURVEY.md §1 "Graft output tables"):
 
     edges(subj, pred, obj, conv_id, turn_idx, weight:int64)
         weight = occurrences of the triple within the turn
     nodes(entity_id, surface, canonical, type, freq:int64)
-        one row per (entity_id, surface); freq = mention count of that
-        surface; canonical = the entity id's canonical surface form
+        one row per (entity_id, surface); freq = mention count
 
-Ray Data's hash aggregation combines partial counts per block before the
-exchange, so the all-to-all moves one row per distinct key per block — not
-one row per occurrence.
+Scale design:
+
+- ``edges`` needs NO shuffle at all: a turn's triples live in one nested row
+  of the extraction output, so the per-turn weight is computed in-batch
+  during the explode, and (subj, pred, obj, conv_id, turn_idx) is unique by
+  construction. Canonical-map application happens in the same pass (the map
+  is broadcast once via ray.put).
+- ``edges_agg`` (global triple weights) and ``nodes`` DO shuffle, but only
+  after a per-batch partial aggregate (pyarrow group_by inside map_batches),
+  so the exchange moves one row per distinct key per batch — the
+  partial/combiner pattern the groupby guide prescribes for 100 TB inputs.
 """
 
 from __future__ import annotations
 
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 
 from ray.data import Dataset
-from ray.data.aggregate import Count
+from ray.data.aggregate import Sum
+
+from .. import rules
 
 
-def materialize_edges(triples: Dataset) -> Dataset:
-    """triple occurrence rows -> weighted edge rows."""
-    agg = triples.groupby(["subj", "pred", "obj", "conv_id", "turn_idx"]).aggregate(
-        Count(alias_name="weight")
+def _canonicalizer(cmap: dict[str, str]):
+    up, cp = rules.UNKNOWN_PREFIX, rules.CANONICAL_PREFIX
+
+    def canon(eid: str) -> str:
+        if eid.startswith(up):
+            norm = eid[len(up) :]
+            return cp + cmap.get(norm, norm)
+        return eid
+
+    return canon
+
+
+def _canon_array(arr: pa.Array, canon) -> pa.Array:
+    """Vectorized canonical-map application: dictionary-encode the column
+    (entity ids repeat massively), rewrite only the small dictionary in
+    Python, rebuild. O(distinct ids) python work per batch, not O(rows)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    d = arr.dictionary_encode()
+    new_dict = pa.array([canon(v) for v in d.dictionary.to_pylist()], pa.string())
+    return pa.DictionaryArray.from_arrays(d.indices, new_dict).cast(pa.string())
+
+
+class EdgeBuilder:
+    """Actor stage: nested extraction rows -> weighted per-turn edge rows.
+    Fully vectorized: Arrow list-flatten + parent-index repeat, dictionary-
+    encoded canonical rewrite, and an in-batch group_by for the per-turn
+    weights (a turn never spans batches, so the weight is exact)."""
+
+    def __init__(self, cmap_ref):
+        self.canon = _canonicalizer(ray.get(cmap_ref))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        lst = t.column("triples")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        flat = lst.flatten()
+        lengths = lst.value_lengths().to_numpy(zero_copy_only=False).astype("int64")
+        parents = pa.array(np.repeat(np.arange(len(lengths)), lengths))
+        exploded = pa.table(
+            {
+                "row": parents,
+                "subj": _canon_array(flat.field("subj"), self.canon),
+                "pred": flat.field("pred"),
+                "obj": _canon_array(flat.field("obj"), self.canon),
+            }
+        )
+        g = exploded.group_by(["row", "subj", "pred", "obj"], use_threads=False).aggregate(
+            [("row", "count")]
+        )
+        rows = g.column("row")
+        return pa.table(
+            {
+                "subj": g.column("subj"),
+                "pred": g.column("pred"),
+                "obj": g.column("obj"),
+                "conv_id": t.column("conv_id").take(rows),
+                "turn_idx": t.column("turn_idx").take(rows),
+                "weight": pa.compute.cast(g.column("row_count"), pa.int64()),
+            }
+        )
+
+
+def materialize_edges(extracted: Dataset, cmap: dict[str, str]) -> Dataset:
+    """Extraction output -> per-turn weighted edges. Shuffle-free (see module
+    docstring)."""
+    cmap_ref = ray.put(cmap)
+    return extracted.map_batches(
+        EdgeBuilder,
+        fn_constructor_args=(cmap_ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 16),
+        zero_copy_batch=True,
+    )
+
+
+def materialize_edges_agg(edges: Dataset) -> Dataset:
+    """Global triple weights: partial per-batch combine -> small shuffle
+    (SHUFFLE #3 of SURVEY.md §3.4)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["subj", "pred", "obj"]).aggregate([("weight", "sum")])
+        return g.rename_columns(["subj", "pred", "obj", "weight_sum"])
+
+    agg = (
+        edges.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["subj", "pred", "obj"])
+        .aggregate(Sum("weight_sum", alias_name="weight"))
     )
 
     def finish(t: pa.Table) -> pa.Table:
-        t = t.set_column(
+        return t.set_column(
             t.column_names.index("weight"), "weight", pc.cast(t.column("weight"), pa.int64())
         )
-        return t.select(["subj", "pred", "obj", "conv_id", "turn_idx", "weight"])
 
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def materialize_nodes(mentions: Dataset) -> Dataset:
-    """canonicalized mention rows -> node rows with per-surface frequencies."""
-    agg = mentions.groupby(["entity_id", "surface", "entity_type"]).aggregate(
-        Count(alias_name="freq")
+class NodePartial:
+    """Actor stage: nested mention rows -> per-batch partial node counts
+    (canonicalized, vectorized). The shuffle then only moves distinct keys
+    per batch — the partial/combiner pattern."""
+
+    def __init__(self, cmap_ref):
+        self.canon = _canonicalizer(ray.get(cmap_ref))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        lst = t.column("mentions")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        flat = lst.flatten()
+        exploded = pa.table(
+            {
+                "entity_id": _canon_array(flat.field("entity_id"), self.canon),
+                "surface": flat.field("surface"),
+                "entity_type": flat.field("entity_type"),
+            }
+        )
+        g = exploded.group_by(
+            ["entity_id", "surface", "entity_type"], use_threads=False
+        ).aggregate([("entity_id", "count")])
+        return pa.table(
+            {
+                "entity_id": g.column("entity_id"),
+                "surface": g.column("surface"),
+                "entity_type": g.column("entity_type"),
+                "n": pa.compute.cast(g.column("entity_id_count"), pa.int64()),
+            }
+        )
+
+
+def materialize_nodes(extracted: Dataset, cmap: dict[str, str]) -> Dataset:
+    """Extraction output -> node rows with per-surface frequencies."""
+    cmap_ref = ray.put(cmap)
+    partials = extracted.map_batches(
+        NodePartial,
+        fn_constructor_args=(cmap_ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 16),
+        zero_copy_batch=True,
+    )
+    agg = partials.groupby(["entity_id", "surface", "entity_type"]).aggregate(
+        Sum("n", alias_name="freq")
     )
 
     def finish(t: pa.Table) -> pa.Table:
-        # canonical surface = entity id past the "<kind>:" prefix
         canonical = pc.replace_substring_regex(
             t.column("entity_id"), pattern=r"^[a-z]+:", replacement=""
         )
-        out = pa.table(
+        return pa.table(
             {
                 "entity_id": t.column("entity_id"),
                 "surface": t.column("surface"),
@@ -58,6 +193,5 @@ def materialize_nodes(mentions: Dataset) -> Dataset:
                 "freq": pc.cast(t.column("freq"), pa.int64()),
             }
         )
-        return out
 
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
