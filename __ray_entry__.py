@@ -53,8 +53,24 @@ def entry() -> Any:
     return res["edges"]
 
 
+def _search_transcripts(sf_dir: str) -> Any:
+    """Reference-style retrieval over the KG pipeline's chunk table."""
+    from chunksilo_ray.pipelines.search import search_chunks
+
+    chunks = _kg_result(sf_dir)["chunks"]
+    return search_chunks(chunks, 'Did Alice update the "config.yaml"?')
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
-    from chunksilo_ray.ops import dedup, multimodal, relational, similarity, textstats
+    from chunksilo_ray.ops import (
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        text_search,
+        textstats,
+        window,
+    )
 
     q: dict[str, Callable[[str], Any]] = {
         # --- relational operator library (SURVEY.md §2.2/2.5/2.6/2.7, M9) ---
@@ -93,8 +109,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing (task brief; synthetic media, stub decode) ---
         "media_features": lambda sf_dir: multimodal.media_features(),
         "video_frames": lambda sf_dir: multimodal.video_frames(),
+        # --- stream-shaped windows over events (SQL-oracled) ---
+        "tumbling_hourly": window.tumbling_hourly,
+        "session_windows": window.session_windows,
+        "rolling_per_user": window.rolling_daily_per_user,
+        # --- text search (reference retrieval semantics) ---
+        "doc_headings": text_search.doc_headings,
+        "phrase_scan": text_search.phrase_scan,
+        "bm25_topk": text_search.bm25_topk,
+        "search_transcripts": _search_transcripts,
         # --- KG flagship pipeline outputs (non-SQL: Ray-native semantics) ---
         "kg_edges": lambda sf_dir: _kg_result(sf_dir)["edges"],
+        "kg_edges_agg": lambda sf_dir: _kg_result(sf_dir)["edges_agg"],
         "kg_nodes": lambda sf_dir: _kg_result(sf_dir)["nodes"],
         "kg_chunks": lambda sf_dir: _kg_result(sf_dir)["chunks"].drop_columns(["embedding"]),
     }
@@ -201,6 +227,44 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY text
         """,
         "distinct_text_count": "SELECT COUNT(DISTINCT text) AS n_distinct FROM documents",
+        "tumbling_hourly": """
+            SELECT user_id,
+                   (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS value_sum
+            FROM events GROUP BY 1, 2
+        """,
+        "session_windows": """
+            WITH d AS (
+              SELECT user_id, epoch_us(ts) AS ts_us, value,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                          ROWS UNBOUNDED PRECEDING) AS sid
+              FROM d
+            )
+            SELECT user_id,
+                   MIN(ts_us) AS session_start_us,
+                   MAX(ts_us) AS session_end_us,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS value_sum
+            FROM s GROUP BY user_id, sid
+        """,
+        "rolling_per_user": """
+            SELECT event_id, user_id,
+                   ROUND(SUM(value) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 4)
+                       AS running_value
+            FROM events
+        """,
+        "phrase_scan": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE lower(text) LIKE '%the data%'
+        """,
         "cosine_topk": """
             SELECT vec_id,
                    ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),

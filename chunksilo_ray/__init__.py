@@ -19,3 +19,34 @@ owns the Ray session (see /root/repo/__ray_entry__.py).
 """
 
 __version__ = "0.1.0"
+
+
+def _patch_ray_http_fs_probe() -> None:
+    """Make Ray's HTTP-filesystem probe thread-safe in aiohttp-less envs.
+
+    ray.data.datasource.path_util._is_http_filesystem does
+    ``from fsspec.implementations.http import HTTPFileSystem`` guarded only by
+    ``except ModuleNotFoundError``. Without aiohttp that import fails and is
+    retried on every call; when two driver threads resolve paths concurrently
+    (we overlap independent pipeline branches), one thread can observe the
+    partially-initialized module and get a bare ImportError ("cannot import
+    name 'HTTPFileSystem'"), which escapes the guard. Treat any ImportError
+    as "not an HTTP filesystem"."""
+    try:
+        import ray.data.datasource.path_util as _pu
+
+        _orig = _pu._is_http_filesystem
+
+        def _safe(fs):
+            try:
+                return _orig(fs)
+            except ImportError:
+                return False
+
+        if getattr(_pu._is_http_filesystem, "__name__", "") != "_safe":
+            _pu._is_http_filesystem = _safe
+    except Exception:  # pragma: no cover - ray internals moved; probe is best-effort
+        pass
+
+
+_patch_ray_http_fs_probe()

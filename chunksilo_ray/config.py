@@ -23,12 +23,12 @@ DEFAULTS: dict[str, Any] = {
         "backend": "bow",  # deterministic 384-d bag-of-words hash (test contract)
         "dim": 384,
         "batch_size": 512,  # bulk-call lever, reference index.py:1091-1124
-        "concurrency": 16,  # autoscaling pool max (min is always 1)
+        "concurrency": 0,  # 0 = size pool from cluster CPUs (util.pool_bounds)
         "num_cpus": 1,
     },
     "linking": {
         "max_ngram": 3,  # longest alias n-gram matched during the scan
-        "concurrency": 16,  # autoscaling pool max (min is always 1)
+        "concurrency": 0,  # 0 = size pool from cluster CPUs (util.pool_bounds)
         "num_cpus": 1,
         "batch_size": 2048,
     },

@@ -55,7 +55,7 @@ def exact_dedup_docs(sf_dir: str) -> Dataset:
         return t.slice(i, 1).select(["doc_id", "text_hash"])
 
     return (
-        ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(add_hash, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
         .groupby("text_hash")
         .map_groups(keep_min, batch_format="pyarrow")
     )
@@ -133,7 +133,7 @@ def minhash_dup_groups(sf_dir: str, threshold: float = 0.7) -> "pa.Table":
     import ray
 
     ds = _docs(sf_dir, ["doc_id", "text"])
-    bands = ds.map_batches(MinHashBands, batch_format="pyarrow",
+    bands = ds.map_batches(MinHashBands, batch_format="pyarrow", batch_size=None,
                            concurrency=(1, 4), zero_copy_batch=True)
     pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
         _pairs_in_bucket(), batch_format="pyarrow"
@@ -149,7 +149,7 @@ def minhash_dup_groups(sf_dir: str, threshold: float = 0.7) -> "pa.Table":
         mask = [d in need_set for d in t["doc_id"].to_pylist()]
         return t.filter(pa.array(mask, pa.bool_()))
 
-    small = ds.map_batches(grab, batch_format="pyarrow").take_all()
+    small = ds.map_batches(grab, batch_format="pyarrow", batch_size=None).take_all()
     for r in small:
         texts[r["doc_id"]] = r["text"]
     edges = []
@@ -203,7 +203,7 @@ class SimHashStage:
 
 def simhash_docs(sf_dir: str) -> Dataset:
     ds = _docs(sf_dir, ["doc_id", "text"])
-    return ds.map_batches(SimHashStage, batch_format="pyarrow", concurrency=(1, 4),
+    return ds.map_batches(SimHashStage, batch_format="pyarrow", batch_size=None, concurrency=(1, 4),
                           zero_copy_batch=True)
 
 
@@ -277,7 +277,7 @@ def embedding_near_dups(sf_dir: str, threshold: float = 0.95, planes: int = 12) 
             }
         )
 
-    bucketed = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
     def pairs(t: pa.Table) -> pa.Table:
         ids = t["vec_id"].to_pylist()

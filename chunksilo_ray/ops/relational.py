@@ -41,7 +41,7 @@ def round_columns(ds: Dataset, cols: list[str], digits: int = 4) -> Dataset:
                 )
         return t
 
-    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------
@@ -63,7 +63,7 @@ def q1_pricing_summary(sf_dir: str) -> Dataset:
         return t.append_column("revenue", rev)
 
     agg = (
-        ds.map_batches(add_revenue, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(add_revenue, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("l_quantity", alias_name="sum_qty"),
@@ -103,7 +103,7 @@ def events_value_by_type(sf_dir: str) -> Dataset:
         g = t.group_by("event_type").aggregate([("value", "sum"), ("value", "count")])
         return g.rename_columns(["event_type", "value_sum", "value_count"])
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     agg = partials.groupby("event_type").aggregate(
         Sum("value_sum", alias_name="total_value"), Sum("value_count", alias_name="n_events")
     )
@@ -115,7 +115,7 @@ def events_value_by_type(sf_dir: str) -> Dataset:
             pc.cast(t.column("n_events"), pa.int64()),
         )
 
-    return round_columns(agg.map_batches(finish, batch_format="pyarrow"), ["total_value"])
+    return round_columns(agg.map_batches(finish, batch_format="pyarrow", batch_size=None), ["total_value"])
 
 
 def orders_by_year(sf_dir: str) -> Dataset:
@@ -125,7 +125,7 @@ def orders_by_year(sf_dir: str) -> Dataset:
         return t.append_column("order_year", pc.cast(pc.year(t["o_orderdate"]), pa.int64()))
 
     agg = (
-        ds.map_batches(add_year, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(add_year, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
         .groupby("order_year")
         .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_price"))
     )
@@ -148,7 +148,7 @@ def filter_events_date_range(sf_dir: str) -> Dataset:
         return t.filter(mask)
 
     return (
-        ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(f, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
         .groupby("event_type")
         .aggregate(Count(alias_name="n"))
     )
@@ -170,7 +170,7 @@ def high_value_projection(sf_dir: str) -> Dataset:
         t = t.append_column("disc_price", disc_price)
         return t.select(["l_orderkey", "l_quantity", "disc_price"])
 
-    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
 def distinct_mktsegment(sf_dir: str) -> Dataset:
@@ -218,7 +218,7 @@ def customers_per_nation(sf_dir: str) -> Dataset:
 
     return (
         cust.map_batches(JoinNation, fn_constructor_args=(lookup_ref,),
-                         batch_format="pyarrow", concurrency=(1, 4))
+                         batch_format="pyarrow", batch_size=None, concurrency=(1, 4))
         .groupby("n_name")
         .aggregate(Count(alias_name="n_customers"))
     )
@@ -241,7 +241,7 @@ def orders_with_customer_segment(sf_dir: str) -> Dataset:
 
     joined = (
         orders.map_batches(JoinSeg, fn_constructor_args=(ref,),
-                           batch_format="pyarrow", concurrency=(1, 4))
+                           batch_format="pyarrow", batch_size=None, concurrency=(1, 4))
         .groupby("c_mktsegment")
         .aggregate(Sum("o_totalprice", alias_name="segment_revenue"),
                    Count(alias_name="n_orders"))
@@ -259,7 +259,7 @@ def customers_without_orders(sf_dir: str) -> Dataset:
         return t.filter(pc.greater(t["o_totalprice"], pa.scalar(300_000.0)))
 
     custkeys_with_orders = orders.map_batches(
-        big, batch_format="pyarrow", zero_copy_batch=True
+        big, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     ).unique("o_custkey")
     key_set_ref = ray.put(set(custkeys_with_orders))
 
@@ -273,7 +273,7 @@ def customers_without_orders(sf_dir: str) -> Dataset:
 
     cust = _pq(sf_dir, "customer", ["c_custkey", "c_name"])
     return cust.map_batches(Anti, fn_constructor_args=(key_set_ref,),
-                            batch_format="pyarrow", concurrency=(1, 4))
+                            batch_format="pyarrow", batch_size=None, concurrency=(1, 4))
 
 
 def supplier_nation_region(sf_dir: str) -> Dataset:
@@ -298,7 +298,7 @@ def supplier_nation_region(sf_dir: str) -> Dataset:
             t = t.append_column("r_name", pa.array([p[1] for p in pairs], pa.string()))
             return t.select(["s_suppkey", "s_name", "n_name", "r_name"])
 
-    return sup.map_batches(JoinNR, fn_constructor_args=(ref,), batch_format="pyarrow",
+    return sup.map_batches(JoinNR, fn_constructor_args=(ref,), batch_format="pyarrow", batch_size=None,
                            concurrency=(1, 2))
 
 
@@ -329,6 +329,6 @@ def recent_events_boosted(sf_dir: str, k: int = 20) -> Dataset:
             }
         )
 
-    return ds.map_batches(boost, batch_format="pyarrow", zero_copy_batch=True).sort(
+    return ds.map_batches(boost, batch_format="pyarrow", batch_size=None, zero_copy_batch=True).sort(
         "boosted_score", descending=True
     ).limit(k)

@@ -34,7 +34,7 @@ def query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
 
         return b.filter(pc.equal(b["vec_id"], vec_id))
 
-    rows = t.map_batches(grab, batch_format="pyarrow").take(1)
+    rows = t.map_batches(grab, batch_format="pyarrow", batch_size=None).take(1)
     return np.asarray(rows[0]["embedding"], dtype=np.float64)
 
 
@@ -68,7 +68,7 @@ def cosine_topk(sf_dir: str, vec_id: int = 0, k: int = 10) -> "pa.Table":
             )
 
     partials = _emb(sf_dir).map_batches(
-        PartialTopK, fn_constructor_args=(q_ref, k), batch_format="pyarrow",
+        PartialTopK, fn_constructor_args=(q_ref, k), batch_format="pyarrow", batch_size=None,
         concurrency=(1, 4), zero_copy_batch=True
     )
     merged = partials.sort("cosine", descending=True).limit(k)
@@ -131,7 +131,7 @@ def ivf_topk(sf_dir: str, vec_id: int = 0, k: int = 10, n_cells: int = 16, n_pro
             )
 
     partials = _emb(sf_dir).map_batches(
-        ProbeTopK, fn_constructor_args=(state_ref, k), batch_format="pyarrow",
+        ProbeTopK, fn_constructor_args=(state_ref, k), batch_format="pyarrow", batch_size=None,
         concurrency=(1, 4), zero_copy_batch=True
     )
     merged = partials.sort("cosine", descending=True).limit(k)
@@ -175,7 +175,7 @@ def label_centroids(sf_dir: str) -> Dataset:
         )
 
     return (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
         .groupby("label")
         .map_groups(merge_group, batch_format="pyarrow")
     )

@@ -51,7 +51,7 @@ def doc_token_counts(sf_dir: str) -> Dataset:
             }
         )
 
-    return ds.map_batches(g, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(g, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
 def docs_by_lang(sf_dir: str) -> Dataset:
@@ -99,7 +99,7 @@ class LangIdActor:
 
 def detect_language(sf_dir: str) -> Dataset:
     ds = _docs(sf_dir, ["doc_id", "text"])
-    return ds.map_batches(LangIdActor, batch_format="pyarrow", concurrency=(1, 4),
+    return ds.map_batches(LangIdActor, batch_format="pyarrow", batch_size=None, concurrency=(1, 4),
                           zero_copy_batch=True)
 
 
@@ -138,7 +138,7 @@ def quality_scores(sf_dir: str) -> Dataset:
             }
         )
 
-    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
 def fingerprint_docs(sf_dir: str, window: int = 64) -> Dataset:
@@ -171,4 +171,4 @@ def fingerprint_docs(sf_dir: str, window: int = 64) -> Dataset:
             }
         )
 
-    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)

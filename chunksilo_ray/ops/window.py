@@ -1,0 +1,104 @@
+"""Stream-shaped operators over the ``events`` table (ray_guide.md
+"Streaming-shaped workloads"): tumbling windows and session windows,
+implemented as groupby(key).map_groups over ts-sorted groups.
+
+Ordering assumption (documented per the guide): events of one ``user_id``
+are processed together inside one group; the group is explicitly sorted by
+``ts`` inside the UDF — global row order is never relied on. Both operators
+have exact ANSI-SQL oracles (time_bucket GROUP BY; lag()-gap session ids).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data import Dataset
+
+from .relational import round_columns
+
+HOUR_US = 3_600_000_000
+
+
+def _events(sf_dir: str, columns: list[str] | None = None) -> Dataset:
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def tumbling_hourly(sf_dir: str) -> Dataset:
+    """Hourly tumbling-window aggregate per user: count + value sum.
+    Window key is computed vectorized per batch; the aggregate is then an
+    ordinary partial-combining groupby — no per-group sorting needed for a
+    tumbling window."""
+    ds = _events(sf_dir, ["user_id", "ts", "value"])
+
+    def add_window(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        win = (ts // HOUR_US) * HOUR_US
+        return t.append_column("window_start_us", pa.array(win, pa.int64()))
+
+    from ray.data.aggregate import Count, Sum
+
+    agg = (
+        ds.map_batches(add_window, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True)
+        .groupby(["user_id", "window_start_us"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="value_sum"))
+    )
+    return round_columns(agg, ["value_sum"])
+
+
+def session_windows(sf_dir: str, gap_minutes: int = 30) -> Dataset:
+    """Session windows per user (gap > ``gap_minutes`` starts a new session):
+    returns one row per session with start/end (us), event count, value sum.
+    groupby(user).map_groups with an in-group ts sort — the canonical Ray
+    Data session-windowing shape."""
+    gap_us = gap_minutes * 60_000_000
+    ds = _events(sf_dir, ["user_id", "ts", "value"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        ts = g["ts"].astype("int64").to_numpy()
+        new_session = np.empty(len(ts), dtype=bool)
+        new_session[0] = True
+        new_session[1:] = (ts[1:] - ts[:-1]) > gap_us
+        sid = np.cumsum(new_session)
+        out = (
+            pd.DataFrame(
+                {
+                    "user_id": g["user_id"].to_numpy(),
+                    "session_idx": sid,
+                    "ts_us": ts,
+                    "value": g["value"].to_numpy(),
+                }
+            )
+            .groupby("session_idx")
+            .agg(
+                user_id=("user_id", "first"),
+                session_start_us=("ts_us", "min"),
+                session_end_us=("ts_us", "max"),
+                n_events=("ts_us", "size"),
+                value_sum=("value", "sum"),
+            )
+            .reset_index(drop=True)
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        out["value_sum"] = out["value_sum"].round(4)
+        return out[["user_id", "session_start_us", "session_end_us", "n_events", "value_sum"]]
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def rolling_daily_per_user(sf_dir: str) -> Dataset:
+    """Per-user running cumulative value ordered by ts (windowed running
+    aggregate; oracle = SUM() OVER (PARTITION BY ... ORDER BY ...))."""
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        # (ts, event_id) sort: deterministic under duplicate timestamps so
+        # the SQL window-function oracle orders identically
+        g = g.sort_values(["ts", "event_id"])
+        g["running_value"] = g["value"].cumsum().round(4)
+        return g[["event_id", "user_id", "running_value"]]
+
+    return ds.groupby("user_id").map_groups(running, batch_format="pandas")

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import pathlib
+from concurrent.futures import ThreadPoolExecutor
 
 import pyarrow.parquet as pq
 import ray
@@ -62,7 +63,8 @@ def build_kg(
     assembled = asm_ckpt.run(
         lambda: assemble_dialogues(
             rd.read_parquet(transcripts_path), salt_threshold=salt_threshold
-        )
+        ),
+        keep_in_memory=True,  # downstream consumers read pinned blocks
     )
 
     # ---- stage 2: mention detect + entity link + triple extraction ----------
@@ -74,7 +76,7 @@ def build_kg(
     def _build_extracted():
         alias_ref = ray.put(alias_table)  # broadcast once
         return link_extract(
-            asm_ckpt.read(),
+            assembled,
             alias_ref,
             max_ngram=link_cfg["max_ngram"],
             batch_size=link_cfg["batch_size"],
@@ -82,7 +84,36 @@ def build_kg(
             num_cpus=link_cfg["num_cpus"],
         )
 
-    extracted = ext_ckpt.run(_build_extracted)
+    # the chunk+embed side branch only needs the assembly checkpoint — launch
+    # it on a driver thread so its Dataset execution overlaps the extraction
+    # branch (Ray multiplexes concurrent streaming executions over the
+    # cluster; the two stages share CPUs under backpressure)
+    chunks_ckpt = None
+    chunks_future = None
+    pool = ThreadPoolExecutor(max_workers=3)
+    if with_chunks:
+        chk_cfg = cfg.section("chunking")
+        emb_cfg = cfg.section("embedding")
+        chunks_fp = fingerprint(asm_fp, "chunks", sorted(chk_cfg.items()), sorted(emb_cfg.items()))
+        chunks_ckpt = StageCheckpoint(out_dir, "chunks", chunks_fp)
+
+        def _build_chunks():
+            return embed_chunks(
+                chunk_turns(
+                    assembled,
+                    chunk_size=chk_cfg["chunk_size"],
+                    chunk_overlap=chk_cfg["chunk_overlap"],
+                ),
+                backend=emb_cfg["backend"],
+                dim=emb_cfg["dim"],
+                batch_size=emb_cfg["batch_size"],
+                concurrency=emb_cfg["concurrency"],
+                num_cpus=emb_cfg["num_cpus"],
+            )
+
+        chunks_future = pool.submit(chunks_ckpt.run, _build_chunks)
+
+    extracted = ext_ckpt.run(_build_extracted, keep_in_memory=True)
 
     # ---- stage 3: canonicalization (shuffle #2 + driver union-find) ---------
     canon_cfg = cfg.section("canon")
@@ -99,7 +130,7 @@ def build_kg(
         cmap = None  # type: ignore[assignment]
     if cmap is None:
         cmap = build_canonical_map(
-            ext_ckpt.read(),  # nested extraction output read directly
+            extracted,  # nested extraction output, pinned blocks
             num_perm=canon_cfg["num_perm"],
             bands=canon_cfg["bands"],
             shingle_k=canon_cfg["shingle_k"],
@@ -113,37 +144,26 @@ def build_kg(
     # edges_agg + nodes: partial pre-agg, then the small groupby exchange
     edges_fp = fingerprint(cmap_fp, "edges")
     edges_ckpt = StageCheckpoint(out_dir, "edges", edges_fp)
-    edges = edges_ckpt.run(lambda: materialize_edges(ext_ckpt.read(), cmap))
-
     edges_agg_fp = fingerprint(edges_fp, "edges_agg")
     edges_agg_ckpt = StageCheckpoint(out_dir, "edges_agg", edges_agg_fp)
-    edges_agg = edges_agg_ckpt.run(lambda: materialize_edges_agg(edges_ckpt.read()))
-
     nodes_fp = fingerprint(cmap_fp, "nodes")
     nodes_ckpt = StageCheckpoint(out_dir, "nodes", nodes_fp)
-    nodes = nodes_ckpt.run(lambda: materialize_nodes(ext_ckpt.read(), cmap))
 
-    # ---- side branch: chunk + embed (the reference's chunk-and-embed core) --
-    chunks = None
-    if with_chunks:
-        chk_cfg = cfg.section("chunking")
-        emb_cfg = cfg.section("embedding")
-        chunks_fp = fingerprint(asm_fp, "chunks", sorted(chk_cfg.items()), sorted(emb_cfg.items()))
-        chunks_ckpt = StageCheckpoint(out_dir, "chunks", chunks_fp)
-        chunks = chunks_ckpt.run(
-            lambda: embed_chunks(
-                chunk_turns(
-                    asm_ckpt.read(),
-                    chunk_size=chk_cfg["chunk_size"],
-                    chunk_overlap=chk_cfg["chunk_overlap"],
-                ),
-                backend=emb_cfg["backend"],
-                dim=emb_cfg["dim"],
-                batch_size=emb_cfg["batch_size"],
-                concurrency=emb_cfg["concurrency"],
-                num_cpus=emb_cfg["num_cpus"],
-            )
+    def _edges_chain():
+        e = edges_ckpt.run(
+            lambda: materialize_edges(extracted, cmap), keep_in_memory=True
         )
+        ea = edges_agg_ckpt.run(lambda: materialize_edges_agg(e))
+        return e, ea
+
+    # edges(+agg) and nodes are independent — overlap their executions
+    edges_future = pool.submit(_edges_chain)
+    nodes = nodes_ckpt.run(lambda: materialize_nodes(extracted, cmap))
+    edges, edges_agg = edges_future.result()
+
+    # ---- side branch result (launched right after assembly) ----------------
+    chunks = chunks_future.result() if chunks_future is not None else None
+    pool.shutdown(wait=True)
 
     metrics = {
         "turns": (asm_ckpt.manifest() or {}).get("rows"),

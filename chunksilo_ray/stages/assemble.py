@@ -12,11 +12,12 @@ assembly adds ordering/offset columns, it never rewrites text.
 Skew handling (north rule: "salted repartitioning"): the shuffle key is
 always ``(conv_id, salt)`` with ``salt = turn_idx // salt_threshold``; for
 ordinary conversations salt == 0 and this degenerates to a plain conv_id
-groupby. Giant conversations split into bounded sub-groups, and their global
-char offsets / turn counts are stitched with a driver-collected base-offset
-map that only contains the (few) multi-salt conversations — never one row
-per conversation, so the driver side stays O(#giant convs) at any scale.
-"""
+groupby. The whole thing is ONE shuffle execution: each group emits
+window-local offsets plus tiny helper columns (salt, group char total,
+group size); the materialized result is then scanned in-memory to find the
+(few) multi-salt conversations, their global base offsets are stitched on
+the driver, and a final vectorized patch pass fixes exactly those rows.
+No full-input pre-scan ever runs."""
 
 from __future__ import annotations
 
@@ -25,7 +26,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ray.data import Dataset
-from ray.data.aggregate import Count, Sum
 
 # assembled-turn output schema (per-turn rows, conversation-ordered within
 # each (conv_id, salt) group)
@@ -40,9 +40,11 @@ ASSEMBLED_COLUMNS = [
     "doc_char_start",
 ]
 
+_HELPER_COLUMNS = ["salt", "group_total", "group_n"]
+
 
 def _prep_batch(salt_threshold: int):
-    def fn(t: pa.Table) -> pa.Table:
+    def prep(t: pa.Table) -> pa.Table:
         salt = pc.cast(
             pc.floor(pc.divide(pc.cast(t["turn_idx"], pa.float64()), salt_threshold)),
             pa.int32(),
@@ -55,80 +57,117 @@ def _prep_batch(salt_threshold: int):
         t = t.append_column("salt", salt)
         return t.append_column("contrib_len", pc.cast(contrib, pa.int64()))
 
-    return fn
+    return prep
 
 
-def _find_big_convs(prepped: Dataset, salt_threshold: int) -> set[str]:
-    """Conversations that cross the salt threshold identify themselves: they
-    are exactly the ones owning rows with salt >= 1. A vectorized filter +
-    per-batch unique leaves only O(#skew conversations x their overflow
-    rows), so no full-cardinality groupby ever runs."""
+def _assemble_group(t: pa.Table) -> pa.Table:
+    """Sort one (conv_id, salt) group by turn_idx; emit window-LOCAL char
+    offsets plus the helper columns the post-pass stitches from.
+    Group-internal order is NOT guaranteed by Ray (SURVEY.md §7.4) — always
+    sorts explicitly."""
+    order = pc.sort_indices(t, sort_keys=[("turn_idx", "ascending")])
+    t = t.take(order)
+    contrib = t.column("contrib_len").to_numpy(zero_copy_only=False)
+    role_len = pc.utf8_length(t["role"]).to_numpy(zero_copy_only=False)
+    starts = np.concatenate(([0], np.cumsum(contrib[:-1]))) + role_len + 2
+    n = t.num_rows
+    t = t.append_column("conv_n_turns", pa.array(np.full(n, n, dtype=np.int32)))
+    t = t.append_column("doc_char_start", pa.array(starts, pa.int64()))
+    t = t.append_column("group_total", pa.array(np.full(n, int(contrib.sum())), pa.int64()))
+    t = t.append_column("group_n", pa.array(np.full(n, n, dtype=np.int32)))
+    return t.select(ASSEMBLED_COLUMNS[:-2] + ["salt", "conv_n_turns", "doc_char_start", "group_total", "group_n"])
 
-    def salted_convs(t: pa.Table) -> pa.Table:
+
+def _collect_bases(assembled_local: Dataset) -> dict[tuple[str, int], tuple[int, int]]:
+    """{(conv_id, salt): (base_char_offset, conv_total_turns)} for multi-salt
+    conversations, computed from the pinned assembled blocks: rows with
+    salt >= 1 identify the skewed conversations; one distinct
+    (conv, salt, group_total, group_n) row per group reaches the driver."""
+
+    def salted_groups(t: pa.Table) -> pa.Table:
         hit = t.filter(pc.greater_equal(t["salt"], 1))
-        return pa.table({"conv_id": pc.unique(hit["conv_id"])})
+        if hit.num_rows == 0:
+            return pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "salt": pa.array([], pa.int32()),
+                    "group_total": pa.array([], pa.int64()),
+                    "group_n": pa.array([], pa.int32()),
+                }
+            )
+        g = hit.group_by(["conv_id", "salt", "group_total", "group_n"], use_threads=False)
+        out = g.aggregate([])
+        return out
 
-    rows = prepped.map_batches(
-        salted_convs, batch_format="pyarrow", zero_copy_batch=True
+    big_rows = assembled_local.map_batches(
+        salted_groups, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     ).take_all()
-    return {r["conv_id"] for r in rows}
-
-
-def _collect_bases_for(
-    prepped: Dataset, big_conv_ids: set[str]
-) -> dict[tuple[str, int], tuple[int, int]]:
-    """{(conv_id, salt): (base_char_offset, conv_total_turns)} for the (few)
-    skew-salted conversations only — the totals aggregate runs on a filtered
-    stream, never over the whole input."""
-    if not big_conv_ids:
+    if not big_rows:
         return {}
+    big_convs = {r["conv_id"] for r in big_rows}
 
-    def keep(t: pa.Table) -> pa.Table:
-        mask = pc.is_in(t["conv_id"], value_set=pa.array(sorted(big_conv_ids)))
-        return t.filter(mask)
+    # need the salt-0 groups of those conversations too
+    def groups_of_big(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t["conv_id"], value_set=pa.array(sorted(big_convs)))
+        hit = t.filter(mask)
+        if hit.num_rows == 0:
+            return pa.table(
+                {
+                    "conv_id": pa.array([], pa.string()),
+                    "salt": pa.array([], pa.int32()),
+                    "group_total": pa.array([], pa.int64()),
+                    "group_n": pa.array([], pa.int32()),
+                }
+            )
+        return hit.group_by(
+            ["conv_id", "salt", "group_total", "group_n"], use_threads=False
+        ).aggregate([])
 
-    totals = (
-        prepped.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["conv_id", "salt"])
-        .aggregate(Sum("contrib_len", alias_name="salt_total"), Count(alias_name="n_turns"))
-    )
-    rows = totals.take_all()
-    by_conv: dict[str, list] = {}
+    rows = assembled_local.map_batches(
+        groups_of_big, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).take_all()
+    by_conv: dict[str, dict[int, tuple[int, int]]] = {}
     for r in rows:
-        by_conv.setdefault(r["conv_id"], []).append(r)
+        by_conv.setdefault(r["conv_id"], {})[r["salt"]] = (r["group_total"], r["group_n"])
     bases: dict[tuple[str, int], tuple[int, int]] = {}
-    for conv_id, grp in by_conv.items():
-        grp.sort(key=lambda r: r["salt"])
-        total_turns = sum(r["n_turns"] for r in grp)
+    for conv_id, groups in by_conv.items():
+        total_turns = sum(n for _, n in groups.values())
         acc = 0
-        for r in grp:
-            bases[(conv_id, r["salt"])] = (acc, total_turns)
-            acc += r["salt_total"]
+        for salt in sorted(groups):
+            bases[(conv_id, salt)] = (acc, total_turns)
+            acc += groups[salt][0]
     return bases
 
 
-def _assemble_group_fn(bases: dict[tuple[str, int], tuple[int, int]]):
-    """map_groups fn factory: sort one (conv_id, salt) group by turn_idx and
-    compute global char offsets. Group-internal order is NOT guaranteed by
-    Ray (SURVEY.md §7.4) — always sorts explicitly. ``bases`` is tiny (only
-    skew-salted conversations), so closure capture is cheap."""
+def _patch_fn(bases: dict[tuple[str, int], tuple[int, int]]):
+    big_convs = {c for c, _ in bases}
 
-    def assemble_group(t: pa.Table) -> pa.Table:
-        order = pc.sort_indices(t, sort_keys=[("turn_idx", "ascending")])
-        t = t.take(order)
-        conv_id = t.column("conv_id")[0].as_py()
-        salt = t.column("salt")[0].as_py()
-        base, total_turns = bases.get((conv_id, salt), (0, t.num_rows))
-        contrib = t.column("contrib_len").to_numpy(zero_copy_only=False)
-        role_len = pc.utf8_length(t["role"]).to_numpy(zero_copy_only=False)
-        starts = base + np.concatenate(([0], np.cumsum(contrib[:-1]))) + role_len + 2
-        t = t.append_column(
-            "conv_n_turns", pa.array(np.full(t.num_rows, total_turns, dtype=np.int32))
-        )
-        t = t.append_column("doc_char_start", pa.array(starts, pa.int64()))
+    def patch(t: pa.Table) -> pa.Table:
+        if big_convs:
+            mask = pc.is_in(t["conv_id"], value_set=pa.array(sorted(big_convs)))
+            if pc.any(mask).as_py():
+                conv_ids = t["conv_id"].to_pylist()
+                salts = t["salt"].to_pylist()
+                starts = t["doc_char_start"].to_numpy(zero_copy_only=False).copy()
+                n_turns = t["conv_n_turns"].to_numpy(zero_copy_only=False).copy()
+                m = mask.to_numpy(zero_copy_only=False)
+                for i in np.flatnonzero(m):
+                    base, total = bases[(conv_ids[i], salts[i])]
+                    starts[i] += base
+                    n_turns[i] = total
+                t = t.set_column(
+                    t.column_names.index("doc_char_start"),
+                    "doc_char_start",
+                    pa.array(starts, pa.int64()),
+                )
+                t = t.set_column(
+                    t.column_names.index("conv_n_turns"),
+                    "conv_n_turns",
+                    pa.array(n_turns.astype(np.int32)),
+                )
         return t.select(ASSEMBLED_COLUMNS)
 
-    return assemble_group
+    return patch
 
 
 def assemble_dialogues(turns: Dataset, salt_threshold: int = 512) -> Dataset:
@@ -137,10 +176,16 @@ def assemble_dialogues(turns: Dataset, salt_threshold: int = 512) -> Dataset:
     ``conv_n_turns`` and ``doc_char_start`` (offset of the turn text inside
     the assembled "<role>: <text>\\n" conversation document)."""
     prepped = turns.map_batches(
-        _prep_batch(salt_threshold), batch_format="pyarrow", zero_copy_batch=True
+        _prep_batch(salt_threshold), batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
     )
-    big = _find_big_convs(prepped, salt_threshold)
-    bases = _collect_bases_for(prepped, big)
-    return prepped.groupby(["conv_id", "salt"]).map_groups(
-        _assemble_group_fn(bases), batch_format="pyarrow"
+    local = prepped.groupby(["conv_id", "salt"]).map_groups(
+        _assemble_group, batch_format="pyarrow"
+    )
+    # ONE execution materializes the shuffle; skew stitching reads only the
+    # pinned blocks (cheap) and patches only the skewed conversations' rows
+    local = local.materialize()
+    bases = _collect_bases(local)
+    return local.map_batches(
+        _patch_fn(bases), batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )

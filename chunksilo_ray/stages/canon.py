@@ -203,7 +203,7 @@ def build_canonical_map(
         return pa.table({"norm": norms.filter(mask)})
 
     unknown = mentions.map_batches(
-        _batch_distinct_unknown, batch_format="pyarrow", zero_copy_batch=True
+        _batch_distinct_unknown, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
     distinct = unknown.groupby("norm").aggregate(Count(alias_name="n")).select_columns(["norm"])
 
@@ -252,7 +252,7 @@ def apply_canonical_map(ds: Dataset, cmap: dict[str, str], columns: list[str]) -
     return ds.map_batches(
         Rewrite,
         fn_constructor_args=(cmap_ref,),
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
         concurrency=(1, 8),
         zero_copy_batch=True,
     )

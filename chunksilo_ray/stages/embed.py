@@ -87,10 +87,11 @@ def embed_chunks(
     concurrency: int | tuple[int, int] = 4,
     num_cpus: float = 1,
 ) -> Dataset:
-    # an int means "up to N actors": autoscale from 1 so the pool never
-    # reserves every CPU up front and starves the read/write stages
+    # cluster-sized autoscaling pool (see link.py rationale); 0 = pure auto
     if isinstance(concurrency, int):
-        concurrency = (1, concurrency)
+        from ..util import pool_bounds
+
+        concurrency = pool_bounds(concurrency if concurrency > 0 else None, num_cpus)
     return chunks.map_batches(
         EmbedActor,
         fn_constructor_kwargs={"backend": backend, "dim": dim},

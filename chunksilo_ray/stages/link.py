@@ -89,10 +89,14 @@ def link_extract(
     concurrency: int | tuple[int, int] = 4,
     num_cpus: float = 1,
 ) -> Dataset:
-    # autoscale from 1 actor — a fixed-size pool that reserves every CPU
-    # deadlocks small sessions and starves sibling stages on big ones
+    # cluster-sized autoscaling pool: an int cap becomes (max//2, max) bounded
+    # by available CPUs — never reserves every CPU (deadlock on small
+    # sessions), never idles the cluster waiting on the autoscaler ramp.
+    # concurrency=0 (config default) means "size purely from the cluster".
     if isinstance(concurrency, int):
-        concurrency = (1, concurrency)
+        from ..util import pool_bounds
+
+        concurrency = pool_bounds(concurrency if concurrency > 0 else None, num_cpus)
     return turns.map_batches(
         LinkExtractActor,
         fn_constructor_kwargs={"alias_ref": alias_ref, "max_ngram": max_ngram},
@@ -130,7 +134,7 @@ def explode_triples(extracted: Dataset) -> Dataset:
             }
         )
 
-    return extracted.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return extracted.map_batches(fn, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
 def explode_mentions(extracted: Dataset) -> Dataset:
@@ -158,4 +162,4 @@ def explode_mentions(extracted: Dataset) -> Dataset:
             }
         )
 
-    return extracted.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return extracted.map_batches(fn, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)

@@ -33,6 +33,25 @@ from ray.data.aggregate import Sum
 from .. import rules
 
 
+# worker-global cache: the canonical map is broadcast once via ray.put; each
+# (reused) task worker fetches + deserializes it once, then every task on
+# that worker hits the cache. Stateless tasks + warm workers beat an actor
+# pool here: the per-stage actor-process startup cost disappears and the
+# stage scales to every free CPU instantly.
+_CMAP_CACHE: dict[str, "dict[str, str]"] = {}
+
+
+def _cached_cmap(cmap_ref) -> dict[str, str]:
+    key = cmap_ref.hex()
+    got = _CMAP_CACHE.get(key)
+    if got is None:
+        if len(_CMAP_CACHE) > 4:
+            _CMAP_CACHE.clear()
+        got = ray.get(cmap_ref)
+        _CMAP_CACHE[key] = got
+    return got
+
+
 def _canonicalizer(cmap: dict[str, str]):
     up, cp = rules.UNKNOWN_PREFIX, rules.CANONICAL_PREFIX
 
@@ -56,18 +75,16 @@ def _canon_array(arr: pa.Array, canon) -> pa.Array:
     return pa.DictionaryArray.from_arrays(d.indices, new_dict).cast(pa.string())
 
 
-class EdgeBuilder:
-    """Actor stage: nested extraction rows -> weighted per-turn edge rows.
-    Fully vectorized: Arrow list-flatten + parent-index repeat, dictionary-
-    encoded canonical rewrite, and an in-batch group_by for the per-turn
-    weights (a turn never spans batches, so the weight is exact)."""
+def _edge_builder(cmap_ref):
+    """Stateless task fn: nested extraction rows -> weighted per-turn edge
+    rows. Fully vectorized: Arrow list-flatten + parent-index repeat,
+    dictionary-encoded canonical rewrite, and an in-batch group_by for the
+    per-turn weights (a turn never spans batches, so the weight is exact)."""
 
-    def __init__(self, cmap_ref):
-        self.canon = _canonicalizer(ray.get(cmap_ref))
-
-    def __call__(self, t: pa.Table) -> pa.Table:
+    def build_edges(t: pa.Table) -> pa.Table:
         import numpy as np
 
+        canon = _canonicalizer(_cached_cmap(cmap_ref))
         lst = t.column("triples")
         if isinstance(lst, pa.ChunkedArray):
             lst = lst.combine_chunks()
@@ -77,9 +94,9 @@ class EdgeBuilder:
         exploded = pa.table(
             {
                 "row": parents,
-                "subj": _canon_array(flat.field("subj"), self.canon),
+                "subj": _canon_array(flat.field("subj"), canon),
                 "pred": flat.field("pred"),
-                "obj": _canon_array(flat.field("obj"), self.canon),
+                "obj": _canon_array(flat.field("obj"), canon),
             }
         )
         g = exploded.group_by(["row", "subj", "pred", "obj"], use_threads=False).aggregate(
@@ -97,16 +114,16 @@ class EdgeBuilder:
             }
         )
 
+    return build_edges
+
 
 def materialize_edges(extracted: Dataset, cmap: dict[str, str]) -> Dataset:
     """Extraction output -> per-turn weighted edges. Shuffle-free (see module
     docstring)."""
     cmap_ref = ray.put(cmap)
     return extracted.map_batches(
-        EdgeBuilder,
-        fn_constructor_args=(cmap_ref,),
-        batch_format="pyarrow",
-        concurrency=(1, 16),
+        _edge_builder(cmap_ref),
+        batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
     )
 
@@ -120,7 +137,7 @@ def materialize_edges_agg(edges: Dataset) -> Dataset:
         return g.rename_columns(["subj", "pred", "obj", "weight_sum"])
 
     agg = (
-        edges.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        edges.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
         .groupby(["subj", "pred", "obj"])
         .aggregate(Sum("weight_sum", alias_name="weight"))
     )
@@ -130,25 +147,23 @@ def materialize_edges_agg(edges: Dataset) -> Dataset:
             t.column_names.index("weight"), "weight", pc.cast(t.column("weight"), pa.int64())
         )
 
-    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
-class NodePartial:
-    """Actor stage: nested mention rows -> per-batch partial node counts
-    (canonicalized, vectorized). The shuffle then only moves distinct keys
-    per batch — the partial/combiner pattern."""
+def _node_partial(cmap_ref):
+    """Stateless task fn: nested mention rows -> per-batch partial node
+    counts (canonicalized, vectorized). The shuffle then only moves distinct
+    keys per batch — the partial/combiner pattern."""
 
-    def __init__(self, cmap_ref):
-        self.canon = _canonicalizer(ray.get(cmap_ref))
-
-    def __call__(self, t: pa.Table) -> pa.Table:
+    def node_partial(t: pa.Table) -> pa.Table:
+        canon = _canonicalizer(_cached_cmap(cmap_ref))
         lst = t.column("mentions")
         if isinstance(lst, pa.ChunkedArray):
             lst = lst.combine_chunks()
         flat = lst.flatten()
         exploded = pa.table(
             {
-                "entity_id": _canon_array(flat.field("entity_id"), self.canon),
+                "entity_id": _canon_array(flat.field("entity_id"), canon),
                 "surface": flat.field("surface"),
                 "entity_type": flat.field("entity_type"),
             }
@@ -165,15 +180,15 @@ class NodePartial:
             }
         )
 
+    return node_partial
+
 
 def materialize_nodes(extracted: Dataset, cmap: dict[str, str]) -> Dataset:
     """Extraction output -> node rows with per-surface frequencies."""
     cmap_ref = ray.put(cmap)
     partials = extracted.map_batches(
-        NodePartial,
-        fn_constructor_args=(cmap_ref,),
-        batch_format="pyarrow",
-        concurrency=(1, 16),
+        _node_partial(cmap_ref),
+        batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
     )
     agg = partials.groupby(["entity_id", "surface", "entity_type"]).aggregate(
@@ -194,4 +209,4 @@ def materialize_nodes(extracted: Dataset, cmap: dict[str, str]) -> Dataset:
             }
         )
 
-    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)

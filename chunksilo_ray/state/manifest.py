@@ -56,6 +56,12 @@ def input_fingerprint(path: str) -> str:
     return fingerprint(entries)
 
 
+# target rows per checkpoint part file: big enough that re-read planning
+# (driver-side metadata sampling is per-file) stays cheap, small enough that
+# partition-level resume skips meaningful units
+MIN_ROWS_PER_FILE = 250_000
+
+
 class StageCheckpoint:
     """One materialized stage = one directory of Parquet parts + manifest."""
 
@@ -80,10 +86,22 @@ class StageCheckpoint:
     def read(self) -> Dataset:
         return rd.read_parquet(str(self.dir))
 
-    def run(self, build: Callable[[], Dataset], metrics: dict | None = None) -> Dataset:
+    def run(
+        self,
+        build: Callable[[], Dataset],
+        metrics: dict | None = None,
+        keep_in_memory: bool = False,
+    ) -> Dataset:
         """Build-or-reuse: if a manifest with a matching fingerprint exists,
         re-read the checkpoint; otherwise execute ``build`` into a temp dir,
-        rename atomically, and write the manifest with per-part lineage."""
+        rename atomically, and write the manifest with per-part lineage.
+
+        ``keep_in_memory=True``: materialize the stage in the object store
+        first, write the Parquet checkpoint FROM the pinned blocks, and hand
+        the materialized dataset to downstream consumers — they skip the
+        re-read + re-planning entirely, while a restarted job still resumes
+        from the on-disk checkpoint. (Under memory pressure Ray spills the
+        pinned blocks; the checkpoint is the durable copy either way.)"""
         if self.complete():
             return self.read()
         tmp = pathlib.Path(str(self.dir) + ".tmp")
@@ -93,7 +111,9 @@ class StageCheckpoint:
             shutil.rmtree(self.dir)
         tmp.mkdir(parents=True)
         ds = build()
-        ds.write_parquet(str(tmp))
+        if keep_in_memory:
+            ds = ds.materialize()
+        ds.write_parquet(str(tmp), min_rows_per_file=MIN_ROWS_PER_FILE)
         parts = []
         total_rows = 0
         for f in sorted(tmp.glob("*.parquet")):
@@ -110,7 +130,7 @@ class StageCheckpoint:
             "created_unix": int(time.time()),
         }
         self.manifest_path.write_text(json.dumps(manifest, indent=1))
-        return self.read()
+        return ds if keep_in_memory else self.read()
 
     def record_metrics(self, extra: dict) -> None:
         m = self.manifest() or {}
