@@ -1,0 +1,119 @@
+"""CLI entry points — the user surface of the engine (reference analog:
+``chunksilo --build-index`` / ``chunksilo "query"``, reference
+src/chunksilo/cli.py:85-110).
+
+    python -m chunksilo_ray build  --input transcripts.parquet \
+        --alias alias_index.parquet --out /tmp/kg_out [--config cfg.yaml]
+    python -m chunksilo_ray search --out /tmp/kg_out "query text" \
+        [--date-from YYYY-MM-DD] [--date-to YYYY-MM-DD]
+    python -m chunksilo_ray dump-defaults
+
+The CLI owns its Ray session (guarded init, shutdown at exit) — the library
+never does (driver contract)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_build(args) -> int:
+    from .config import Config
+    from .pipelines.kg import build_kg
+
+    cfg = Config.from_yaml(args.config) if args.config else None
+    ray = _ray_session()
+    try:
+        res = build_kg(args.input, args.alias, args.out, cfg=cfg, with_chunks=True)
+        print(json.dumps(res["metrics"]))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+def cmd_search(args) -> int:
+    import ray.data as rd
+
+    from .config import Config
+    from .pipelines.search import search_chunks
+
+    cfg = Config.from_yaml(args.config) if args.config else None
+    ray = _ray_session()
+    try:
+        chunks = rd.read_parquet(f"{args.out}/chunks")
+        results = search_chunks(
+            chunks, args.query, date_from=args.date_from, date_to=args.date_to, cfg=cfg
+        ).take_all()
+        for r in results:
+            print(
+                json.dumps(
+                    {
+                        "score": r["score"],
+                        "uri": r["uri"],
+                        "heading_path": r["heading_path"],
+                        "text": r["text"],
+                    }
+                )
+            )
+    finally:
+        ray.shutdown()
+    return 0
+
+
+def cmd_dump_defaults(_args) -> int:
+    from .config import DEFAULTS
+
+    try:
+        import yaml
+
+        print(yaml.safe_dump(DEFAULTS, sort_keys=True))
+    except ImportError:  # pragma: no cover
+        print(json.dumps(DEFAULTS, indent=2, sort_keys=True))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="chunksilo_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="run the KG-construction pipeline")
+    b.add_argument("--input", required=True, help="transcripts parquet file/dir")
+    b.add_argument("--alias", required=True, help="alias_index parquet")
+    b.add_argument("--out", required=True, help="output/checkpoint directory")
+    b.add_argument("--config", default=None, help="YAML config (deep-merged over defaults)")
+    b.set_defaults(fn=cmd_build)
+
+    s = sub.add_parser("search", help="search the built chunks table")
+    s.add_argument("--out", required=True, help="pipeline output directory (contains chunks/)")
+    s.add_argument("query")
+    s.add_argument("--date-from", default=None)
+    s.add_argument("--date-to", default=None)
+    s.add_argument("--config", default=None)
+    s.set_defaults(fn=cmd_search)
+
+    d = sub.add_parser("dump-defaults", help="print the default config as YAML")
+    d.set_defaults(fn=cmd_dump_defaults)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

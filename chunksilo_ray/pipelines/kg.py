@@ -54,7 +54,17 @@ def build_kg(
     out = pathlib.Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
 
+    # explicit block-size control (north rule: target_max_block_size for
+    # wide rows / very long conversations)
+    tmbs = cfg.get("runtime.target_max_block_size")
+    if tmbs:
+        rd.DataContext.get_current().target_max_block_size = int(tmbs)
+
     in_fp = fingerprint(input_fingerprint(transcripts_path), input_fingerprint(alias_path))
+
+    # background checkpoint writer: disk-bound durable copies run OFF the
+    # critical path; all futures are awaited before metrics/return
+    writer = ThreadPoolExecutor(max_workers=2)
 
     # ---- stage 1: assembly (shuffle #1) -------------------------------------
     salt_threshold = cfg.get("assembly.salt_threshold")
@@ -65,6 +75,7 @@ def build_kg(
             rd.read_parquet(transcripts_path), salt_threshold=salt_threshold
         ),
         keep_in_memory=True,  # downstream consumers read pinned blocks
+        write_executor=writer,
     )
 
     # ---- stage 2: mention detect + entity link + triple extraction ----------
@@ -113,7 +124,7 @@ def build_kg(
 
         chunks_future = pool.submit(chunks_ckpt.run, _build_chunks)
 
-    extracted = ext_ckpt.run(_build_extracted, keep_in_memory=True)
+    extracted = ext_ckpt.run(_build_extracted, keep_in_memory=True, write_executor=writer)
 
     # ---- stage 3: canonicalization (shuffle #2 + driver union-find) ---------
     canon_cfg = cfg.section("canon")
@@ -151,7 +162,9 @@ def build_kg(
 
     def _edges_chain():
         e = edges_ckpt.run(
-            lambda: materialize_edges(extracted, cmap), keep_in_memory=True
+            lambda: materialize_edges(extracted, cmap),
+            keep_in_memory=True,
+            write_executor=writer,
         )
         ea = edges_agg_ckpt.run(lambda: materialize_edges_agg(e))
         return e, ea
@@ -164,6 +177,14 @@ def build_kg(
     # ---- side branch result (launched right after assembly) ----------------
     chunks = chunks_future.result() if chunks_future is not None else None
     pool.shutdown(wait=True)
+
+    # durability barrier: all background checkpoint writes must land before
+    # metrics read the manifests / the call returns resumable state
+    for ck in (asm_ckpt, ext_ckpt, edges_ckpt):
+        fut = getattr(ck, "write_future", None)
+        if fut is not None:
+            fut.result()
+    writer.shutdown(wait=True)
 
     metrics = {
         "turns": (asm_ckpt.manifest() or {}).get("rows"),

@@ -29,6 +29,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
+import ray.data as rd
 
 from ray.data import Dataset
 from ray.data.aggregate import Count
@@ -180,6 +181,7 @@ def build_canonical_map(
     shingle_k: int = rules.SHINGLE_K,
     max_group: int = 256,
     max_pairs: int = 2_000_000,
+    driver_threshold: int = 200_000,
 ) -> dict[str, str]:
     """Full distributed candidate generation + verify; returns the (small)
     canonical map for the driver to broadcast. ``mentions`` is the exploded
@@ -205,8 +207,22 @@ def build_canonical_map(
     unknown = mentions.map_batches(
         _batch_distinct_unknown, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
-    distinct = unknown.groupby("norm").aggregate(Count(alias_name="n")).select_columns(["norm"])
 
+    # collect the distinct norms: per-batch uniques stream to the driver and
+    # union into a set. With ID-like norms excluded, the distinct-surface
+    # vocabulary is tiny relative to the corpus (it grows with the ENTITY
+    # vocabulary, not the row count).
+    norms: set[str] = set()
+    for b in unknown.iter_batches(batch_format="pyarrow"):
+        norms.update(b["norm"].to_pylist())
+
+    if len(norms) <= driver_threshold:
+        # fast path: banding + verify locally — same algorithm, no extra
+        # distributed execution on the critical path
+        return _driver_lsh_map(sorted(norms), num_perm, bands, shingle_k, max_group)
+
+    # scale path: distribute banding + candidate pairing + verification
+    distinct = rd.from_items([{"norm": n} for n in sorted(norms)])
     bands_ds = distinct.map_batches(
         _BandRows(num_perm, bands, shingle_k), batch_format="pyarrow", batch_size=8192
     )
@@ -221,6 +237,38 @@ def build_canonical_map(
     if len(edge_rows) >= max_pairs:
         logger.warning("canonical edge list hit max_pairs=%d cap", max_pairs)
     edges = sorted({(r["a"], r["b"]) for r in edge_rows})
+    return canonical_map_from_edges(edges)
+
+
+def _driver_lsh_map(
+    norms: list[str], num_perm: int, bands: int, shingle_k: int, max_group: int
+) -> dict[str, str]:
+    """Single-process LSH banding + verify over a small distinct-norm set —
+    identical algorithm/parameters to the distributed path."""
+    br = _BandRows(num_perm, bands, shingle_k)
+    buckets: dict[tuple[int, int], list[str]] = {}
+    for norm in norms:
+        sig = minhash_signature(norm, br.a, br.b, shingle_k)
+        for bi in range(br.bands):
+            h = zlib.crc32(sig[bi * br.rows_per_band : (bi + 1) * br.rows_per_band].tobytes())
+            buckets.setdefault((bi, h), []).append(norm)
+    seen: set[tuple[str, str]] = set()
+    edges: list[tuple[str, str]] = []
+    for members in buckets.values():
+        if len(members) < 2:
+            continue
+        ms = sorted(set(members))
+        if len(ms) > max_group:
+            logger.warning("LSH bucket capped: %d norms > max_group=%d", len(ms), max_group)
+            ms = ms[:max_group]
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                pair = (ms[i], ms[j])
+                if pair in seen:
+                    continue
+                seen.add(pair)
+                if verify_pair(*pair):
+                    edges.append(pair)
     return canonical_map_from_edges(edges)
 
 

@@ -86,33 +86,16 @@ class StageCheckpoint:
     def read(self) -> Dataset:
         return rd.read_parquet(str(self.dir))
 
-    def run(
-        self,
-        build: Callable[[], Dataset],
-        metrics: dict | None = None,
-        keep_in_memory: bool = False,
-    ) -> Dataset:
-        """Build-or-reuse: if a manifest with a matching fingerprint exists,
-        re-read the checkpoint; otherwise execute ``build`` into a temp dir,
-        rename atomically, and write the manifest with per-part lineage.
-
-        ``keep_in_memory=True``: materialize the stage in the object store
-        first, write the Parquet checkpoint FROM the pinned blocks, and hand
-        the materialized dataset to downstream consumers — they skip the
-        re-read + re-planning entirely, while a restarted job still resumes
-        from the on-disk checkpoint. (Under memory pressure Ray spills the
-        pinned blocks; the checkpoint is the durable copy either way.)"""
-        if self.complete():
-            return self.read()
+    def _write_checkpoint(self, ds: Dataset, metrics: dict | None) -> None:
+        """Write Parquet parts to a temp dir, rename atomically, record the
+        manifest. Until the manifest lands, the stage reads as incomplete —
+        a crash mid-write simply reruns the stage."""
         tmp = pathlib.Path(str(self.dir) + ".tmp")
         if tmp.exists():
             shutil.rmtree(tmp)
         if self.dir.exists():
             shutil.rmtree(self.dir)
         tmp.mkdir(parents=True)
-        ds = build()
-        if keep_in_memory:
-            ds = ds.materialize()
         ds.write_parquet(str(tmp), min_rows_per_file=MIN_ROWS_PER_FILE)
         parts = []
         total_rows = 0
@@ -130,7 +113,42 @@ class StageCheckpoint:
             "created_unix": int(time.time()),
         }
         self.manifest_path.write_text(json.dumps(manifest, indent=1))
-        return ds if keep_in_memory else self.read()
+
+    def run(
+        self,
+        build: Callable[[], Dataset],
+        metrics: dict | None = None,
+        keep_in_memory: bool = False,
+        write_executor=None,
+    ) -> Dataset:
+        """Build-or-reuse: if a manifest with a matching fingerprint exists,
+        re-read the checkpoint; otherwise execute ``build`` into a temp dir,
+        rename atomically, and write the manifest with per-part lineage.
+
+        ``keep_in_memory=True``: materialize the stage in the object store
+        first, write the Parquet checkpoint FROM the pinned blocks, and hand
+        the materialized dataset to downstream consumers — they skip the
+        re-read + re-planning entirely, while a restarted job still resumes
+        from the on-disk checkpoint. (Under memory pressure Ray spills the
+        pinned blocks; the checkpoint is the durable copy either way.)
+
+        ``write_executor`` (requires keep_in_memory): a ThreadPoolExecutor —
+        the disk-bound checkpoint write runs in the background, OFF the
+        pipeline's critical path; ``self.write_future`` resolves when the
+        durable copy + manifest exist. Downstream compute overlaps the IO."""
+        self.write_future = None
+        if self.complete():
+            return self.read()
+        ds = build()
+        if keep_in_memory:
+            ds = ds.materialize()
+            if write_executor is not None:
+                self.write_future = write_executor.submit(self._write_checkpoint, ds, metrics)
+                return ds
+            self._write_checkpoint(ds, metrics)
+            return ds
+        self._write_checkpoint(ds, metrics)
+        return self.read()
 
     def record_metrics(self, extra: dict) -> None:
         m = self.manifest() or {}
