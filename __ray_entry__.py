@@ -64,6 +64,7 @@ def _search_transcripts(sf_dir: str) -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from chunksilo_ray.ops import (
         dedup,
+        joins,
         multimodal,
         relational,
         similarity,
@@ -109,6 +110,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing (task brief; synthetic media, stub decode) ---
         "media_features": lambda sf_dir: multimodal.media_features(),
         "video_frames": lambda sf_dir: multimodal.video_frames(),
+        # --- custom joins Ray Data lacks natively (SQL-oracled) ---
+        "asof_join": joins.asof_join_purchases_to_clicks,
+        "range_join": joins.range_join_events_in_window,
         # --- stream-shaped windows over events (SQL-oracled) ---
         "tumbling_hourly": window.tumbling_hourly,
         "session_windows": window.session_windows,
@@ -227,6 +231,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY text
         """,
         "distinct_text_count": "SELECT COUNT(DISTINCT text) AS n_distinct FROM documents",
+        "asof_join": """
+            SELECT p.event_id AS purchase_id, p.user_id,
+                   c.event_id AS click_id,
+                   ROUND(EXTRACT(epoch FROM (p.ts - c.ts)) * 1000, 3) AS ms_since_click
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "range_join": """
+            SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id
+            FROM events p JOIN events c
+              ON p.user_id = c.user_id
+             AND p.event_type = 'purchase' AND c.event_type = 'click'
+             AND c.ts >= p.ts - INTERVAL 5 MINUTE AND c.ts <= p.ts
+        """,
         "tumbling_hourly": """
             SELECT user_id,
                    (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,

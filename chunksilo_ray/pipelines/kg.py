@@ -37,7 +37,12 @@ from ..stages.materialize import (
     materialize_edges_agg,
     materialize_nodes,
 )
-from ..state.manifest import StageCheckpoint, fingerprint, input_fingerprint
+from ..state.manifest import (
+    StageCheckpoint,
+    code_fingerprint,
+    fingerprint,
+    input_fingerprint,
+)
 
 
 def build_kg(
@@ -60,7 +65,13 @@ def build_kg(
     if tmbs:
         rd.DataContext.get_current().target_max_block_size = int(tmbs)
 
-    in_fp = fingerprint(input_fingerprint(transcripts_path), input_fingerprint(alias_path))
+    # lineage root: inputs + the engine code itself — checkpoints produced by
+    # an older code version must never be silently reused (the reference's
+    # analog: reindex on version change)
+    code_fp = code_fingerprint(str(pathlib.Path(__file__).resolve().parents[1]))
+    in_fp = fingerprint(
+        input_fingerprint(transcripts_path), input_fingerprint(alias_path), code_fp
+    )
 
     # background checkpoint writer: disk-bound durable copies run OFF the
     # critical path; all futures are awaited before metrics/return

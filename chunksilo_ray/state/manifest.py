@@ -62,6 +62,17 @@ def input_fingerprint(path: str) -> str:
 MIN_ROWS_PER_FILE = 250_000
 
 
+def code_fingerprint(package_dir: str) -> str:
+    """Fingerprint of the engine's own source (*.py only — __pycache__
+    churns on import and must not invalidate checkpoints)."""
+    p = pathlib.Path(package_dir)
+    entries = [
+        (str(f.relative_to(p)), f.stat().st_size, int(f.stat().st_mtime))
+        for f in sorted(p.rglob("*.py"))
+    ]
+    return fingerprint(entries)
+
+
 class StageCheckpoint:
     """One materialized stage = one directory of Parquet parts + manifest."""
 
