@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         multimodal,
         relational,
         similarity,
+        sketches,
         text_search,
         textstats,
         window,
@@ -110,6 +111,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing (task brief; synthetic media, stub decode) ---
         "media_features": lambda sf_dir: multimodal.media_features(),
         "video_frames": lambda sf_dir: multimodal.video_frames(),
+        # --- rank + sketch operators ---
+        "topk_events_per_user": sketches.topk_events_per_user,
+        "median_value_by_type": sketches.median_value_by_type,
+        "approx_distinct_users": sketches.approx_distinct_users,
         # --- custom joins Ray Data lacks natively (SQL-oracled) ---
         "asof_join": joins.asof_join_purchases_to_clicks,
         "range_join": joins.range_join_events_in_window,
@@ -231,6 +236,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY text
         """,
         "distinct_text_count": "SELECT COUNT(DISTINCT text) AS n_distinct FROM documents",
+        "topk_events_per_user": """
+            SELECT user_id, event_id, value, rank FROM (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id ASC) AS rank
+              FROM events)
+            WHERE rank <= 3
+        """,
+        "median_value_by_type": """
+            SELECT event_type, ROUND(MEDIAN(value), 6) AS median_value
+            FROM events GROUP BY event_type
+        """,
         "asof_join": """
             SELECT p.event_id AS purchase_id, p.user_id,
                    c.event_id AS click_id,

@@ -1,0 +1,104 @@
+"""Rank + sketch operators (ray_guide.md "mergeable sketch" pattern):
+top-k per group, grouped median, HyperLogLog approximate distinct count.
+
+HLL is the canonical mergeable sketch: one serialized register array per
+batch, merged in a tiny second stage — at 100 TB the exchange carries
+2^p-byte sketches, never values."""
+
+from __future__ import annotations
+
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data import Dataset
+
+
+def _events(sf_dir: str, columns: list[str] | None = None) -> Dataset:
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def topk_events_per_user(sf_dir: str, k: int = 3) -> Dataset:
+    """Top-k events by value per user (rank within group): the groupby +
+    in-group sort shape; SQL oracle via row_number() OVER."""
+    ds = _events(sf_dir, ["event_id", "user_id", "value"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
+        return g[["user_id", "event_id", "value", "rank"]]
+
+    return ds.groupby("user_id").map_groups(topk, batch_format="pandas")
+
+
+def median_value_by_type(sf_dir: str) -> Dataset:
+    """Exact grouped median (interpolated for even counts, matching both
+    pandas and DuckDB MEDIAN): per-group pandas over a groupby."""
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "median_value": [round(float(g["value"].median()), 6)],
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(med, batch_format="pandas")
+
+
+# --- HyperLogLog ------------------------------------------------------------
+
+_HLL_P = 12  # 4096 registers; rel. error ~ 1.04/sqrt(4096) ~ 1.6%
+
+
+def _hll_registers(values: np.ndarray, p: int = _HLL_P) -> np.ndarray:
+    import hashlib
+
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    # deterministic, well-mixed 64-bit hash (crc32 is biased on sequential
+    # integer keys — measured +13% HLL estimates)
+    for v in values:
+        b = int(v).to_bytes(8, "little", signed=True)
+        h = int.from_bytes(hashlib.blake2b(b, digest_size=8).digest(), "little")
+        idx = h & (m - 1)
+        w = h >> p
+        rank = 1
+        while w & 1 == 0 and rank < 64 - p:
+            rank += 1
+            w >>= 1
+        if rank > regs[idx]:
+            regs[idx] = rank
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    m = float(len(regs))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting small-range correction
+    return float(est)
+
+
+def approx_distinct_users(sf_dir: str) -> pa.Table:
+    """Approximate COUNT(DISTINCT user_id) via HLL: per-batch sketches ->
+    driver max-merge (registers are element-wise max-mergeable)."""
+    ds = _events(sf_dir, ["user_id"])
+
+    def sketch(t: pa.Table) -> pa.Table:
+        vals = t["user_id"].to_numpy(zero_copy_only=False)
+        regs = _hll_registers(vals)
+        return pa.table({"registers": pa.array([regs.tobytes()], pa.binary())})
+
+    merged = np.zeros(1 << _HLL_P, dtype=np.uint8)
+    for b in ds.map_batches(
+        sketch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        for blob in b["registers"].to_pylist():
+            np.maximum(merged, np.frombuffer(blob, dtype=np.uint8), out=merged)
+    return pa.table({"approx_distinct": pa.array([int(round(_hll_estimate(merged)))], pa.int64())})

@@ -231,3 +231,42 @@ class TestSearchPipeline:
         r = rows[0]
         assert r["uri"].startswith("conv://conv-")
         assert r["heading_path"] in ("user", "assistant") or " > " in r["heading_path"]
+
+
+class TestSketches:
+    def test_topk_per_user_ranked(self):
+        from chunksilo_ray.ops.sketches import topk_events_per_user
+
+        rows = topk_events_per_user(SF).take_all()
+        by_user = {}
+        for r in rows:
+            by_user.setdefault(r["user_id"], []).append(r)
+        for user, rs in by_user.items():
+            assert len(rs) <= 3
+            rs.sort(key=lambda r: r["rank"])
+            vals = [r["value"] for r in rs]
+            assert vals == sorted(vals, reverse=True)
+
+    def test_hll_within_error(self):
+        import duckdb
+
+        from chunksilo_ray.ops.sketches import approx_distinct_users
+
+        got = approx_distinct_users(SF).column("approx_distinct")[0].as_py()
+        exact = duckdb.sql(
+            f"SELECT COUNT(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet')"
+        ).fetchone()[0]
+        assert abs(got - exact) / exact < 0.05
+
+    def test_hll_merge_is_order_independent(self):
+        import numpy as np
+
+        from chunksilo_ray.ops.sketches import _hll_estimate, _hll_registers
+
+        a = _hll_registers(np.arange(0, 500))
+        b = _hll_registers(np.arange(300, 900))
+        ab = np.maximum(a, b)
+        ba = np.maximum(b, a)
+        assert (ab == ba).all()
+        est = _hll_estimate(ab)
+        assert abs(est - 900) / 900 < 0.05
