@@ -137,6 +137,19 @@ def build_kg(
 
     extracted = ext_ckpt.run(_build_extracted, keep_in_memory=True, write_executor=writer)
 
+    # dead-letter accounting: rows the extractor marked failed (error column)
+    def _err_partial(t):
+        import pyarrow as _pa
+
+        n_err = int(t.num_rows - t.column("error").null_count)
+        return _pa.table({"n": _pa.array([n_err], _pa.int64())})
+
+    dead_letters = 0
+    for _b in extracted.map_batches(
+        _err_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        dead_letters += int(sum(_b["n"].to_pylist()))
+
     # ---- stage 3: canonicalization (shuffle #2 + driver union-find) ---------
     canon_cfg = cfg.section("canon")
     cmap_path = out / "canonical_map.json"
@@ -204,6 +217,7 @@ def build_kg(
         "edges_agg": (edges_agg_ckpt.manifest() or {}).get("rows"),
         "nodes": (nodes_ckpt.manifest() or {}).get("rows"),
         "canonical_merges": len(cmap),
+        "dead_letter_turns": dead_letters,
     }
     edges_ckpt.record_metrics({"emitted_edges": metrics["edges"]})
     return {

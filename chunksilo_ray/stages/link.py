@@ -57,9 +57,21 @@ class LinkExtractActor:
 
         mentions_col: list[list[dict]] = []
         triples_col: list[list[dict]] = []
+        errors_col: list[str | None] = []
         for r in range(t.num_rows):
-            ms = scan_mentions(texts[r], self.alias, self.token_cache)
-            ts3 = triples_for_turn(roles[r], tools[r], texts[r], ms, self.alias)
+            # explicit skipped-row policy (SURVEY.md §4): a pathological row
+            # never kills the batch and never disappears silently — it emits
+            # empty mentions/triples plus an ``error`` marker the pipeline
+            # counts and surfaces in the stage manifest (the reference logs
+            # and returns [] per failed file, index.py:1355-1360; here the
+            # dead letter is a first-class column).
+            try:
+                ms = scan_mentions(texts[r], self.alias, self.token_cache)
+                ts3 = triples_for_turn(roles[r], tools[r], texts[r], ms, self.alias)
+                errors_col.append(None)
+            except Exception as exc:  # noqa: BLE001 - dead-letter boundary
+                ms, ts3 = [], []
+                errors_col.append(f"{type(exc).__name__}: {exc}"[:200])
             mentions_col.append(
                 [
                     {
@@ -78,6 +90,7 @@ class LinkExtractActor:
         out = t.select(keep)
         out = out.append_column("mentions", pa.array(mentions_col, pa.list_(MENTION_STRUCT)))
         out = out.append_column("triples", pa.array(triples_col, pa.list_(TRIPLE_STRUCT)))
+        out = out.append_column("error", pa.array(errors_col, pa.string()))
         return out
 
 

@@ -123,3 +123,35 @@ def test_pipeline_pr_gate_vs_oracle(smoke_corpus, tmp_out):
     P, R = extractor.precision_recall(predicted, expected["triples"])
     assert P >= 0.95, f"precision {P:.4f} < 0.95"
     assert R >= 0.95, f"recall {R:.4f} < 0.95"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dead_letter_policy():
+    """A pathological row (null text) must not kill the batch — it emits
+    empty mentions/triples plus an error marker (SURVEY.md §4 explicit
+    skipped-row policy)."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from chunksilo_ray import datagen
+    from chunksilo_ray.stages.link import link_extract
+
+    t = pa.table(
+        {
+            "conv_id": pa.array(["c1", "c1"]),
+            "turn_idx": pa.array([0, 1], pa.int32()),
+            "role": pa.array(["user", "assistant"]),
+            "tool": pa.array(["", ""]),
+            "ts": pa.array([0, 1], pa.timestamp("us")),
+            "text": pa.array(["Can you check the database?", None]),
+        }
+    )
+    alias_ref = ray.put(datagen.alias_table())
+    rows = link_extract(rd.from_arrow(t), alias_ref).take_all()
+    by_turn = {r["turn_idx"]: r for r in rows}
+    assert by_turn[0]["error"] is None
+    assert by_turn[0]["mentions"]
+    assert by_turn[1]["error"] is not None
+    assert by_turn[1]["mentions"] == []
+    assert by_turn[1]["triples"] == []
