@@ -36,12 +36,18 @@ def _ray_session():
 
 def cmd_build(args) -> int:
     from .config import Config
-    from .pipelines.kg import build_kg
 
     cfg = Config.from_yaml(args.config) if args.config else None
     ray = _ray_session()
     try:
-        res = build_kg(args.input, args.alias, args.out, cfg=cfg, with_chunks=True)
+        if args.sharded:
+            from .pipelines.kg_sharded import build_kg_sharded
+
+            res = build_kg_sharded(args.input, args.alias, args.out, cfg=cfg)
+        else:
+            from .pipelines.kg import build_kg
+
+            res = build_kg(args.input, args.alias, args.out, cfg=cfg, with_chunks=True)
         print(json.dumps(res["metrics"]))
     finally:
         ray.shutdown()
@@ -98,6 +104,13 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--alias", required=True, help="alias_index parquet")
     b.add_argument("--out", required=True, help="output/checkpoint directory")
     b.add_argument("--config", default=None, help="YAML config (deep-merged over defaults)")
+    b.add_argument(
+        "--sharded",
+        action="store_true",
+        help="partition-level mode: --input is a directory of shards; "
+        "per-shard checkpoints + global canonicalization (resumes/ingests "
+        "at shard granularity)",
+    )
     b.set_defaults(fn=cmd_build)
 
     s = sub.add_parser("search", help="search the built chunks table")
