@@ -98,6 +98,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": textstats.quality_scores,
         "fingerprint_docs": textstats.fingerprint_docs,
         # --- dedup suite (task brief) ---
+        "sample_docs_by_hash": textstats.sample_docs_by_hash,
+        "quality_filter": textstats.quality_filter,
         "exact_dedup_docs": dedup.exact_dedup_docs,
         "distinct_text_count": dedup.distinct_text_count,
         "minhash_dup_groups": dedup.minhash_dup_groups,
@@ -230,6 +232,19 @@ def oracle_sql() -> dict[str, str]:
         "docs_by_lang": """
             SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 4) AS avg_chars
             FROM documents GROUP BY lang
+        """,
+        "sample_docs_by_hash": """
+            SELECT doc_id FROM documents WHERE substr(md5(text), 1, 1) = '0'
+        """,
+        "quality_filter": """
+            SELECT doc_id,
+                   CAST(LENGTH(text) AS BIGINT) AS n_chars,
+                   ROUND(CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9 .,]', '', 'g'))
+                         AS DOUBLE) / LENGTH(text), 6) AS symbol_ratio
+            FROM documents
+            WHERE LENGTH(text) >= 200
+              AND CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9 .,]', '', 'g'))
+                       AS DOUBLE) / LENGTH(text) <= 0.05
         """,
         "exact_dedup_docs": """
             SELECT MIN(doc_id) AS doc_id, MD5(text) AS text_hash

@@ -172,3 +172,53 @@ def fingerprint_docs(sf_dir: str, window: int = 64) -> Dataset:
         )
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+def sample_docs_by_hash(sf_dir: str) -> Dataset:
+    """Deterministic ~1/16 sample: keep docs whose md5(text) starts with
+    '0' — the seeded, rerun-stable sampling a training pipeline needs
+    (FIXTURES.md: deterministic sampling by content hash). SQL-matchable."""
+    import hashlib
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        keep = [
+            hashlib.md5(x.encode("utf-8")).hexdigest().startswith("0")
+            for x in t["text"].to_pylist()
+        ]
+        return t.filter(pa.array(keep, pa.bool_())).select(["doc_id"])
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+def quality_filter(sf_dir: str, min_chars: int = 200, max_symbol_ratio: float = 0.05) -> Dataset:
+    """Quality gate: keep docs long enough and with a low symbol
+    (non-alnum-space-punct-basic) ratio — the pretraining-corpus filter
+    shape, expressed with char-class metrics both engines compute
+    identically (SQL oracle via regexp_replace)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        import re as _re
+
+        sym = _re.compile(r"[^A-Za-z0-9 .,]")
+        ids, chars, ratios = [], [], []
+        for did, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            n = len(x)
+            if n < min_chars:
+                continue
+            r = len(sym.findall(x)) / n
+            if r <= max_symbol_ratio:
+                ids.append(did)
+                chars.append(n)
+                ratios.append(round(r, 6))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_chars": pa.array(chars, pa.int64()),
+                "symbol_ratio": pa.array(ratios, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
