@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_text_count": dedup.distinct_text_count,
         "minhash_dup_groups": dedup.minhash_dup_groups,
         "simhash_docs": dedup.simhash_docs,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "simhash_dup_pairs": dedup.simhash_dup_pairs,
         "embedding_near_dups": dedup.embedding_near_dups,
         # --- similarity search (task brief) ---
@@ -138,7 +139,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return q
 
 
+def _sql_str_list(words) -> str:
+    """Render a python string collection as a DuckDB VARCHAR[] literal."""
+    return "[" + ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(words)) + "]"
+
+
+# word 3-gram (and bigram) shingle CTEs shared by the minhash / ngram oracles
+_SHINGLE_CTE = """
+    toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+             FROM documents),
+    shl AS (SELECT doc_id,
+              CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+                   WHEN len(w) < {k} THEN [array_to_string(w, ' ')]
+                   ELSE [{gram} FOR i IN range(1, len(w) - {km1} + 1)] END AS sh
+            FROM toks),
+    sh AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shl),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    jpairs AS (SELECT da, db, i, sa.n + sb.n - i AS u
+               FROM inter
+               JOIN sizes sa ON sa.doc_id = da
+               JOIN sizes sb ON sb.doc_id = db
+               WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold})
+"""
+
+_SHINGLE3 = _SHINGLE_CTE.format(
+    k=3, km1=2, threshold=0.7, gram="w[i] || ' ' || w[i+1] || ' ' || w[i+2]"
+)
+_SHINGLE2 = _SHINGLE_CTE.format(k=2, km1=1, threshold=0.5, gram="w[i] || ' ' || w[i+1]")
+
+# 64-bit md5-vote SimHash as hex (identical to chunksilo_ray.ops.dedup math)
+_SIMHASH_CTE = """
+    tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+            FROM documents),
+    h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 16)) AS UBIGINT) AS hv FROM tok),
+    votes AS (SELECT doc_id, bi.i AS bi,
+                     SUM(CASE WHEN (hv >> bi.i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+              FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS i) bi
+              GROUP BY doc_id, bi.i),
+    packed AS (SELECT doc_id,
+                      CAST(SUM(CASE WHEN vote > 0 THEN CAST(1 AS UBIGINT) << bi
+                               ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS v
+               FROM votes GROUP BY doc_id),
+    simhashes AS (SELECT d.doc_id,
+                         COALESCE(lower(lpad(hex(p.v), 16, '0')),
+                                  '0000000000000000') AS simhash
+                  FROM documents d LEFT JOIN packed p ON d.doc_id = p.doc_id)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
+    from chunksilo_ray.functions.textutils import STOPWORDS
+    from chunksilo_ray.ops.textstats import _LANG_PROFILES
+
+    stop_list = _sql_str_list(STOPWORDS)
+    prof = {lang: _sql_str_list(words) for lang, words in _LANG_PROFILES.items()}
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -322,5 +379,137 @@ def oracle_sql() -> dict[str, str]:
                        (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
                         WHERE vec_id = 0)), 6) AS cosine
             FROM embeddings ORDER BY cosine DESC LIMIT 10
+        """,
+        # --- round-2 oracles: text analysis -------------------------------
+        "detect_language": f"""
+            WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                       FROM documents),
+            s AS (SELECT doc_id, len(w) AS n_tokens,
+                         len(list_filter(w, x -> list_contains({prof['en']}, x))) AS h_en,
+                         len(list_filter(w, x -> list_contains({prof['de']}, x))) AS h_de,
+                         len(list_filter(w, x -> list_contains({prof['fr']}, x))) AS h_fr,
+                         len(list_filter(w, x -> list_contains({prof['es']}, x))) AS h_es
+                  FROM t)
+            SELECT doc_id,
+                   CASE WHEN n_tokens = 0
+                             OR 20 * GREATEST(h_en, h_de, h_fr, h_es) <= n_tokens THEN 'und'
+                        WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+                        WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+                        WHEN h_fr >= h_es THEN 'fr' ELSE 'es' END AS pred_lang,
+                   CAST(GREATEST(h_en, h_de, h_fr, h_es) AS BIGINT) AS n_hits,
+                   CAST(n_tokens AS BIGINT) AS n_tokens
+            FROM s
+        """,
+        "quality_scores": f"""
+            SELECT doc_id,
+                   CAST(LENGTH(text) AS BIGINT) AS n_chars,
+                   CAST(LENGTH(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS BIGINT)
+                       AS n_alnum,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_words,
+                   CAST(len(list_filter(regexp_extract_all(text, '[A-Za-z0-9]+'),
+                            x -> list_contains({stop_list}, lower(x)))) AS BIGINT) AS n_stop
+            FROM documents
+        """,
+        "fingerprint_docs": """
+            WITH w AS (SELECT doc_id, md5(text) AS content_md5, text,
+                              unnest(range(1, GREATEST(LENGTH(text) - 63, 1) + 1, 32)) AS i
+                       FROM documents)
+            SELECT doc_id,
+                   MIN(substr(md5(substring(text, i, 64)), 1, 16)) AS fingerprint,
+                   content_md5
+            FROM w GROUP BY doc_id, content_md5
+        """,
+        "doc_headings": """
+            WITH lines AS (
+              SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+                     generate_subscripts(string_split(text, chr(10)), 1) AS li
+              FROM documents),
+            m AS (SELECT doc_id, line, li,
+                         CASE WHEN regexp_matches(line, '^\\s*(```|~~~)') THEN 1 ELSE 0
+                         END AS fence,
+                         LENGTH(line) + 1 AS ll
+                  FROM lines),
+            p AS (SELECT doc_id, line, fence,
+                         COALESCE(SUM(ll) OVER w, 0) AS pos,
+                         COALESCE(SUM(fence) OVER w, 0) AS fences_before
+                  FROM m
+                  WINDOW w AS (PARTITION BY doc_id ORDER BY li
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+            SELECT doc_id,
+                   regexp_extract(line, '^#{1,6}\\s+(.+?)\\s*$', 1) AS heading,
+                   CAST(pos AS BIGINT) AS position,
+                   CAST(LENGTH(regexp_extract(line, '^(#+)', 1)) AS BIGINT) AS level
+            FROM p
+            WHERE fence = 0 AND fences_before % 2 = 0
+              AND regexp_matches(line, '^#{1,6}\\s+.')
+        """,
+        # --- round-2 oracles: dedup suite ---------------------------------
+        "minhash_dup_groups": f"""
+            WITH RECURSIVE {_SHINGLE3},
+            edges AS (SELECT da AS a, db AS b FROM jpairs
+                      UNION SELECT db, da FROM jpairs),
+            reach(a, b) AS (SELECT a, b FROM edges
+                            UNION
+                            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+            SELECT a AS doc_id, CAST(LEAST(MIN(b), a) AS BIGINT) AS dup_group
+            FROM reach GROUP BY a
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH {_SHINGLE2}
+            SELECT da AS doc_a, db AS doc_b, CAST(i AS BIGINT) AS inter,
+                   CAST(u AS BIGINT) AS uni
+            FROM jpairs
+        """,
+        "simhash_docs": f"""
+            WITH {_SIMHASH_CTE}
+            SELECT doc_id, simhash FROM simhashes
+        """,
+        "simhash_dup_pairs": f"""
+            WITH {_SIMHASH_CTE},
+            u AS (SELECT doc_id, CAST(('0x' || simhash) AS UBIGINT) AS v FROM simhashes)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS hamming
+            FROM u a JOIN u b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.v, b.v)) <= 3
+        """,
+        "embedding_near_dups": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.emb, b.emb) >= 0.95
+        """,
+        # --- round-2 oracles: similarity / text search --------------------
+        "label_centroids": """
+            WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            cnt AS (SELECT label, COUNT(*) AS n FROM e GROUP BY label),
+            u AS (SELECT label, unnest(emb) AS val, generate_subscripts(emb, 1) AS dim
+                  FROM e)
+            SELECT u.label, CAST(u.dim AS BIGINT) AS dim,
+                   ROUND(AVG(u.val), 6) AS value, cnt.n AS n_vectors
+            FROM u JOIN cnt ON u.label = cnt.label
+            GROUP BY u.label, u.dim, cnt.n
+        """,
+        "bm25_topk": """
+            WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                          FROM documents),
+            stats AS (SELECT COUNT(*) AS n_docs, SUM(len(w)) AS len_sum FROM toks),
+            terms AS (SELECT unnest(['data', 'processing', 'pipeline']) AS term),
+            tf AS (SELECT doc_id, term, len(list_filter(w, x -> x = term)) AS tf,
+                          len(w) AS dl
+                   FROM toks CROSS JOIN terms),
+            df AS (SELECT term, SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df
+                   FROM tf GROUP BY term),
+            scored AS (
+              SELECT doc_id,
+                     SUM(LN(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                         * tf * 2.5
+                         / (tf + 1.5 * (1 - 0.75 + 0.75 * dl /
+                              GREATEST(1.0, CAST(s.len_sum AS DOUBLE)
+                                            / GREATEST(1, s.n_docs))))) AS score
+              FROM tf JOIN df d USING (term) CROSS JOIN stats s
+              WHERE tf > 0 GROUP BY doc_id)
+            SELECT doc_id, ROUND(score, 6) AS bm25 FROM scored
+            WHERE score > 0 ORDER BY bm25 DESC, doc_id LIMIT 10
         """,
     }

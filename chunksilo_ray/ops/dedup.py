@@ -2,21 +2,33 @@
 components): exact hash dedup, MinHash-LSH near-dup, SimHash, n-gram
 Jaccard, and embedding-cosine near-dup (the last over ``embeddings``).
 
-Shapes (ray_guide.md dedup patterns):
-  exact    — content-hash column in map_batches -> groupby(hash) -> first
-  minhash  — shingle->minhash->band explode -> groupby(band) -> pairs ->
-             verify jaccard -> connected components (driver union-find over
-             the small verified edge list)
-  simhash  — 64-bit simhash in map_batches; near-dups = identical value
-             (or small hamming distance within groupby buckets)
-  ngram    — token-shingle jaccard verify over LSH candidates
-  cosine   — normalized-embedding LSH (random hyperplanes) buckets ->
-             within-bucket pairwise cosine >= tau
+Every operator here is DRIVER-LIGHT by construction (the round-1 versions
+pulled candidate pairs + texts to the driver; the round-2 shapes verify
+inside the shuffle, mirroring stages/canon.py):
+
+  exact    — content-hash column in map_batches -> groupby(hash) -> min id
+  minhash  — shingle->minhash->band explode (rows carry the doc's 64-bit
+             shingle-hash set) -> groupby(band) -> EXACT jaccard verify
+             inside map_groups -> groupby(pair) dedup -> the driver sees
+             only verified edges (tiny) for the union-find
+  simhash  — 64-bit md5-vote SimHash in map_batches; near-dup pairs via
+             16-bit chunk-key groupby (pigeonhole: hamming<=3 over 4 chunks
+             guarantees one identical chunk) -> pair dedup groupby
+  ngram    — word-bigram jaccard pairs: same LSH machinery at a lower
+             threshold with 1-row bands for ~perfect recall
+  cosine   — multi-band random-hyperplane LSH buckets -> within-bucket
+             exact cosine >= tau -> pair dedup; one streaming execution
+
+MinHash/SimHash hash functions are md5-based so the DuckDB oracle
+(__ray_entry__.oracle_sql) can compute byte-identical values; the LSH band
+configs are sized for ~1.0 recall at their thresholds (miss probability
+<= 1e-8), so the outputs equal the exact-all-pairs oracle on real data.
 """
 
 from __future__ import annotations
 
 import hashlib
+import logging
 import re
 import zlib
 
@@ -26,7 +38,9 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data import Dataset
 
-from ..stages.canon import _hash_params, canonical_map_from_edges
+from ..stages.canon import _hash_params, _minhash_sig_exact
+
+logger = logging.getLogger(__name__)
 
 _WORD_RE = re.compile(r"[A-Za-z0-9]+")
 
@@ -68,108 +82,191 @@ def distinct_text_count(sf_dir: str) -> "pa.Table":
 
 
 # ---------------------------------------------------------------------------
-# MinHash-LSH near-dup over token shingles
+# shared shingle machinery (word n-grams, md5-hashed so the oracle matches)
 
 
-def _token_shingles(text: str, k: int = 3) -> list[int]:
+def _token_shingles(text: str, k: int = 3) -> list[str]:
+    """Word k-gram shingle STRINGS (lowercased alnum tokens joined by a
+    space); texts shorter than k tokens shingle as the whole token string.
+    Mirrored exactly by the DuckDB oracle's list comprehension."""
     toks = [w.lower() for w in _WORD_RE.findall(text)]
     if len(toks) < k:
-        return [zlib.crc32(" ".join(toks).encode())] if toks else []
-    return [zlib.crc32(" ".join(toks[i : i + k]).encode()) for i in range(len(toks) - k + 1)]
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
 
 
-_MERSENNE = (1 << 61) - 1
+def _shingle_hash64(shingles: list[str], cache: dict[str, int]) -> np.ndarray:
+    """Distinct 64-bit shingle hashes (first 8 md5 bytes, big-endian hex —
+    identical to DuckDB ('0x' || substr(md5(s),1,16))::UBIGINT). Exact
+    jaccard over these sets equals string-set jaccard up to 64-bit collision
+    (~1e-12 at corpus scale)."""
+    out = set()
+    get = cache.get
+    for s in shingles:
+        h = get(s)
+        if h is None:
+            h = int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+            cache[s] = h
+        out.add(h)
+    return np.fromiter(out, dtype=np.uint64, count=len(out))
 
 
-class MinHashBands:
-    """Stateful stage: hash params drawn once per actor; emits
-    (band_id, band_hash, doc_id) rows."""
+class _ShingleBands:
+    """Stateful map_batches stage: doc -> one row per LSH band, carrying the
+    doc's shingle-hash set so verification happens INSIDE the band groupby
+    (never on the driver). Band key packs (band_id, band_hash) into int64."""
 
-    def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 3):
-        self.num_perm, self.bands, self.k = num_perm, bands, shingle_k
+    def __init__(self, num_perm: int, bands: int, shingle_k: int):
+        assert num_perm % bands == 0
         self.rows = num_perm // bands
+        self.bands = bands
+        self.k = shingle_k
         self.a, self.b = _hash_params(num_perm)
+        self.cache: dict[str, int] = {}  # actor-lifetime shingle-hash memo
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
         texts = t["text"].to_pylist()
-        out_band, out_hash, out_id = [], [], []
+        out_key: list[int] = []
+        out_id: list[int] = []
+        out_sh: list[list[int]] = []
         for did, text in zip(ids, texts):
-            sh = np.asarray(_token_shingles(text, self.k), dtype=np.int64)
+            sh = _shingle_hash64(_token_shingles(text, self.k), self.cache)
             if sh.size == 0:
                 continue
-            sig = ((self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE).min(axis=1)
+            # minhash base = low 32 bits (exact Mersenne-61 universal hashing
+            # needs x < 2^32); the carried verify set keeps all 64 bits
+            sig = _minhash_sig_exact(sh & np.uint64(0xFFFFFFFF), self.a, self.b)
+            sh_list = sh.astype(np.int64).tolist()
             for bi in range(self.bands):
                 h = zlib.crc32(sig[bi * self.rows : (bi + 1) * self.rows].tobytes())
-                out_band.append(bi)
-                out_hash.append(h)
+                out_key.append((bi << 32) | h)
                 out_id.append(did)
+                out_sh.append(sh_list)
         return pa.table(
             {
-                "band_id": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.int64()),
+                "band_key": pa.array(out_key, pa.int64()),
                 "doc_id": pa.array(out_id, pa.int64()),
+                "sh": pa.array(out_sh, pa.list_(pa.int64())),
             }
         )
 
 
-def _pairs_in_bucket(max_group: int = 512):
+def _verify_pairs_group(threshold: float, max_group: int):
+    """map_groups over one LSH bucket: exact jaccard on the carried shingle
+    sets; emits only VERIFIED pairs (a < b, with intersection/union sizes as
+    exact integers — no float columns to drift against the oracle)."""
+
     def fn(t: pa.Table) -> pa.Table:
-        ids = sorted(set(t["doc_id"].to_pylist()))[:max_group]
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+        ids = t["doc_id"].to_pylist()
+        sets = [set(x) for x in t["sh"].to_pylist()]
+        order = np.argsort(ids)
+        if len(order) > max_group:
+            logger.warning("LSH bucket capped: %d docs > max_group=%d", len(order), max_group)
+            order = order[:max_group]
+        out_a, out_b, out_i, out_u = [], [], [], []
+        for ii in range(len(order)):
+            for jj in range(ii + 1, len(order)):
+                x, y = order[ii], order[jj]
+                sa, sb = sets[x], sets[y]
+                inter = len(sa & sb)
+                if not inter:
+                    continue
+                uni = len(sa) + len(sb) - inter
+                if inter / uni >= threshold:
+                    out_a.append(ids[x])
+                    out_b.append(ids[y])
+                    out_i.append(inter)
+                    out_u.append(uni)
+        return pa.table(
+            {
+                "a": pa.array(out_a, pa.int64()),
+                "b": pa.array(out_b, pa.int64()),
+                "inter": pa.array(out_i, pa.int64()),
+                "uni": pa.array(out_u, pa.int64()),
+            }
+        )
 
     return fn
 
 
-def minhash_dup_groups(sf_dir: str, threshold: float = 0.7) -> "pa.Table":
-    """MinHash-LSH near-dup detection: returns (doc_id, dup_group) for docs
-    in near-dup clusters. Verification re-reads only candidate docs via a
-    broadcast text lookup (candidate sets are small by construction)."""
-    import ray
-
+def _verified_edges(
+    sf_dir: str,
+    threshold: float,
+    shingle_k: int,
+    num_perm: int,
+    bands: int,
+    max_group: int = 512,
+) -> Dataset:
+    """Distributed LSH candidate generation + in-shuffle exact verification;
+    returns the deduplicated verified edge Dataset (a, b, inter, uni)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
-    bands = ds.map_batches(MinHashBands, batch_format="pyarrow", batch_size=None,
-                           concurrency=(1, 4), zero_copy_batch=True)
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        _pairs_in_bucket(), batch_format="pyarrow"
+    band_rows = ds.map_batches(
+        _ShingleBands,
+        fn_constructor_args=(num_perm, bands, shingle_k),
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=(1, 4),
+        zero_copy_batch=True,
     )
-    cand = {(r["a"], r["b"]) for r in pairs.take_all()}
-    if not cand:
+    verified = band_rows.groupby("band_key").map_groups(
+        _verify_pairs_group(threshold, max_group), batch_format="pyarrow"
+    )
+    # the same pair verifies in many bands: one small pair-key groupby dedups
+    return verified.groupby(["a", "b"]).map_groups(
+        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+def minhash_dup_groups(sf_dir: str, threshold: float = 0.7) -> "pa.Table":
+    """MinHash-LSH near-dup clusters: (doc_id, dup_group=min doc_id of the
+    connected component) for docs with an exact-jaccard >= threshold
+    neighbor. 64 perms x 32 bands (2 rows) -> candidate recall at j=0.7 is
+    1-(1-0.7^2)^32 ~ 1-4e-10, and false positives die in the exact verify,
+    so the output equals the all-pairs oracle. Only verified edges (tiny)
+    reach the driver's union-find — candidate pairs and texts never do."""
+    edges_ds = _verified_edges(sf_dir, threshold, shingle_k=3, num_perm=64, bands=32)
+    edges = sorted((r["a"], r["b"]) for r in edges_ds.take_all())
+    if not edges:
         return pa.table({"doc_id": pa.array([], pa.int64()), "dup_group": pa.array([], pa.int64())})
-    need = sorted({x for p in cand for x in p})
-    texts = {}
-    need_set = set(need)
+    # integer union-find, NUMERIC-min representative (the string union-find in
+    # stages/canon.py is lexicographic — "450" < "5" — which is right for
+    # surface norms but wrong for int doc ids / the SQL oracle's MIN)
+    parent: dict[int, int] = {}
 
-    def grab(t: pa.Table) -> pa.Table:
-        mask = [d in need_set for d in t["doc_id"].to_pylist()]
-        return t.filter(pa.array(mask, pa.bool_()))
+    def find(x: int) -> int:
+        r = parent.setdefault(x, x)
+        while r != parent[r]:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        parent[x] = r
+        return r
 
-    small = ds.map_batches(grab, batch_format="pyarrow", batch_size=None).take_all()
-    for r in small:
-        texts[r["doc_id"]] = r["text"]
-    edges = []
-    for x, y in sorted(cand):
-        sa, sb = set(_token_shingles(texts[x])), set(_token_shingles(texts[y]))
-        inter = len(sa & sb)
-        union = len(sa | sb)
-        if union and inter / union >= threshold:
-            edges.append((str(x), str(y)))
-    cmap = canonical_map_from_edges(edges)
-    members: dict[str, list[str]] = {}
-    for m, root in cmap.items():
-        members.setdefault(root, []).append(m)
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    groups: dict[int, list[int]] = {}
+    for x in parent:
+        groups.setdefault(find(x), []).append(x)
     out_id, out_grp = [], []
-    for root, mem in sorted(members.items(), key=lambda kv: int(kv[0])):
-        for d in [root, *sorted(mem, key=int)]:
-            out_id.append(int(d))
-            out_grp.append(int(root))
+    for root in sorted(groups):
+        for d in sorted(groups[root]):
+            out_id.append(d)
+            out_grp.append(root)
     return pa.table(
         {"doc_id": pa.array(out_id, pa.int64()), "dup_group": pa.array(out_grp, pa.int64())}
+    )
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> Dataset:
+    """Exact word-BIGRAM jaccard near-dup pairs (distinct from the 3-gram
+    minhash clusters above: different shingling, pair-level output with the
+    exact intersection/union sizes). LSH bands are 1-row x 128 so recall at
+    j=0.5 is 1-0.5^128 (exhaustive in practice); exact verify in-shuffle."""
+    return _verified_edges(sf_dir, threshold, shingle_k=2, num_perm=128, bands=128).rename_columns(
+        ["doc_a", "doc_b", "inter", "uni"]
     )
 
 
@@ -178,26 +275,45 @@ def minhash_dup_groups(sf_dir: str, threshold: float = 0.7) -> "pa.Table":
 
 
 class SimHashStage:
-    """64-bit SimHash over word hashes (stateless but precompiled regex)."""
+    """64-bit SimHash over md5 token hashes, occurrence-weighted, emitted as
+    a 16-hex-char string (DuckDB computes the identical value from
+    ('0x'||substr(md5(tok),1,16))::UBIGINT bit votes). Stateful: the
+    token-hash memo lives for the actor."""
 
     def __init__(self):
         self.word = _WORD_RE
+        self.cache: dict[str, int] = {}
+        self.shifts = np.arange(64, dtype=np.uint64)
+
+    def _tok_hashes(self, toks: list[str]) -> np.ndarray:
+        get = self.cache.get
+        out = np.empty(len(toks), dtype=np.uint64)
+        for i, w in enumerate(toks):
+            h = get(w)
+            if h is None:
+                h = int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "big")
+                self.cache[w] = h
+            out[i] = h
+        return out
 
     def __call__(self, t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
-        out = np.zeros(len(texts), dtype=np.uint64)
-        for i, x in enumerate(texts):
-            acc = np.zeros(64, dtype=np.int64)
-            for w in self.word.findall(x.lower()):
-                h = zlib.crc32(w.encode()) | (zlib.crc32(w[::-1].encode()) << 32)
-                bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-                acc += np.where(bits.astype(bool), 1, -1)
-            out[i] = np.packbits((acc > 0).astype(np.uint8), bitorder="little").view(np.uint64)[0]
+        out = []
+        for x in texts:
+            toks = self.word.findall(x.lower())
+            if not toks:
+                out.append("0" * 16)
+                continue
+            hs = self._tok_hashes(toks)
+            bits = ((hs[:, None] >> self.shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            v = np.uint64(0)
+            sel = np.flatnonzero(votes > 0)
+            for i in sel:
+                v |= np.uint64(1) << np.uint64(i)
+            out.append(format(int(v), "016x"))
         return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "simhash": pa.array(out.astype(np.int64).tolist(), pa.int64()),
-            }
+            {"doc_id": t["doc_id"], "simhash": pa.array(out, pa.string())}
         )
 
 
@@ -207,40 +323,73 @@ def simhash_docs(sf_dir: str) -> Dataset:
                           zero_copy_batch=True)
 
 
-def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> "pa.Table":
-    """Near-dup pairs by SimHash hamming distance, blocked on 16-bit chunks
-    (a pair within distance d must share >= 1 of 4 chunks exactly)."""
-    sh = simhash_docs(sf_dir)
-    rows = sh.take_all()
-    by_chunk: dict[tuple[int, int], list[tuple[int, int]]] = {}
-    for r in rows:
-        v = np.uint64(r["simhash"])
-        for c in range(4):
-            key = (c, int((v >> np.uint64(16 * c)) & np.uint64(0xFFFF)))
-            by_chunk.setdefault(key, []).append((r["doc_id"], int(v)))
-    seen = set()
-    out_a, out_b, out_d = [], [], []
-    for key, members in by_chunk.items():
-        if len(members) < 2:
-            continue
-        for i in range(len(members)):
-            for j in range(i + 1, len(members)):
-                a, va = members[i]
-                b, vb = members[j]
-                if a == b or (a, b) in seen:
-                    continue
-                seen.add((a, b))
-                d = int(bin(va ^ vb).count("1"))
-                if d <= max_hamming:
-                    out_a.append(min(a, b))
-                    out_b.append(max(a, b))
-                    out_d.append(d)
+def _simhash_explode(t: pa.Table) -> pa.Table:
+    """(doc_id, simhash) -> 4 rows keyed by (chunk_idx<<16 | 16-bit chunk).
+    Pigeonhole guarantee: two hashes within hamming distance 3 differ in at
+    most 3 of the 4 chunks, so they share at least one chunk key exactly —
+    the blocking is lossless, not approximate."""
+    hexes = t["simhash"].to_pylist()
+    ids = t["doc_id"].to_pylist()
+    v = np.array([int(h, 16) for h in hexes], dtype=np.uint64)
+    keys, out_ids, out_sim = [], [], []
+    for c in range(4):
+        chunk = ((v >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+        keys.extend(((c << 16) | x for x in chunk.tolist()))
+        out_ids.extend(ids)
+        out_sim.extend(v.astype(np.int64).tolist())  # two's-complement carry
     return pa.table(
         {
-            "doc_a": pa.array(out_a, pa.int64()),
-            "doc_b": pa.array(out_b, pa.int64()),
-            "hamming": pa.array(out_d, pa.int64()),
+            "chunk_key": pa.array(keys, pa.int64()),
+            "doc_id": pa.array(out_ids, pa.int64()),
+            "sim": pa.array(out_sim, pa.int64()),
         }
+    )
+
+
+def _simhash_pairs_group(max_hamming: int, max_group: int):
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        sims = np.asarray(t["sim"].to_pylist(), dtype=np.int64).view(np.uint64)
+        order = np.argsort(ids)
+        if len(order) > max_group:
+            logger.warning("simhash chunk bucket capped: %d > %d", len(order), max_group)
+            order = order[:max_group]
+        out_a, out_b, out_d = [], [], []
+        for ii in range(len(order)):
+            for jj in range(ii + 1, len(order)):
+                x, y = order[ii], order[jj]
+                if ids[x] == ids[y]:
+                    continue
+                d = int(bin(int(sims[x] ^ sims[y])).count("1"))
+                if d <= max_hamming:
+                    out_a.append(min(ids[x], ids[y]))
+                    out_b.append(max(ids[x], ids[y]))
+                    out_d.append(d)
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "hamming": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3, max_group: int = 512) -> Dataset:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming, distributed:
+    16-bit chunk explode -> chunk-key groupby -> in-group hamming -> pair
+    dedup groupby. The signature table never materializes on the driver."""
+    sh = simhash_docs(sf_dir)
+    exploded = sh.map_batches(
+        _simhash_explode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    pairs = exploded.groupby("chunk_key").map_groups(
+        _simhash_pairs_group(max_hamming, max_group), batch_format="pyarrow"
+    )
+    # a pair can match in up to 4 chunks: dedup on the pair key
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda t: t.slice(0, 1), batch_format="pyarrow"
     )
 
 
@@ -248,61 +397,103 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> "pa.Table":
 # embedding-cosine near-dup
 
 
-def embedding_near_dups(sf_dir: str, threshold: float = 0.95, planes: int = 12) -> "pa.Table":
-    """Near-dup pairs by embedding cosine >= threshold, bucketed by random
-    hyperplane LSH (the scale path: candidates only within sign-pattern
-    buckets; brute force only inside buckets)."""
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    rng = np.random.default_rng(13)
-    planes_mat: np.ndarray | None = None
+class _HyperplaneBands:
+    """Multi-band random-hyperplane LSH: n_bands bands of band_bits sign
+    bits. Collision prob per bit at cosine 0.95 is 1-acos(.95)/pi ~ 0.899,
+    so recall = 1-(1-0.899^8)^24 ~ 1-2e-6 — near-exhaustive at the 0.95
+    threshold while buckets stay tiny. Planes are regenerated from a fixed
+    seed per actor (a few KB; deterministic across processes).
 
-    def bucketize(t: pa.Table) -> pa.Table:
-        nonlocal planes_mat
+    Scale note: rows carry the normalized vector into the band shuffle
+    (n_bands x vector amplification). At 100 TB drop n_bands / use a
+    vec_id-only first pass + hash-join fetch; for the near-dup thresholds
+    this engine targets, the carried-vector form is the latency winner."""
+
+    def __init__(self, dim: int, band_bits: int = 8, n_bands: int = 24, seed: int = 13):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, band_bits * n_bands))
+        self.band_bits = band_bits
+        self.n_bands = n_bands
+
+    def __call__(self, t: pa.Table) -> pa.Table:
         emb = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         emb = np.divide(emb, norms, where=norms > 0)
-        if planes_mat is None:
-            local_rng = np.random.default_rng(13)  # same seed every task — deterministic
-            pm = local_rng.standard_normal((emb.shape[1], planes))
-        else:
-            pm = planes_mat
-        signs = (emb @ pm) > 0
-        bucket = np.packbits(signs, axis=1, bitorder="little")[:, :2]
-        bucket_id = bucket[:, 0].astype(np.int64) + (bucket[:, 1].astype(np.int64) << 8)
+        signs = (emb @ self.planes) > 0  # (n, n_bands*band_bits)
+        n = emb.shape[0]
+        weights = 1 << np.arange(self.band_bits)
+        out_key, out_id, out_vec = [], [], []
+        ids = t["vec_id"].to_pylist()
+        vec_lists = emb.tolist()
+        for band in range(self.n_bands):
+            sl = signs[:, band * self.band_bits : (band + 1) * self.band_bits]
+            key = (sl @ weights) + (band << self.band_bits)
+            out_key.extend(key.tolist())
+            out_id.extend(ids)
+            out_vec.extend(vec_lists)
         return pa.table(
             {
-                "vec_id": t["vec_id"],
-                "bucket": pa.array(bucket_id, pa.int64()),
-                "vec": pa.array([v.tolist() for v in emb], pa.list_(pa.float64())),
+                "band_key": pa.array(out_key, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "vec": pa.array(out_vec, pa.list_(pa.float64())),
             }
         )
 
-    bucketed = ds.map_batches(bucketize, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
-    def pairs(t: pa.Table) -> pa.Table:
-        ids = t["vec_id"].to_pylist()
-        vecs = np.asarray(t["vec"].to_pylist(), dtype=np.float64)
+def _cosine_pairs_group(threshold: float, max_group: int):
+    def fn(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        order = np.argsort(ids)
+        if len(order) > max_group:
+            logger.warning("hyperplane bucket capped: %d > %d", len(order), max_group)
+            order = order[:max_group]
+        ids = ids[order]
+        vecs = np.asarray(t["vec"].to_pylist(), dtype=np.float64)[order]
         sims = vecs @ vecs.T
         ii, jj = np.where(np.triu(sims >= threshold, k=1))
         return pa.table(
             {
-                "vec_a": pa.array([min(ids[i], ids[j]) for i, j in zip(ii, jj)], pa.int64()),
-                "vec_b": pa.array([max(ids[i], ids[j]) for i, j in zip(ii, jj)], pa.int64()),
+                "vec_a": pa.array(ids[ii], pa.int64()),
+                "vec_b": pa.array(ids[jj], pa.int64()),
                 "cosine": pa.array(np.round(sims[ii, jj], 6), pa.float64()),
             }
         )
 
-    result = bucketed.groupby("bucket").map_groups(pairs, batch_format="pyarrow")
-    tbl = pa.Table.from_pylist(result.take_all()) if result.count() else pa.table(
-        {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
-         "cosine": pa.array([], pa.float64())}
+    return fn
+
+
+def embedding_near_dups(
+    sf_dir: str, threshold: float = 0.95, band_bits: int = 8, n_bands: int = 24,
+    max_group: int = 4096,
+) -> "pa.Table":
+    """Near-dup pairs by embedding cosine >= threshold: multi-band
+    hyperplane LSH buckets -> exact within-bucket cosine -> pair-key dedup.
+    ONE streaming execution (the round-1 version executed the pipeline twice
+    and used a single 12-bit band with unmeasured recall; recall of this
+    config is ~1-2e-6 at tau=0.95 and unit-gated with constructed near-dup
+    pairs in tests/test_dedup_suite.py)."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    dim = len(ds.take(1)[0]["embedding"])
+    bucketed = ds.map_batches(
+        _HyperplaneBands,
+        fn_constructor_args=(dim, band_bits, n_bands),
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=(1, 4),
+        zero_copy_batch=True,
     )
-    if tbl.num_rows:
-        tbl = tbl.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])
-    return tbl
-
-
-def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> "pa.Table":
-    """Exact n-gram Jaccard near-dup pairs via LSH candidates at a lower
-    threshold then exact verify (tighter recall than raw MinHash)."""
-    return minhash_dup_groups(sf_dir, threshold=threshold)
+    pairs = bucketed.groupby("band_key").map_groups(
+        _cosine_pairs_group(threshold, max_group), batch_format="pyarrow"
+    )
+    deduped = pairs.groupby(["vec_a", "vec_b"]).map_groups(
+        lambda t: t.slice(0, 1), batch_format="pyarrow"
+    )
+    # verified near-dup pairs are tiny by construction: collect into an Arrow
+    # table with an EXPLICIT schema (an empty Dataset loses its schema, which
+    # would fail the driver's schema compare on fixtures with no near-dups)
+    return pa.Table.from_pylist(
+        deduped.take_all(),
+        schema=pa.schema(
+            [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cosine", pa.float64())]
+        ),
+    )

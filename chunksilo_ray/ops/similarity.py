@@ -81,10 +81,20 @@ def ivf_topk(sf_dir: str, vec_id: int = 0, k: int = 10, n_cells: int = 16, n_pro
     search only the n_probe nearest cells. The scale path for 100 TB:
     centroid assignment is a per-batch matmul; only ~n_probe/n_cells of the
     data is scanned at query time."""
-    # deterministic "training" sample: first 256 vectors by vec_id
+    # deterministic "training" sample WITHOUT a global sort (round-1 used
+    # sort("vec_id").limit(256) — a full shuffle just to draw a sample):
+    # multiplicative-hash filter keeps ~1/4 of ids uniformly, then limit()
+    # stops the stream early; fully deterministic for a given input.
+    def hash_sample(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        keep = ((ids * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)) < np.uint64(1 << 30)
+        return t.filter(pa.array(keep))
+
     sample = (
         _emb(sf_dir)
-        .sort("vec_id")
+        .map_batches(hash_sample, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
         .limit(256)
         .take_all()
     )
@@ -142,8 +152,10 @@ def ivf_topk(sf_dir: str, vec_id: int = 0, k: int = 10, n_cells: int = 16, n_pro
 
 
 def label_centroids(sf_dir: str) -> Dataset:
-    """Mean embedding per label: list-column aggregation via per-batch
-    partial sums -> tiny final combine (mergeable-sketch pattern)."""
+    """Mean embedding per label: per-batch partial sums -> tiny final
+    combine (mergeable-sketch pattern). Output is FLAT (label, dim, value,
+    n_vectors) rows — one per centroid component — so the oracle compare is
+    over scalar columns (list-column hashing is representation-sensitive)."""
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -166,11 +178,14 @@ def label_centroids(sf_dir: str) -> Dataset:
     def merge_group(t: pa.Table) -> pa.Table:
         sums = np.asarray(t["vec_sum"].to_pylist(), dtype=np.float64).sum(axis=0)
         n = int(sum(t["n"].to_pylist()))
+        vals = np.round(sums / n, 6)
+        d = len(vals)
         return pa.table(
             {
-                "label": pa.array([t["label"][0].as_py()], pa.int32()),
-                "centroid": pa.array([np.round(sums / n, 6).tolist()], pa.list_(pa.float64())),
-                "n_vectors": pa.array([n], pa.int64()),
+                "label": pa.array([t["label"][0].as_py()] * d, pa.int32()),
+                "dim": pa.array(np.arange(1, d + 1), pa.int64()),
+                "value": pa.array(vals, pa.float64()),
+                "n_vectors": pa.array([n] * d, pa.int64()),
             }
         )
 

@@ -56,7 +56,25 @@ def extract_markdown_headings(text: str) -> list[dict]:
     return out
 
 
-def doc_headings(sf_dir: str) -> Dataset:
+HEADINGS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("heading", pa.string()),
+        ("position", pa.int64()),
+        ("level", pa.int64()),
+    ]
+)
+
+
+def doc_headings(sf_dir: str) -> "pa.Table":
+    """Flat (doc_id, heading, position, level) rows over documents, collected
+    into an Arrow table with an explicit schema (corpora without markdown
+    yield 0 rows, and an empty Dataset loses its schema in the oracle
+    compare). The streaming form is doc_headings_ds."""
+    return pa.Table.from_pylist(doc_headings_ds(sf_dir).take_all(), schema=HEADINGS_SCHEMA)
+
+
+def doc_headings_ds(sf_dir: str) -> Dataset:
     """Flat (doc_id, heading, position, level) rows over documents."""
     ds = _docs(sf_dir, ["doc_id", "text"])
 
@@ -73,7 +91,7 @@ def doc_headings(sf_dir: str) -> Dataset:
                 "doc_id": pa.array(ids, pa.int64()),
                 "heading": pa.array(heads, pa.string()),
                 "position": pa.array(positions, pa.int64()),
-                "level": pa.array(levels, pa.int32()),
+                "level": pa.array(levels, pa.int64()),
             }
         )
 
@@ -98,67 +116,72 @@ def bm25_topk(
     sf_dir: str, query: str = "data processing pipeline", k: int = 10,
     k1: float = 1.5, b: float = 0.75,
 ) -> pa.Table:
-    """Distributed BM25 top-k over document text.
+    """Distributed BM25 top-k over document text, SINGLE tokenization pass.
 
-    Pass 1 (tiny): per-batch partial (df, doc count, token-length sum) for
-    the query terms only -> driver combine -> broadcast idf + avgdl.
-    Pass 2: vectorized per-batch tf scan + BM25 score, per-batch top-k, one
-    global sort+limit over the (tiny) partial top-ks."""
+    Pass 1 tokenizes each doc ONCE into a narrow (doc_id, dl, tf-vector)
+    table, materialized in the object store (ints only — orders of magnitude
+    smaller than the text). The corpus stats (df per term, N, total length)
+    are a tiny aggregate over that table, and the scoring pass is pure
+    arithmetic over it — the text column is read exactly once end to end
+    (the round-1 version re-tokenized the full corpus in a second pass).
+    Ties broken by doc_id so the ranking is wholly deterministic (and
+    matches the oracle's ORDER BY bm25 DESC, doc_id)."""
     terms = [t for t in tokenize_surface(query) if t]
     if not terms:
         return pa.table({"doc_id": pa.array([], pa.int64()), "bm25": pa.array([], pa.float64())})
     term_set = list(dict.fromkeys(terms))
+    nt = len(term_set)
     ds = _docs(sf_dir, ["doc_id", "text"])
 
-    def partial_stats(t: pa.Table) -> pa.Table:
+    def tf_pass(t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
-        df = np.zeros(len(term_set), dtype=np.int64)
-        n_docs = len(texts)
-        len_sum = 0
-        for x in texts:
+        n = len(texts)
+        dl = np.zeros(n, dtype=np.int64)
+        tf = np.zeros((n, nt), dtype=np.int64)
+        for i, x in enumerate(texts):
             toks = [w.lower() for w in _WORD_RE.findall(x)]
-            len_sum += len(toks)
-            tokset = set(toks)
-            for i, term in enumerate(term_set):
-                if term in tokset:
-                    df[i] += 1
+            dl[i] = len(toks)
+            for j, term in enumerate(term_set):
+                tf[i, j] = toks.count(term)
         return pa.table(
             {
-                "term_idx": pa.array(range(len(term_set)), pa.int32()),
-                "df": pa.array(df, pa.int64()),
-                "n_docs": pa.array([n_docs] * len(term_set), pa.int64()),
-                "len_sum": pa.array([len_sum] * len(term_set), pa.int64()),
+                "doc_id": t["doc_id"],
+                "dl": pa.array(dl),
+                "tf": pa.array(tf.tolist(), pa.list_(pa.int64())),
             }
         )
 
-    stats_rows = ds.map_batches(
-        partial_stats, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-    ).take_all()
-    df = np.zeros(len(term_set), dtype=np.int64)
+    tf_ds = ds.map_batches(
+        tf_pass, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).materialize()
+
+    def partial_stats(t: pa.Table) -> pa.Table:
+        tf = np.asarray(t["tf"].to_pylist(), dtype=np.int64)
+        return pa.table(
+            {
+                "df": pa.array([(tf > 0).sum(axis=0).tolist()], pa.list_(pa.int64())),
+                "n_docs": pa.array([t.num_rows], pa.int64()),
+                "len_sum": pa.array([int(pc.sum(t["dl"]).as_py() or 0)], pa.int64()),
+            }
+        )
+
+    df = np.zeros(nt, dtype=np.int64)
     n_docs = 0
     len_sum = 0
-    for r in stats_rows:
-        df[r["term_idx"]] += r["df"]
-        if r["term_idx"] == 0:
-            n_docs += r["n_docs"]
-            len_sum += r["len_sum"]
+    for r in tf_ds.map_batches(
+        partial_stats, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).take_all():
+        df += np.asarray(r["df"], dtype=np.int64)
+        n_docs += r["n_docs"]
+        len_sum += r["len_sum"]
     avgdl = max(1.0, len_sum / max(1, n_docs))
     idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
     def score(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        scores = np.zeros(len(texts), dtype=np.float64)
-        for i, x in enumerate(texts):
-            toks = [w.lower() for w in _WORD_RE.findall(x)]
-            dl = len(toks)
-            if not dl:
-                continue
-            s = 0.0
-            for j, term in enumerate(term_set):
-                tf = toks.count(term)
-                if tf:
-                    s += idf[j] * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
-            scores[i] = s
+        tf = np.asarray(t["tf"].to_pylist(), dtype=np.float64)
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        denom = tf + k1 * (1 - b + b * dl[:, None] / avgdl)
+        scores = np.where(tf > 0, idf[None, :] * tf * (k1 + 1) / denom, 0.0).sum(axis=1)
         keep = np.flatnonzero(scores > 0)
         if keep.size > k:
             keep = keep[np.argpartition(-scores[keep], k)[:k]]
@@ -170,10 +193,11 @@ def bm25_topk(
         )
 
     top = (
-        ds.map_batches(score, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-        .sort("bm25", descending=True)
+        tf_ds.map_batches(score, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .sort(["bm25", "doc_id"], descending=[True, False])
         .limit(k)
     )
-    return pa.Table.from_pylist(top.take_all()) if top.count() else pa.table(
+    rows = top.take_all()
+    return pa.Table.from_pylist(rows) if rows else pa.table(
         {"doc_id": pa.array([], pa.int64()), "bm25": pa.array([], pa.float64())}
     )

@@ -10,7 +10,6 @@ rolling-hash fingerprints) ship rows-only checks.
 from __future__ import annotations
 
 import re
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -77,23 +76,32 @@ class LangIdActor:
     def __call__(self, t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
         langs: list[str] = []
-        scores: list[float] = []
+        hits_out: list[int] = []
+        ntok_out: list[int] = []
         for x in texts:
             toks = [w.lower() for w in self.word.findall(x)]
-            if not toks:
+            n = len(toks)
+            if n == 0:
                 langs.append("und")
-                scores.append(0.0)
+                hits_out.append(0)
+                ntok_out.append(0)
                 continue
-            best_lang, best = "und", 0.0
+            best_lang, best = "und", 0
+            # insertion order breaks ties (en > de > fr > es), strictly-greater
+            # to advance — the oracle SQL mirrors this with ordered CASE arms
             for lang, prof in self.profiles.items():
-                hit = sum(1 for w in toks if w in prof) / len(toks)
+                hit = sum(1 for w in toks if w in prof)
                 if hit > best:
                     best_lang, best = lang, hit
-            langs.append(best_lang if best > 0.05 else "und")
-            scores.append(round(best, 6))
+            # confidence gate best/n > 0.05 as the exact integer compare
+            # 20*best > n (float-rounding-proof; SQL does the same)
+            langs.append(best_lang if 20 * best > n else "und")
+            hits_out.append(best)
+            ntok_out.append(n)
         out = t.select([c for c in ("doc_id",) if c in t.column_names])
         out = out.append_column("pred_lang", pa.array(langs, pa.string()))
-        out = out.append_column("lang_score", pa.array(scores, pa.float64()))
+        out = out.append_column("n_hits", pa.array(hits_out, pa.int64()))
+        out = out.append_column("n_tokens", pa.array(ntok_out, pa.int64()))
         return out
 
 
@@ -104,9 +112,13 @@ def detect_language(sf_dir: str) -> Dataset:
 
 
 def quality_scores(sf_dir: str) -> Dataset:
-    """Heuristic quality metrics: length, punctuation ratio, stopword ratio,
-    mean word length — the standard pretraining-corpus quality gates, fully
-    vectorized per batch."""
+    """Heuristic quality metrics: the standard pretraining-corpus gates
+    (punctuation ratio = 1 - n_alnum/n_chars, stopword ratio =
+    n_stop/n_words, mean word length = n_alnum/n_words) emitted as their
+    EXACT integer components — ratio columns are derived client-side, so
+    the oracle compare never hinges on float rounding at dyadic boundaries
+    (n_chars=128 with odd counts rounds differently under banker's vs
+    half-away rounding)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
     from ..functions.textutils import STOPWORDS
 
@@ -114,27 +126,22 @@ def quality_scores(sf_dir: str) -> Dataset:
         texts = t["text"].to_pylist()
         n = len(texts)
         n_chars = np.empty(n, np.int64)
-        punct_ratio = np.empty(n, np.float64)
-        stop_ratio = np.empty(n, np.float64)
-        mean_word_len = np.empty(n, np.float64)
+        n_alnum = np.empty(n, np.int64)
+        n_words = np.empty(n, np.int64)
+        n_stop = np.empty(n, np.int64)
         for i, x in enumerate(texts):
             n_chars[i] = len(x)
             words = _WORD_RE.findall(x)
-            n_alnum = sum(len(w) for w in words)
-            punct_ratio[i] = 0.0 if not x else 1.0 - n_alnum / len(x)
-            if words:
-                stop_ratio[i] = sum(1 for w in words if w.lower() in STOPWORDS) / len(words)
-                mean_word_len[i] = n_alnum / len(words)
-            else:
-                stop_ratio[i] = 0.0
-                mean_word_len[i] = 0.0
+            n_alnum[i] = sum(len(w) for w in words)
+            n_words[i] = len(words)
+            n_stop[i] = sum(1 for w in words if w.lower() in STOPWORDS)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
                 "n_chars": pa.array(n_chars),
-                "punct_ratio": pa.array(np.round(punct_ratio, 6)),
-                "stop_ratio": pa.array(np.round(stop_ratio, 6)),
-                "mean_word_len": pa.array(np.round(mean_word_len, 6)),
+                "n_alnum": pa.array(n_alnum),
+                "n_words": pa.array(n_words),
+                "n_stop": pa.array(n_stop),
             }
         )
 
@@ -142,32 +149,36 @@ def quality_scores(sf_dir: str) -> Dataset:
 
 
 def fingerprint_docs(sf_dir: str, window: int = 64) -> Dataset:
-    """Rolling-hash document fingerprint: crc32 over sliding character
-    windows, keep the minimum (a 1-perm MinHash — deterministic winnowing-
-    style fingerprint)."""
+    """Winnowing-style document fingerprint: md5 over sliding character
+    windows (stride = window/2), keep the minimum digest prefix (a 1-perm
+    MinHash). Hex-string output so the DuckDB oracle computes the identical
+    value with md5(substring(...)) — lexicographic min on fixed-width hex
+    equals numeric min."""
+    import hashlib
+
     ds = _docs(sf_dir, ["doc_id", "text"])
+    stride = window // 2
+
+    def h16(s: str) -> str:
+        return hashlib.md5(s.encode("utf-8")).hexdigest()[:16]
 
     def f(t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
         fps = []
         full = []
         for x in texts:
-            data = x.encode("utf-8", "ignore")
-            full.append(zlib.crc32(data))
-            if len(data) <= window:
-                fps.append(zlib.crc32(data))
+            full.append(hashlib.md5(x.encode("utf-8")).hexdigest())
+            if len(x) <= window:
+                fps.append(h16(x))
             else:
                 fps.append(
-                    min(
-                        zlib.crc32(data[i : i + window])
-                        for i in range(0, len(data) - window + 1, window // 2)
-                    )
+                    min(h16(x[i : i + window]) for i in range(0, len(x) - window + 1, stride))
                 )
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "fingerprint": pa.array(fps, pa.int64()),
-                "content_crc": pa.array(full, pa.int64()),
+                "fingerprint": pa.array(fps, pa.string()),
+                "content_md5": pa.array(full, pa.string()),
             }
         )
 

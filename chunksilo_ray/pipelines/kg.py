@@ -171,6 +171,8 @@ def build_kg(
             shingle_k=canon_cfg["shingle_k"],
             max_group=canon_cfg["max_group"],
             max_pairs=canon_cfg["max_pairs"],
+            jaccard_threshold=canon_cfg["jaccard_threshold"],
+            cosine_threshold=canon_cfg["cosine_threshold"],
         )
         cmap_path.write_text(json.dumps({"fingerprint": cmap_fp, "map": cmap}))
 

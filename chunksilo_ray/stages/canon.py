@@ -49,15 +49,41 @@ def _hash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def _minhash_sig_exact(base: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Exact ``min((a*x + b) mod (2^61-1))`` over 32-bit base hashes ``x``,
+    fully vectorized in uint64 with NO silent overflow.
+
+    The naive int64 product a*x wraps (a can be ~2^61, x up to 2^32), so the
+    multiply is split: with a = a_hi*2^31 + a_lo (a_hi < 2^30, a_lo < 2^31)
+    and x < 2^32,
+
+        a*x mod M = (a_lo*x mod M) + ((a_hi*x mod M) * 2^31 mod M)   (mod M)
+
+    where a_lo*x < 2^63 and a_hi*x < 2^62 fit uint64 exactly, and the final
+    *2^31 uses 2^61 === 1 (mod M): y*2^31 = (y>>30) + ((y & (2^30-1)) << 31)
+    (mod M). Verified bit-equal to a pure-Python big-int reference in
+    tests/test_canon.py."""
+    M = np.uint64(_MERSENNE)
+    x = base.astype(np.uint64)[None, :]
+    au = a.astype(np.uint64)[:, None]
+    bu = b.astype(np.uint64)[:, None]
+    a_hi = au >> np.uint64(31)
+    a_lo = au & np.uint64((1 << 31) - 1)
+    t1 = (a_lo * x) % M
+    t2 = (a_hi * x) % M
+    r = ((t2 >> np.uint64(30)) + ((t2 & np.uint64((1 << 30) - 1)) << np.uint64(31))) % M
+    vals = (t1 + r + bu) % M
+    return vals.min(axis=1).astype(np.int64)
+
+
 def minhash_signature(norm: str, a: np.ndarray, b: np.ndarray, k: int = rules.SHINGLE_K) -> np.ndarray:
-    """num_perm minhash values over crc32-hashed char shingles."""
+    """num_perm minhash values over crc32-hashed char shingles (exact
+    mod-Mersenne universal hashing, see _minhash_sig_exact)."""
     shingles = rules.char_shingles(norm, k)
     base = np.fromiter(
-        (zlib.crc32(s.encode("utf-8")) for s in shingles), dtype=np.int64, count=len(shingles)
+        (zlib.crc32(s.encode("utf-8")) for s in shingles), dtype=np.uint64, count=len(shingles)
     )
-    # (num_perm, n_shingles) universal hashing, min over shingles
-    vals = (a[:, None] * base[None, :] + b[:, None]) % _MERSENNE
-    return vals.min(axis=1)
+    return _minhash_sig_exact(base, a, b)
 
 
 class _BandRows:
@@ -111,30 +137,41 @@ def _candidate_pairs_group(max_group: int):
     return fn
 
 
-def verify_pair(a: str, b: str) -> bool:
-    """Exact verify shared with the oracle: jaccard OR BoW-cosine threshold."""
+def verify_pair(
+    a: str,
+    b: str,
+    jaccard_threshold: float = rules.JACCARD_THRESHOLD,
+    cosine_threshold: float = rules.COSINE_THRESHOLD,
+) -> bool:
+    """Exact verify shared with the oracle: jaccard OR BoW-cosine threshold.
+    Thresholds default to the rules.py spec constants and are threaded from
+    the ``canon`` config section by build_canonical_map (so the config knobs
+    are live, and checkpoint fingerprints change WITH behavior)."""
     ja = rules.jaccard(rules.char_shingles(a), rules.char_shingles(b))
-    if ja >= rules.JACCARD_THRESHOLD:
+    if ja >= jaccard_threshold:
         return True
     va, vb = bow_hash_embed([a.replace("-", " "), b.replace("-", " ")])
-    return float(va @ vb) >= rules.COSINE_THRESHOLD
+    return float(va @ vb) >= cosine_threshold
 
 
-def _verify_batch(t: pa.Table) -> pa.Table:
-    # batch-local pair dedup first: the same pair fires in many LSH bands
-    seen: set[tuple[str, str]] = set()
-    av = t.column("a").to_pylist()
-    bv = t.column("b").to_pylist()
-    keep_a: list[str] = []
-    keep_b: list[str] = []
-    for x, y in zip(av, bv):
-        if (x, y) in seen:
-            continue
-        seen.add((x, y))
-        if verify_pair(x, y):
-            keep_a.append(x)
-            keep_b.append(y)
-    return pa.table({"a": pa.array(keep_a, pa.string()), "b": pa.array(keep_b, pa.string())})
+def _verify_batch_fn(jaccard_threshold: float, cosine_threshold: float):
+    def _verify_batch(t: pa.Table) -> pa.Table:
+        # batch-local pair dedup first: the same pair fires in many LSH bands
+        seen: set[tuple[str, str]] = set()
+        av = t.column("a").to_pylist()
+        bv = t.column("b").to_pylist()
+        keep_a: list[str] = []
+        keep_b: list[str] = []
+        for x, y in zip(av, bv):
+            if (x, y) in seen:
+                continue
+            seen.add((x, y))
+            if verify_pair(x, y, jaccard_threshold, cosine_threshold):
+                keep_a.append(x)
+                keep_b.append(y)
+        return pa.table({"a": pa.array(keep_a, pa.string()), "b": pa.array(keep_b, pa.string())})
+
+    return _verify_batch
 
 
 class UnionFind:
@@ -182,6 +219,8 @@ def build_canonical_map(
     max_group: int = 256,
     max_pairs: int = 2_000_000,
     driver_threshold: int = 200_000,
+    jaccard_threshold: float = rules.JACCARD_THRESHOLD,
+    cosine_threshold: float = rules.COSINE_THRESHOLD,
 ) -> dict[str, str]:
     """Full distributed candidate generation + verify; returns the (small)
     canonical map for the driver to broadcast. ``mentions`` is the exploded
@@ -219,7 +258,10 @@ def build_canonical_map(
     if len(norms) <= driver_threshold:
         # fast path: banding + verify locally — same algorithm, no extra
         # distributed execution on the critical path
-        return _driver_lsh_map(sorted(norms), num_perm, bands, shingle_k, max_group)
+        return _driver_lsh_map(
+            sorted(norms), num_perm, bands, shingle_k, max_group,
+            jaccard_threshold, cosine_threshold,
+        )
 
     # scale path: distribute banding + candidate pairing + verification
     distinct = rd.from_items([{"norm": n} for n in sorted(norms)])
@@ -232,7 +274,10 @@ def build_canonical_map(
     # verify with batch-local pair dedup (the same pair fires in many bands);
     # the final cross-batch dedup happens in the driver's set — the edge list
     # is small by construction (capped buckets, verified pairs only)
-    verified = pairs.map_batches(_verify_batch, batch_format="pyarrow", batch_size=8192)
+    verified = pairs.map_batches(
+        _verify_batch_fn(jaccard_threshold, cosine_threshold),
+        batch_format="pyarrow", batch_size=8192,
+    )
     edge_rows = verified.take(max_pairs)
     if len(edge_rows) >= max_pairs:
         logger.warning("canonical edge list hit max_pairs=%d cap", max_pairs)
@@ -241,7 +286,13 @@ def build_canonical_map(
 
 
 def _driver_lsh_map(
-    norms: list[str], num_perm: int, bands: int, shingle_k: int, max_group: int
+    norms: list[str],
+    num_perm: int,
+    bands: int,
+    shingle_k: int,
+    max_group: int,
+    jaccard_threshold: float = rules.JACCARD_THRESHOLD,
+    cosine_threshold: float = rules.COSINE_THRESHOLD,
 ) -> dict[str, str]:
     """Single-process LSH banding + verify over a small distinct-norm set —
     identical algorithm/parameters to the distributed path."""
@@ -267,7 +318,7 @@ def _driver_lsh_map(
                 if pair in seen:
                     continue
                 seen.add(pair)
-                if verify_pair(*pair):
+                if verify_pair(*pair, jaccard_threshold, cosine_threshold):
                     edges.append(pair)
     return canonical_map_from_edges(edges)
 

@@ -84,9 +84,18 @@ class TestSimilarity:
         from chunksilo_ray.ops.similarity import label_centroids
 
         rows = label_centroids(SF).take_all()
-        assert len(rows) >= 2
-        assert all(len(r["centroid"]) == len(rows[0]["centroid"]) for r in rows)
-        assert sum(r["n_vectors"] for r in rows) == 500
+        labels = {r["label"] for r in rows}
+        assert len(labels) >= 2
+        # flat (label, dim, value, n_vectors) rows: every label covers the
+        # same dim range, and per-label vector counts sum to the corpus size
+        dims_by_label = {}
+        n_by_label = {}
+        for r in rows:
+            dims_by_label.setdefault(r["label"], set()).add(r["dim"])
+            n_by_label[r["label"]] = r["n_vectors"]
+        dim0 = next(iter(dims_by_label.values()))
+        assert all(d == dim0 for d in dims_by_label.values())
+        assert sum(n_by_label.values()) == 500
 
 
 class TestTextSearch:
