@@ -31,6 +31,9 @@ DEFAULTS: dict[str, Any] = {
         "concurrency": 0,  # 0 = size pool from cluster CPUs (util.pool_bounds)
         "num_cpus": 1,
         "batch_size": 2048,
+        # wall-clock budget per row in the extraction actor (reference
+        # per_file_seconds, cfgload.py:74-80): over-budget rows dead-letter
+        "per_row_seconds": 5.0,
     },
     "canon": {
         "num_perm": 64,  # MinHash permutations

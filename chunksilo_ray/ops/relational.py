@@ -194,73 +194,167 @@ def union_regions_dedup(sf_dir: str) -> Dataset:
 # ---------------------------------------------------------------------------
 # joins
 
-
-def customers_per_nation(sf_dir: str) -> Dataset:
-    """Broadcast hash join: nation (small) shipped once via ray.put, looked
-    up vectorized per batch (SURVEY.md §2.4 broadcast-map-join pattern)."""
-    nation = _pq(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    lookup_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
-    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-
-    class JoinNation:
-        def __init__(self, ref):
-            lut = ray.get(ref)
-            self.keys = np.fromiter(lut.keys(), dtype=np.int64)
-            self.vals = np.array(list(lut.values()), dtype=object)
-            order = np.argsort(self.keys)
-            self.keys, self.vals = self.keys[order], self.vals[order]
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            nk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-            pos = np.searchsorted(self.keys, nk)
-            names = self.vals[np.clip(pos, 0, len(self.vals) - 1)]
-            return t.append_column("n_name", pa.array(names.tolist(), pa.string()))
-
-    return (
-        cust.map_batches(JoinNation, fn_constructor_args=(lookup_ref,),
-                         batch_format="pyarrow", batch_size=None, concurrency=(1, 4))
-        .groupby("n_name")
-        .aggregate(Count(alias_name="n_customers"))
-    )
+# Driver-side broadcast budget: dimension tables beyond this row count are
+# NOT collected/broadcast — the join degrades to a tagged-union co-groupby
+# hash join (one shuffle). ~5M rows x ~50B/row ~ 250MB object, the sane
+# ceiling for a per-actor lookup replica on a 128GiB worker.
+BROADCAST_ROW_LIMIT = 5_000_000
 
 
-def orders_with_customer_segment(sf_dir: str) -> Dataset:
-    """Broadcast join of orders against the customer dimension, then grouped
-    revenue per market segment."""
-    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
-    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+def _as_arrow_type(typ) -> pa.DataType:
+    """Ray Schema.types mixes Arrow DataTypes, numpy dtypes and plain Python
+    classes depending on the block format — normalize to Arrow."""
+    if isinstance(typ, pa.DataType):
+        return typ
+    if typ is str:
+        return pa.string()
+    if typ is int:
+        return pa.int64()
+    if typ is float:
+        return pa.float64()
+    dt = np.dtype(typ)
+    if dt == np.dtype(object):  # pandas object columns are strings here
+        return pa.string()
+    return pa.from_numpy_dtype(dt)
 
-    class JoinSeg:
+
+def broadcast_inner_join(
+    fact: Dataset,
+    fact_key: str,
+    dim_df,
+    dim_key: str,
+    dim_cols: list[str],
+    broadcast_limit: int = BROADCAST_ROW_LIMIT,
+) -> Dataset:
+    """Inner join of a fact Dataset against a dimension pandas frame.
+
+    Small dim (<= broadcast_limit rows): ship once via ray.put, vectorized
+    sorted-array lookup per batch; rows whose key is ABSENT from the dim are
+    dropped (true inner semantics — the round-1 version clipped searchsorted
+    and silently attached the nearest dimension row).
+    Large dim: tagged-union co-groupby hash join (one shuffle, no driver
+    materialization of the dim beyond this frame — callers with truly huge
+    dims should pass a Dataset-backed path instead)."""
+    if len(dim_df) > broadcast_limit:
+        fact_cols = [c for c in fact.columns() if c != fact_key]
+        dim_ds = rd.from_pandas(dim_df[[dim_key, *dim_cols]])
+        return _shuffle_inner_join(fact, fact_key, fact_cols, dim_ds, dim_key, dim_cols)
+
+    keys = dim_df[dim_key].to_numpy().astype(np.int64)
+    order = np.argsort(keys)
+    payload = (keys[order], {c: dim_df[c].to_numpy()[order] for c in dim_cols})
+    ref = ray.put(payload)
+
+    class BJoin:
         def __init__(self, r):
-            self.lut = ray.get(r)
+            self.keys, self.cols = ray.get(r)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            seg = [self.lut.get(k) for k in t["o_custkey"].to_pylist()]
-            return t.append_column("c_mktsegment", pa.array(seg, pa.string()))
+            nk = t[fact_key].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.clip(np.searchsorted(self.keys, nk), 0, len(self.keys) - 1)
+            valid = self.keys[pos] == nk
+            t = t.filter(pa.array(valid))
+            hit = pos[valid]
+            for name, vals in self.cols.items():
+                t = t.append_column(name, pa.array(vals[hit].tolist()))
+            return t
 
-    joined = (
-        orders.map_batches(JoinSeg, fn_constructor_args=(ref,),
-                           batch_format="pyarrow", batch_size=None, concurrency=(1, 4))
-        .groupby("c_mktsegment")
-        .aggregate(Sum("o_totalprice", alias_name="segment_revenue"),
-                   Count(alias_name="n_orders"))
+    return fact.map_batches(BJoin, fn_constructor_args=(ref,),
+                            batch_format="pyarrow", batch_size=None, concurrency=(1, 4))
+
+
+def _shuffle_inner_join(
+    fact: Dataset, fact_key: str, fact_cols: list[str],
+    dim: Dataset, dim_key: str, dim_cols: list[str],
+) -> Dataset:
+    """Hash-partition join: both sides tagged onto one union schema, ONE
+    groupby(key) co-locates matching rows, the group fn stitches them
+    (ops/joins.py co-groupby pattern, generalized)."""
+    types: dict[str, pa.DataType] = {}
+    for sch in (fact.schema(), dim.schema()):
+        for name, typ in zip(sch.names, sch.types):
+            types.setdefault(name, _as_arrow_type(typ))
+
+    def tag(side: int, key_col: str, present: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols: dict[str, pa.Array] = {
+                "__key": pc.cast(t[key_col], pa.int64()),
+                "__side": pa.array(np.full(n, side, dtype=np.int8)),
+            }
+            for c in fact_cols + dim_cols:
+                cols[c] = t[c] if c in present else pa.nulls(n, type=types[c])
+            return pa.table(cols)
+
+        return fn
+
+    tagged = fact.map_batches(
+        tag(1, fact_key, fact_cols), batch_format="pyarrow", batch_size=None
+    ).union(dim.map_batches(tag(0, dim_key, dim_cols), batch_format="pyarrow", batch_size=None))
+
+    def join_group(t: pa.Table) -> pa.Table:
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        dim_idx = np.flatnonzero(side == 0)
+        fact_idx = np.flatnonzero(side == 1)
+        if dim_idx.size == 0 or fact_idx.size == 0:
+            return t.slice(0, 0).select(fact_cols + dim_cols)
+        f = t.take(pa.array(fact_idx)).select(fact_cols)
+        d0 = int(dim_idx[0])
+        for c in dim_cols:
+            v = t[c][d0].as_py()
+            f = f.append_column(c, pa.array([v] * f.num_rows, type=types[c]))
+        return f
+
+    return tagged.groupby("__key").map_groups(join_group, batch_format="pyarrow")
+
+
+def customers_per_nation(sf_dir: str, broadcast_limit: int = BROADCAST_ROW_LIMIT) -> Dataset:
+    """Broadcast hash join: nation (small) shipped once via ray.put, looked
+    up vectorized per batch (SURVEY.md §2.4 broadcast-map-join pattern);
+    degrades to a co-groupby shuffle join past the broadcast budget."""
+    nation = _pq(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = broadcast_inner_join(
+        cust, "c_nationkey", nation, "n_nationkey", ["n_name"], broadcast_limit
     )
-    return round_columns(joined, ["segment_revenue"])
+    return joined.groupby("n_name").aggregate(Count(alias_name="n_customers"))
 
 
-def customers_without_orders(sf_dir: str) -> Dataset:
-    """Anti join via broadcast key set (SURVEY.md §2.4: deleted = anti-join):
-    customers with no HIGH-VALUE order (threshold keeps the anti side
-    non-empty at every sf)."""
+def orders_with_customer_segment(
+    sf_dir: str, broadcast_limit: int = BROADCAST_ROW_LIMIT
+) -> Dataset:
+    """Broadcast join of orders against the customer dimension, then grouped
+    revenue per market segment (shuffle-join fallback past the budget)."""
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = broadcast_inner_join(
+        orders, "o_custkey", cust, "c_custkey", ["c_mktsegment"], broadcast_limit
+    )
+    agg = joined.groupby("c_mktsegment").aggregate(
+        Sum("o_totalprice", alias_name="segment_revenue"), Count(alias_name="n_orders")
+    )
+    return round_columns(agg, ["segment_revenue"])
+
+
+def customers_without_orders(
+    sf_dir: str, broadcast_limit: int = BROADCAST_ROW_LIMIT
+) -> Dataset:
+    """Anti join (SURVEY.md §2.4: deleted = anti-join): customers with no
+    HIGH-VALUE order. Small key set: broadcast; past the budget: tagged
+    union + groupby(key) keeping groups with no right-side row."""
     orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     def big(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater(t["o_totalprice"], pa.scalar(300_000.0)))
 
-    custkeys_with_orders = orders.map_batches(
+    keys_ds = orders.map_batches(
         big, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-    ).unique("o_custkey")
+    )
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_name"])
+    custkeys_with_orders = keys_ds.unique("o_custkey")
+    if len(custkeys_with_orders) > broadcast_limit:
+        return _shuffle_anti_join(cust, "c_custkey", ["c_name"],
+                                  keys_ds.select_columns(["o_custkey"]), "o_custkey")
     key_set_ref = ray.put(set(custkeys_with_orders))
 
     class Anti:
@@ -271,9 +365,47 @@ def customers_without_orders(sf_dir: str) -> Dataset:
             mask = [k not in self.keys for k in t["c_custkey"].to_pylist()]
             return t.filter(pa.array(mask, pa.bool_()))
 
-    cust = _pq(sf_dir, "customer", ["c_custkey", "c_name"])
     return cust.map_batches(Anti, fn_constructor_args=(key_set_ref,),
                             batch_format="pyarrow", batch_size=None, concurrency=(1, 4))
+
+
+def _shuffle_anti_join(
+    left: Dataset, left_key: str, left_cols: list[str], right: Dataset, right_key: str
+) -> Dataset:
+    """Anti join as ONE co-groupby: keep left rows whose group has no right
+    row. The right side ships only its key column into the shuffle."""
+
+    def tag(side: int, key_col: str, present: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols: dict[str, pa.Array] = {
+                "__key": pc.cast(t[key_col], pa.int64()),
+                "__side": pa.array(np.full(n, side, dtype=np.int8)),
+            }
+            for c in left_cols:
+                cols[c] = t[c] if c in present else pa.nulls(n)
+            return pa.table(cols)
+
+        return fn
+
+    tagged = left.map_batches(
+        tag(0, left_key, left_cols), batch_format="pyarrow", batch_size=None
+    ).union(right.map_batches(tag(1, right_key, []), batch_format="pyarrow", batch_size=None))
+
+    def keep_unmatched(t: pa.Table) -> pa.Table:
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        if (side == 1).any():
+            return t.slice(0, 0).select(["__key", *left_cols])
+        return t.select(["__key", *left_cols])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.rename_columns([left_key, *left_cols])
+
+    return (
+        tagged.groupby("__key")
+        .map_groups(keep_unmatched, batch_format="pyarrow")
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+    )
 
 
 def supplier_nation_region(sf_dir: str) -> Dataset:

@@ -104,6 +104,7 @@ def build_kg(
             batch_size=link_cfg["batch_size"],
             concurrency=link_cfg["concurrency"],
             num_cpus=link_cfg["num_cpus"],
+            per_row_seconds=link_cfg["per_row_seconds"],
         )
 
     # the chunk+embed side branch only needs the assembly checkpoint — launch

@@ -104,6 +104,7 @@ def build_kg_sharded(
                 batch_size=link_cfg["batch_size"],
                 concurrency=link_cfg["concurrency"],
                 num_cpus=link_cfg["num_cpus"],
+                per_row_seconds=link_cfg["per_row_seconds"],
             )
 
         ext_ckpt.run(_build)

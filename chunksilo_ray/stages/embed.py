@@ -61,16 +61,44 @@ class EmbedActor:
     """Actor-pool stage: adds a fixed-size ``embedding`` list<float32>[dim]
     column. State (model/backend) initialized once per actor."""
 
-    def __init__(self, backend: str = "bow", dim: int = 384, text_column: str = "text"):
+    def __init__(
+        self,
+        backend: str = "bow",
+        dim: int = 384,
+        text_column: str = "text",
+        model_name: str = "BAAI/bge-small-en-v1.5",
+    ):
         self.dim = dim
         self.text_column = text_column
         if backend == "bow":
             self._bucket_cache: dict[str, int] = {}
             self._embed = lambda texts: bow_hash_embed(texts, self.dim, self._bucket_cache)
-        else:  # pragma: no cover - model backends are not baked into this env
+        elif backend == "onnx":
+            # real-model seam (reference lazy ONNX load, index.py:1091-1124):
+            # the model loads ONCE here — per actor, not per batch — and the
+            # pipeline contract (fixed-size list<float32>[dim] column out of
+            # whole-batch bulk calls) is identical to the bow path. This
+            # container ships no model runtime, so the import fails with an
+            # actionable error instead of a stub silently embedding garbage.
+            try:  # pragma: no cover - fastembed absent in this environment
+                from fastembed import TextEmbedding  # type: ignore[import-not-found]
+            except ImportError as exc:
+                raise RuntimeError(
+                    f"embedding backend 'onnx' needs the fastembed package to "
+                    f"load {model_name!r}; install it or use backend='bow'"
+                ) from exc
+            model = TextEmbedding(model_name)  # pragma: no cover
+
+            def _onnx_embed(texts: list[str]) -> np.ndarray:  # pragma: no cover
+                vecs = np.asarray(list(model.embed(texts, batch_size=512)), dtype=np.float32)
+                norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+                return np.divide(vecs, norms, where=norms > 0)
+
+            self._embed = _onnx_embed  # pragma: no cover
+        else:
             raise NotImplementedError(
-                f"embedding backend {backend!r}: real ONNX/transformer backends "
-                "plug in here; this environment ships none (stub per task brief)"
+                f"embedding backend {backend!r}: known backends are 'bow' "
+                "(deterministic test contract) and 'onnx' (fastembed seam)"
             )
 
     def __call__(self, t: pa.Table) -> pa.Table:

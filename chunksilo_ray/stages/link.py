@@ -45,12 +45,15 @@ class LinkExtractActor:
     once); the token-tuple lookup dict is built once per actor.
     """
 
-    def __init__(self, alias_ref, max_ngram: int = 3):
+    def __init__(self, alias_ref, max_ngram: int = 3, per_row_seconds: float = 5.0):
         alias_table = ray.get(alias_ref)
         self.alias = AliasIndex.from_arrow(alias_table, max_ngram=max_ngram)
         self.token_cache: dict[str, tuple[str, ...]] = {}  # actor-lifetime memo
+        self.per_row_seconds = per_row_seconds
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        import time
+
         roles = t.column("role").to_pylist()
         tools = t.column("tool").to_pylist()
         texts = t.column("text").to_pylist()
@@ -66,9 +69,23 @@ class LinkExtractActor:
             # and returns [] per failed file, index.py:1355-1360; here the
             # dead letter is a first-class column).
             try:
+                row_t0 = time.monotonic()
                 ms = scan_mentions(texts[r], self.alias, self.token_cache)
                 ts3 = triples_for_turn(roles[r], tools[r], texts[r], ms, self.alias)
-                errors_col.append(None)
+                elapsed = time.monotonic() - row_t0
+                if elapsed > self.per_row_seconds:
+                    # wall-clock budget guard (reference per_file_seconds,
+                    # cfgload.py:74-80): an adversarial row that grinds the
+                    # extractor is dead-lettered — its outputs are DROPPED so
+                    # a rerun with a fixed budget is deterministic, the batch
+                    # survives, and the row is counted in the stage manifest.
+                    ms, ts3 = [], []
+                    errors_col.append(
+                        f"TimeBudgetExceeded: row took {elapsed:.1f}s "
+                        f"(> {self.per_row_seconds:.1f}s)"
+                    )
+                else:
+                    errors_col.append(None)
             except Exception as exc:  # noqa: BLE001 - dead-letter boundary
                 ms, ts3 = [], []
                 errors_col.append(f"{type(exc).__name__}: {exc}"[:200])
@@ -101,6 +118,7 @@ def link_extract(
     batch_size: int = 2048,
     concurrency: int | tuple[int, int] = 4,
     num_cpus: float = 1,
+    per_row_seconds: float = 5.0,
 ) -> Dataset:
     # cluster-sized autoscaling pool: an int cap becomes (max//2, max) bounded
     # by available CPUs — never reserves every CPU (deadlock on small
@@ -112,7 +130,11 @@ def link_extract(
         concurrency = pool_bounds(concurrency if concurrency > 0 else None, num_cpus)
     return turns.map_batches(
         LinkExtractActor,
-        fn_constructor_kwargs={"alias_ref": alias_ref, "max_ngram": max_ngram},
+        fn_constructor_kwargs={
+            "alias_ref": alias_ref,
+            "max_ngram": max_ngram,
+            "per_row_seconds": per_row_seconds,
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

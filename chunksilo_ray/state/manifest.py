@@ -41,18 +41,20 @@ def fingerprint(*parts: object) -> str:
 
 
 def input_fingerprint(path: str) -> str:
-    """Fingerprint of an input file/dir: paths + sizes + mtimes (the
-    reference's mtime fast-path, index.py:815-824 — no full-content hash)."""
+    """Fingerprint of an input file/dir: paths + sizes + NANOSECOND mtimes
+    (the reference's mtime fast-path, index.py:815-824 — no full-content
+    hash; whole-second truncation let a same-size rewrite within one second
+    silently reuse a stale checkpoint)."""
     p = pathlib.Path(path)
     entries = []
     if p.is_dir():
         for f in sorted(p.rglob("*")):
             if f.is_file():
                 st = f.stat()
-                entries.append((str(f), st.st_size, int(st.st_mtime)))
+                entries.append((str(f), st.st_size, st.st_mtime_ns))
     elif p.is_file():
         st = p.stat()
-        entries.append((str(p), st.st_size, int(st.st_mtime)))
+        entries.append((str(p), st.st_size, st.st_mtime_ns))
     return fingerprint(entries)
 
 
@@ -67,7 +69,7 @@ def code_fingerprint(package_dir: str) -> str:
     churns on import and must not invalidate checkpoints)."""
     p = pathlib.Path(package_dir)
     entries = [
-        (str(f.relative_to(p)), f.stat().st_size, int(f.stat().st_mtime))
+        (str(f.relative_to(p)), f.stat().st_size, f.stat().st_mtime_ns)
         for f in sorted(p.rglob("*.py"))
     ]
     return fingerprint(entries)
