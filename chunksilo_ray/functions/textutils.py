@@ -73,9 +73,10 @@ def normalize_surface(s: str) -> str:
 
 def preprocess_query(q: str) -> str:
     """Collapse whitespace, strip surrounding space and trailing punctuation
-    (search.py:295-304 behavior)."""
+    (search.py:295-304 behavior). Trailing-space re-strip keeps the fn
+    idempotent when punctuation removal exposes one ("0 !" -> "0")."""
     q = _WS_RE.sub(" ", q).strip()
-    return q.rstrip("?!.,;:")
+    return q.rstrip("?!.,;:").rstrip()
 
 
 def extract_quoted_phrases(q: str) -> tuple[list[str], str]:

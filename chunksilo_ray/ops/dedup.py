@@ -111,10 +111,11 @@ def _shingle_hash64(shingles: list[str], cache: dict[str, int]) -> np.ndarray:
     return np.fromiter(out, dtype=np.uint64, count=len(out))
 
 
-class _ShingleBands:
-    """Stateful map_batches stage: doc -> one row per LSH band, carrying the
-    doc's shingle-hash set so verification happens INSIDE the band groupby
-    (never on the driver). Band key packs (band_id, band_hash) into int64."""
+class _ShingleSig:
+    """Stateful map_batches stage: doc -> ONE row carrying the 64-bit
+    shingle-hash set plus the per-band LSH keys (text is tokenized exactly
+    once for the whole dedup pipeline). Band key packs (band_id, band_hash)
+    into int64."""
 
     def __init__(self, num_perm: int, bands: int, shingle_k: int):
         assert num_perm % bands == 0
@@ -127,65 +128,82 @@ class _ShingleBands:
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
         texts = t["text"].to_pylist()
-        out_key: list[int] = []
         out_id: list[int] = []
         out_sh: list[list[int]] = []
+        out_keys: list[list[int]] = []
         for did, text in zip(ids, texts):
             sh = _shingle_hash64(_token_shingles(text, self.k), self.cache)
             if sh.size == 0:
                 continue
             # minhash base = low 32 bits (exact Mersenne-61 universal hashing
-            # needs x < 2^32); the carried verify set keeps all 64 bits
+            # needs x < 2^32); the verify set keeps all 64 bits
             sig = _minhash_sig_exact(sh & np.uint64(0xFFFFFFFF), self.a, self.b)
-            sh_list = sh.astype(np.int64).tolist()
-            for bi in range(self.bands):
-                h = zlib.crc32(sig[bi * self.rows : (bi + 1) * self.rows].tobytes())
-                out_key.append((bi << 32) | h)
-                out_id.append(did)
-                out_sh.append(sh_list)
+            keys = [
+                (bi << 32) | zlib.crc32(sig[bi * self.rows : (bi + 1) * self.rows].tobytes())
+                for bi in range(self.bands)
+            ]
+            out_id.append(did)
+            out_sh.append(sh.astype(np.int64).tolist())
+            out_keys.append(keys)
         return pa.table(
             {
-                "band_key": pa.array(out_key, pa.int64()),
                 "doc_id": pa.array(out_id, pa.int64()),
                 "sh": pa.array(out_sh, pa.list_(pa.int64())),
+                "band_keys": pa.array(out_keys, pa.list_(pa.int64())),
             }
         )
 
 
-def _verify_pairs_group(threshold: float, max_group: int):
-    """map_groups over one LSH bucket: exact jaccard on the carried shingle
-    sets; emits only VERIFIED pairs (a < b, with intersection/union sizes as
-    exact integers — no float columns to drift against the oracle)."""
+# ---------------------------------------------------------------------------
+# coarse-partition grouping: Ray's groupby().map_groups invokes the UDF once
+# per group — per-Python-call overhead dominates when groups are tiny (LSH
+# buckets, pair keys). Instead we shuffle by hash(key) % parts and hand the
+# UDF one table per PARTITION containing complete groups for many keys; the
+# UDF segments them vectorized (np.argsort + boundary detection). ~64 calls
+# instead of ~100k, identical semantics.
+
+_COARSE_PARTS = 64
+
+
+def _coarse_parts(keys: np.ndarray, parts: int = _COARSE_PARTS) -> np.ndarray:
+    """Deterministic multiplicative hash partition of an int64 key column."""
+    return ((keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)).astype(
+        np.int64
+    ) % parts
+
+
+def _segments(sorted_keys: np.ndarray):
+    """Yield (start, end) index ranges of equal-key runs in a sorted array."""
+    bounds = np.flatnonzero(sorted_keys[1:] != sorted_keys[:-1]) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [len(sorted_keys)]))
+    return zip(starts.tolist(), ends.tolist())
+
+
+def _pairs_in_partition(max_group: int):
+    """One partition of (band_key, doc_id) rows -> candidate pairs across all
+    buckets in the partition, vectorized segmentation."""
 
     def fn(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pylist()
-        sets = [set(x) for x in t["sh"].to_pylist()]
-        order = np.argsort(ids)
-        if len(order) > max_group:
-            logger.warning("LSH bucket capped: %d docs > max_group=%d", len(order), max_group)
-            order = order[:max_group]
-        out_a, out_b, out_i, out_u = [], [], [], []
-        for ii in range(len(order)):
-            for jj in range(ii + 1, len(order)):
-                x, y = order[ii], order[jj]
-                sa, sb = sets[x], sets[y]
-                inter = len(sa & sb)
-                if not inter:
-                    continue
-                uni = len(sa) + len(sb) - inter
-                if inter / uni >= threshold:
-                    out_a.append(ids[x])
-                    out_b.append(ids[y])
-                    out_i.append(inter)
-                    out_u.append(uni)
-        return pa.table(
-            {
-                "a": pa.array(out_a, pa.int64()),
-                "b": pa.array(out_b, pa.int64()),
-                "inter": pa.array(out_i, pa.int64()),
-                "uni": pa.array(out_u, pa.int64()),
-            }
-        )
+        keys = t["band_key"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, keys))
+        keys, ids = keys[order], ids[order]
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for s, e in _segments(keys):
+            if e - s < 2:
+                continue
+            bucket = np.unique(ids[s:e])
+            if len(bucket) > max_group:
+                logger.warning("LSH bucket capped: %d docs > max_group=%d",
+                               len(bucket), max_group)
+                bucket = bucket[:max_group]
+            for i in range(len(bucket)):
+                for j in range(i + 1, len(bucket)):
+                    out_a.append(int(bucket[i]))
+                    out_b.append(int(bucket[j]))
+        return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())})
 
     return fn
 
@@ -198,24 +216,166 @@ def _verified_edges(
     bands: int,
     max_group: int = 512,
 ) -> Dataset:
-    """Distributed LSH candidate generation + in-shuffle exact verification;
-    returns the deduplicated verified edge Dataset (a, b, inter, uni)."""
+    """Distributed LSH candidate generation + distributed exact verification.
+
+    Shape (all stages streaming, nothing doc-sized reaches the driver):
+      1. one tokenize pass -> per-doc (shingle set, band keys), materialized
+      2. LIGHT band explode (band_key, doc_id — 16 B/row, no sketch payload)
+         -> groupby(band_key) -> candidate pairs
+      3. pair-key groupby dedups candidates BEFORE any verification work
+      4. shingle attach: pair memberships + per-doc sketches co-grouped by
+         doc_id (a doc's sketch is shuffled at most once, and only for docs
+         that are actually in candidate pairs), then groupby(pair) runs the
+         exact jaccard — emitted as integer (inter, uni)
+    The earlier design carried the sketch on every band row (bands x
+    amplification through the widest shuffle); this one ships it once."""
     ds = _docs(sf_dir, ["doc_id", "text"])
-    band_rows = ds.map_batches(
-        _ShingleBands,
+    sig = ds.map_batches(
+        _ShingleSig,
         fn_constructor_args=(num_perm, bands, shingle_k),
         batch_format="pyarrow",
         batch_size=None,
         concurrency=(1, 4),
         zero_copy_batch=True,
+    ).materialize()
+
+    def explode_bands(t: pa.Table) -> pa.Table:
+        keys = t.column("band_keys")
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        lengths = keys.value_lengths().to_numpy(zero_copy_only=False).astype("int64")
+        parents = pa.array(np.repeat(np.arange(len(lengths)), lengths))
+        flat = keys.flatten().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "__part": pa.array(_coarse_parts(flat)),
+                "band_key": pa.array(flat),
+                "doc_id": t.column("doc_id").take(parents),
+            }
+        )
+
+    raw_pairs = (
+        sig.map_batches(explode_bands, batch_format="pyarrow", batch_size=None,
+                        zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(_pairs_in_partition(max_group), batch_format="pyarrow")
     )
-    verified = band_rows.groupby("band_key").map_groups(
-        _verify_pairs_group(threshold, max_group), batch_format="pyarrow"
+
+    def dedup_pairs_part(t: pa.Table) -> pa.Table:
+        ab = np.stack(
+            [t["a"].to_numpy(zero_copy_only=False), t["b"].to_numpy(zero_copy_only=False)],
+            axis=1,
+        )
+        uniq = np.unique(ab, axis=0)
+        return pa.table({"a": pa.array(uniq[:, 0]), "b": pa.array(uniq[:, 1])})
+
+    def add_pair_part(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        key = a.astype(np.uint64) * np.uint64(0x100000001B3) + b.astype(np.uint64)
+        return t.append_column("__part", pa.array(_coarse_parts(key.astype(np.int64))))
+
+    cands = (
+        raw_pairs.map_batches(add_pair_part, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(lambda t: dedup_pairs_part(t), batch_format="pyarrow")
     )
-    # the same pair verifies in many bands: one small pair-key groupby dedups
-    return verified.groupby(["a", "b"]).map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow"
+
+    # tagged union on doc_id (coarse-partitioned): pair memberships + sketches
+    def memberships(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        doc = np.concatenate([a, b])
+        n = len(a)
+        return pa.table(
+            {
+                "__part": pa.array(_coarse_parts(doc)),
+                "doc_id": pa.array(doc),
+                "pa_": pa.array(np.concatenate([a, a])),
+                "pb_": pa.array(np.concatenate([b, b])),
+                "sh": pa.array([None] * (2 * n), pa.list_(pa.int64())),
+            }
+        )
+
+    def sketches(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "__part": pa.array(_coarse_parts(doc)),
+                "doc_id": t["doc_id"],
+                "pa_": pa.nulls(n, pa.int64()),
+                "pb_": pa.nulls(n, pa.int64()),
+                "sh": t["sh"],
+            }
+        )
+
+    tagged = cands.map_batches(
+        memberships, batch_format="pyarrow", batch_size=None
+    ).union(sig.map_batches(sketches, batch_format="pyarrow", batch_size=None))
+
+    def attach_part(t: pa.Table) -> pa.Table:
+        """One doc-hash partition: sketch rows feed a local dict; membership
+        rows pick their doc's sketch from it."""
+        pa_col = t["pa_"].to_pylist()
+        doc_col = t["doc_id"].to_pylist()
+        sh_col = t["sh"].to_pylist()
+        local = {d: s for d, p, s in zip(doc_col, pa_col, sh_col) if p is None}
+        out_a, out_b, out_sh = [], [], []
+        for d, x, y in zip(doc_col, pa_col, t["pb_"].to_pylist()):
+            if x is not None and d in local:
+                out_a.append(x)
+                out_b.append(y)
+                out_sh.append(local[d])
+        return pa.table(
+            {
+                "a": pa.array(out_a, pa.int64()),
+                "b": pa.array(out_b, pa.int64()),
+                "sh": pa.array(out_sh, pa.list_(pa.int64())),
+            }
+        )
+
+    def verify_part(t: pa.Table) -> pa.Table:
+        """One pair-hash partition: both sketch-bearing rows of each pair are
+        here; sort by (a, b), verify per 2-row run with exact jaccard."""
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        sh_col = t["sh"].take(pa.array(order)).to_pylist()
+        # exact run boundaries over the (a, b) composite key — no packed-int
+        # collisions regardless of id range
+        change = np.flatnonzero((a[1:] != a[:-1]) | (b[1:] != b[:-1])) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(a)]))
+        out_a, out_b, out_i, out_u = [], [], [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            if e - s != 2:
+                continue
+            sa, sb = set(sh_col[s]), set(sh_col[s + 1])
+            inter = len(sa & sb)
+            if not inter:
+                continue
+            uni = len(sa) + len(sb) - inter
+            if inter / uni >= threshold:
+                out_a.append(int(a[s]))
+                out_b.append(int(b[s]))
+                out_i.append(inter)
+                out_u.append(uni)
+        return pa.table(
+            {
+                "a": pa.array(out_a, pa.int64()),
+                "b": pa.array(out_b, pa.int64()),
+                "inter": pa.array(out_i, pa.int64()),
+                "uni": pa.array(out_u, pa.int64()),
+            }
+        )
+
+    attached = (
+        tagged.groupby("__part").map_groups(attach_part, batch_format="pyarrow")
+        .map_batches(add_pair_part, batch_format="pyarrow", batch_size=None)
     )
+    return attached.groupby("__part").map_groups(verify_part, batch_format="pyarrow")
 
 
 def minhash_dup_groups(sf_dir: str, threshold: float = 0.7) -> "pa.Table":
@@ -263,9 +423,10 @@ def minhash_dup_groups(sf_dir: str, threshold: float = 0.7) -> "pa.Table":
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> Dataset:
     """Exact word-BIGRAM jaccard near-dup pairs (distinct from the 3-gram
     minhash clusters above: different shingling, pair-level output with the
-    exact intersection/union sizes). LSH bands are 1-row x 128 so recall at
-    j=0.5 is 1-0.5^128 (exhaustive in practice); exact verify in-shuffle."""
-    return _verified_edges(sf_dir, threshold, shingle_k=2, num_perm=128, bands=128).rename_columns(
+    exact intersection/union sizes). LSH bands are 2-row x 64 — candidate
+    recall at j=0.5 is 1-(1-0.25)^64 ~ 1-1e-8 (exhaustive in practice, far
+    fewer spurious candidates than 1-row bands); exact verify in-shuffle."""
+    return _verified_edges(sf_dir, threshold, shingle_k=2, num_perm=128, bands=64).rename_columns(
         ["doc_a", "doc_b", "inter", "uni"]
     )
 
@@ -337,34 +498,48 @@ def _simhash_explode(t: pa.Table) -> pa.Table:
         keys.extend(((c << 16) | x for x in chunk.tolist()))
         out_ids.extend(ids)
         out_sim.extend(v.astype(np.int64).tolist())  # two's-complement carry
+    keys_np = np.asarray(keys, dtype=np.int64)
     return pa.table(
         {
-            "chunk_key": pa.array(keys, pa.int64()),
+            "__part": pa.array(_coarse_parts(keys_np)),
+            "chunk_key": pa.array(keys_np),
             "doc_id": pa.array(out_ids, pa.int64()),
             "sim": pa.array(out_sim, pa.int64()),
         }
     )
 
 
-def _simhash_pairs_group(max_hamming: int, max_group: int):
+def _simhash_pairs_partition(max_hamming: int, max_group: int):
+    """One chunk-hash partition: segment by chunk_key, hamming inside each
+    bucket, then partition-local pair dedup (global dedup follows)."""
+
     def fn(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pylist()
-        sims = np.asarray(t["sim"].to_pylist(), dtype=np.int64).view(np.uint64)
-        order = np.argsort(ids)
-        if len(order) > max_group:
-            logger.warning("simhash chunk bucket capped: %d > %d", len(order), max_group)
-            order = order[:max_group]
+        keys = t["chunk_key"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sims = t["sim"].to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.lexsort((ids, keys))
+        keys, ids, sims = keys[order], ids[order], sims[order]
+        seen: set[tuple[int, int]] = set()
         out_a, out_b, out_d = [], [], []
-        for ii in range(len(order)):
-            for jj in range(ii + 1, len(order)):
-                x, y = order[ii], order[jj]
-                if ids[x] == ids[y]:
-                    continue
-                d = int(bin(int(sims[x] ^ sims[y])).count("1"))
-                if d <= max_hamming:
-                    out_a.append(min(ids[x], ids[y]))
-                    out_b.append(max(ids[x], ids[y]))
-                    out_d.append(d)
+        for s, e in _segments(keys):
+            if e - s < 2:
+                continue
+            if e - s > max_group:
+                logger.warning("simhash chunk bucket capped: %d > %d", e - s, max_group)
+                e = s + max_group
+            for i in range(s, e):
+                for j in range(i + 1, e):
+                    if ids[i] == ids[j]:
+                        continue
+                    lo, hi = int(min(ids[i], ids[j])), int(max(ids[i], ids[j]))
+                    if (lo, hi) in seen:
+                        continue
+                    seen.add((lo, hi))
+                    d = int(bin(int(sims[i] ^ sims[j])).count("1"))
+                    if d <= max_hamming:
+                        out_a.append(lo)
+                        out_b.append(hi)
+                        out_d.append(d)
         return pa.table(
             {
                 "doc_a": pa.array(out_a, pa.int64()),
@@ -378,18 +553,47 @@ def _simhash_pairs_group(max_hamming: int, max_group: int):
 
 def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3, max_group: int = 512) -> Dataset:
     """Near-dup pairs by SimHash hamming distance <= max_hamming, distributed:
-    16-bit chunk explode -> chunk-key groupby -> in-group hamming -> pair
-    dedup groupby. The signature table never materializes on the driver."""
+    16-bit chunk explode -> coarse chunk-hash partitions -> in-bucket hamming
+    -> pair-key dedup. The signature table never materializes on the driver."""
     sh = simhash_docs(sf_dir)
-    exploded = sh.map_batches(
-        _simhash_explode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    pairs = (
+        sh.map_batches(
+            _simhash_explode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+        .groupby("__part")
+        .map_groups(_simhash_pairs_partition(max_hamming, max_group), batch_format="pyarrow")
     )
-    pairs = exploded.groupby("chunk_key").map_groups(
-        _simhash_pairs_group(max_hamming, max_group), batch_format="pyarrow"
-    )
-    # a pair can match in up to 4 chunks: dedup on the pair key
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow"
+
+    # a pair can match in up to 4 chunks (and in 2 partitions): global dedup
+    # on a coarse pair-hash partition, vectorized unique
+    def add_part(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        key = a.astype(np.uint64) * np.uint64(0x100000001B3) + b.astype(np.uint64)
+        return t.append_column("__part", pa.array(_coarse_parts(key.astype(np.int64))))
+
+    def dedup_part(t: pa.Table) -> pa.Table:
+        arr = np.stack(
+            [
+                t["doc_a"].to_numpy(zero_copy_only=False),
+                t["doc_b"].to_numpy(zero_copy_only=False),
+                t["hamming"].to_numpy(zero_copy_only=False),
+            ],
+            axis=1,
+        )
+        uniq = np.unique(arr, axis=0)
+        return pa.table(
+            {
+                "doc_a": pa.array(uniq[:, 0]),
+                "doc_b": pa.array(uniq[:, 1]),
+                "hamming": pa.array(uniq[:, 2]),
+            }
+        )
+
+    return (
+        pairs.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(dedup_part, batch_format="pyarrow")
     )
 
 
@@ -431,31 +635,54 @@ class _HyperplaneBands:
             out_key.extend(key.tolist())
             out_id.extend(ids)
             out_vec.extend(vec_lists)
+        keys_np = np.asarray(out_key, dtype=np.int64)
         return pa.table(
             {
-                "band_key": pa.array(out_key, pa.int64()),
+                "__part": pa.array(_coarse_parts(keys_np)),
+                "band_key": pa.array(keys_np),
                 "vec_id": pa.array(out_id, pa.int64()),
                 "vec": pa.array(out_vec, pa.list_(pa.float64())),
             }
         )
 
 
-def _cosine_pairs_group(threshold: float, max_group: int):
+def _cosine_pairs_partition(threshold: float, max_group: int):
+    """One band-hash partition: segment by band_key, exact cosine inside each
+    bucket (one matmul per bucket), partition-local pair dedup."""
+
     def fn(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-        order = np.argsort(ids)
-        if len(order) > max_group:
-            logger.warning("hyperplane bucket capped: %d > %d", len(order), max_group)
-            order = order[:max_group]
-        ids = ids[order]
+        keys = t["band_key"].to_numpy(zero_copy_only=False)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, keys))
+        keys, ids = keys[order], ids[order]
         vecs = np.asarray(t["vec"].to_pylist(), dtype=np.float64)[order]
-        sims = vecs @ vecs.T
-        ii, jj = np.where(np.triu(sims >= threshold, k=1))
+        seen: set[tuple[int, int]] = set()
+        out_a, out_b, out_c = [], [], []
+        for s, e in _segments(keys):
+            if e - s < 2:
+                continue
+            if e - s > max_group:
+                logger.warning("hyperplane bucket capped: %d > %d", e - s, max_group)
+                e = s + max_group
+            sub = vecs[s:e]
+            sims = sub @ sub.T
+            ii, jj = np.where(np.triu(sims >= threshold, k=1))
+            for x, y in zip(ii.tolist(), jj.tolist()):
+                a, b = int(ids[s + x]), int(ids[s + y])
+                if a == b:
+                    continue
+                lo, hi = min(a, b), max(a, b)
+                if (lo, hi) in seen:
+                    continue
+                seen.add((lo, hi))
+                out_a.append(lo)
+                out_b.append(hi)
+                out_c.append(round(float(sims[x, y]), 6))
         return pa.table(
             {
-                "vec_a": pa.array(ids[ii], pa.int64()),
-                "vec_b": pa.array(ids[jj], pa.int64()),
-                "cosine": pa.array(np.round(sims[ii, jj], 6), pa.float64()),
+                "vec_a": pa.array(out_a, pa.int64()),
+                "vec_b": pa.array(out_b, pa.int64()),
+                "cosine": pa.array(out_c, pa.float64()),
             }
         )
 
@@ -482,11 +709,29 @@ def embedding_near_dups(
         concurrency=(1, 4),
         zero_copy_batch=True,
     )
-    pairs = bucketed.groupby("band_key").map_groups(
-        _cosine_pairs_group(threshold, max_group), batch_format="pyarrow"
+    pairs = bucketed.groupby("__part").map_groups(
+        _cosine_pairs_partition(threshold, max_group), batch_format="pyarrow"
     )
-    deduped = pairs.groupby(["vec_a", "vec_b"]).map_groups(
-        lambda t: t.slice(0, 1), batch_format="pyarrow"
+
+    def add_part(t: pa.Table) -> pa.Table:
+        a = t["vec_a"].to_numpy(zero_copy_only=False)
+        b = t["vec_b"].to_numpy(zero_copy_only=False)
+        key = a.astype(np.uint64) * np.uint64(0x100000001B3) + b.astype(np.uint64)
+        return t.append_column("__part", pa.array(_coarse_parts(key.astype(np.int64))))
+
+    def dedup_part(t: pa.Table) -> pa.Table:
+        ab = np.stack(
+            [t["vec_a"].to_numpy(zero_copy_only=False), t["vec_b"].to_numpy(zero_copy_only=False)],
+            axis=1,
+        )
+        _, first = np.unique(ab, axis=0, return_index=True)
+        keep = pa.array(np.sort(first))
+        return t.take(keep).select(["vec_a", "vec_b", "cosine"])
+
+    deduped = (
+        pairs.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(dedup_part, batch_format="pyarrow")
     )
     # verified near-dup pairs are tiny by construction: collect into an Arrow
     # table with an EXPLICIT schema (an empty Dataset loses its schema, which

@@ -78,57 +78,74 @@ def _assemble_group(t: pa.Table) -> pa.Table:
     return t.select(ASSEMBLED_COLUMNS[:-2] + ["salt", "conv_n_turns", "doc_char_start", "group_total", "group_n"])
 
 
-def _collect_bases(assembled_local: Dataset) -> dict[tuple[str, int], tuple[int, int]]:
+_HEADER_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("salt", pa.int32()),
+        ("group_total", pa.int64()),
+        ("group_n", pa.int32()),
+    ]
+)
+
+
+def _empty_headers() -> pa.Table:
+    return _HEADER_SCHEMA.empty_table()
+
+
+def _collect_bases(
+    assembled_local: Dataset, salt_threshold: int
+) -> dict[tuple[str, int], tuple[int, int]]:
     """{(conv_id, salt): (base_char_offset, conv_total_turns)} for multi-salt
-    conversations, computed from the pinned assembled blocks: rows with
-    salt >= 1 identify the skewed conversations; one distinct
-    (conv, salt, group_total, group_n) row per group reaches the driver."""
+    conversations. ONE scan over the pinned blocks emits a group header for
+    every group that can belong to a skewed conversation: salt >= 1 (proof),
+    or a FULL salt-0 window (group_n == salt_threshold — the salt-0 part of
+    any dense multi-salt conversation). A salt-0 window that is partial yet
+    still multi-salt (turn_idx gaps) is caught by a targeted second scan
+    over just those conversations — the rare path; the common path is one
+    pass (round-1 always ran two full scans)."""
 
-    def salted_groups(t: pa.Table) -> pa.Table:
-        hit = t.filter(pc.greater_equal(t["salt"], 1))
-        if hit.num_rows == 0:
-            return pa.table(
-                {
-                    "conv_id": pa.array([], pa.string()),
-                    "salt": pa.array([], pa.int32()),
-                    "group_total": pa.array([], pa.int64()),
-                    "group_n": pa.array([], pa.int32()),
-                }
-            )
-        g = hit.group_by(["conv_id", "salt", "group_total", "group_n"], use_threads=False)
-        out = g.aggregate([])
-        return out
-
-    big_rows = assembled_local.map_batches(
-        salted_groups, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-    ).take_all()
-    if not big_rows:
-        return {}
-    big_convs = {r["conv_id"] for r in big_rows}
-
-    # need the salt-0 groups of those conversations too
-    def groups_of_big(t: pa.Table) -> pa.Table:
-        mask = pc.is_in(t["conv_id"], value_set=pa.array(sorted(big_convs)))
+    def candidate_headers(t: pa.Table) -> pa.Table:
+        mask = pc.or_(
+            pc.greater_equal(t["salt"], 1),
+            pc.equal(t["group_n"], salt_threshold),
+        )
         hit = t.filter(mask)
         if hit.num_rows == 0:
-            return pa.table(
-                {
-                    "conv_id": pa.array([], pa.string()),
-                    "salt": pa.array([], pa.int32()),
-                    "group_total": pa.array([], pa.int64()),
-                    "group_n": pa.array([], pa.int32()),
-                }
-            )
+            return _empty_headers()
         return hit.group_by(
             ["conv_id", "salt", "group_total", "group_n"], use_threads=False
         ).aggregate([])
 
     rows = assembled_local.map_batches(
-        groups_of_big, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        candidate_headers, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     ).take_all()
     by_conv: dict[str, dict[int, tuple[int, int]]] = {}
     for r in rows:
         by_conv.setdefault(r["conv_id"], {})[r["salt"]] = (r["group_total"], r["group_n"])
+    # keep only true multi-salt conversations (a lone full salt-0 window is
+    # an ordinary conversation of exactly salt_threshold turns)
+    by_conv = {c: g for c, g in by_conv.items() if any(s >= 1 for s in g)}
+    if not by_conv:
+        return {}
+
+    # rare path: multi-salt conversations whose salt-0 header was partial
+    # (turn_idx gaps) — fetch exactly those headers
+    missing0 = sorted(c for c, g in by_conv.items() if 0 not in g)
+    if missing0:
+        def headers_of(t: pa.Table) -> pa.Table:
+            hit = t.filter(pc.is_in(t["conv_id"], value_set=pa.array(missing0)))
+            if hit.num_rows == 0:
+                return _empty_headers()
+            return hit.group_by(
+                ["conv_id", "salt", "group_total", "group_n"], use_threads=False
+            ).aggregate([])
+
+        for r in assembled_local.map_batches(
+            headers_of, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        ).take_all():
+            by_conv.setdefault(r["conv_id"], {})[r["salt"]] = (
+                r["group_total"], r["group_n"],
+            )
     bases: dict[tuple[str, int], tuple[int, int]] = {}
     for conv_id, groups in by_conv.items():
         total_turns = sum(n for _, n in groups.values())
@@ -185,7 +202,7 @@ def assemble_dialogues(turns: Dataset, salt_threshold: int = 512) -> Dataset:
     # ONE execution materializes the shuffle; skew stitching reads only the
     # pinned blocks (cheap) and patches only the skewed conversations' rows
     local = local.materialize()
-    bases = _collect_bases(local)
+    bases = _collect_bases(local, salt_threshold)
     return local.map_batches(
         _patch_fn(bases), batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )

@@ -342,10 +342,21 @@ def apply_canonical_map(ds: Dataset, cmap: dict[str, str], columns: list[str]) -
 
         def __call__(self, t: pa.Table) -> pa.Table:
             for col in columns:
-                vals = t.column(col).to_pylist()
-                new = [canonicalize_id(v, self.cmap) for v in vals]
-                idx = t.column_names.index(col)
-                t = t.set_column(idx, col, pa.array(new, pa.string()))
+                # dictionary-encode first: the python rewrite runs over the
+                # DISTINCT ids of the batch (O(vocabulary), not O(rows)) —
+                # same idiom as the edges materialize pass
+                arr = t.column(col)
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                enc = arr.dictionary_encode()
+                new_dict = pa.array(
+                    [canonicalize_id(v, self.cmap) for v in enc.dictionary.to_pylist()],
+                    pa.string(),
+                )
+                rewritten = pa.DictionaryArray.from_arrays(enc.indices, new_dict).cast(
+                    pa.string()
+                )
+                t = t.set_column(t.column_names.index(col), col, rewritten)
             return t
 
     return ds.map_batches(

@@ -78,3 +78,28 @@ def test_salting_stitches_giant_conversation():
     )
     for r in out:
         assert r["doc_char_start"] == ref[r["turn_idx"]], r["turn_idx"]
+
+
+def test_salting_with_turn_idx_gaps_rare_path():
+    """Sparse turn_idx: the salt-0 window is PARTIAL (group_n < threshold)
+    yet the conversation is multi-salt — exercises the targeted second scan
+    in _collect_bases (the single-pass candidate rule can't see this group)."""
+    idxs = [0, 3, 7, 200, 201, 450]  # threshold 128 -> salts {0, 1, 3}
+    t = pa.table(
+        {
+            "conv_id": pa.array(["conv-sparse"] * len(idxs)),
+            "turn_idx": pa.array(idxs, pa.int32()),
+            "role": pa.array(["user"] * len(idxs)),
+            "text": pa.array([f"sparse turn {i}" for i in idxs]),
+            "tool": pa.array([""] * len(idxs)),
+            "ts": pa.array(list(range(len(idxs))), pa.timestamp("us")),
+        }
+    )
+    out = assemble_dialogues(rd.from_arrow(t), salt_threshold=128).take_all()
+    assert len(out) == len(idxs)
+    assert all(r["conv_n_turns"] == len(idxs) for r in out)
+    ref = _reference_offsets(
+        [{"turn_idx": i, "role": "user", "text": f"sparse turn {i}"} for i in idxs]
+    )
+    for r in out:
+        assert r["doc_char_start"] == ref[r["turn_idx"]], r["turn_idx"]
