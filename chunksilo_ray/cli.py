@@ -18,20 +18,34 @@ import json
 import sys
 
 
-def _ray_session():
-    import ray
+class _RaySession:
+    """Init-if-needed session handle: shutdown() only tears Ray down when
+    THIS call created it (a test harness or caller that already owns a
+    session keeps it)."""
 
-    if not ray.is_initialized():
-        ray.init(
-            address="local",
-            include_dashboard=False,
-            ignore_reinit_error=True,
-            logging_level="ERROR",
-        )
-    import ray.data
+    def __init__(self):
+        import ray
 
-    ray.data.DataContext.get_current().enable_progress_bars = False
-    return ray
+        self._ray = ray
+        self._owned = not ray.is_initialized()
+        if self._owned:
+            ray.init(
+                address="local",
+                include_dashboard=False,
+                ignore_reinit_error=True,
+                logging_level="ERROR",
+            )
+        import ray.data
+
+        ray.data.DataContext.get_current().enable_progress_bars = False
+
+    def shutdown(self):
+        if self._owned:
+            self._ray.shutdown()
+
+
+def _ray_session() -> _RaySession:
+    return _RaySession()
 
 
 def cmd_build(args) -> int:
@@ -83,6 +97,39 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Serving-surface analog (reference server.py `search_docs` tool): one
+    request against the materialized output dir, result dict on stdout."""
+    from .config import Config
+    from .pipelines import serve
+
+    cfg = Config.from_yaml(args.config) if args.config else None
+    ray = _ray_session()
+    try:
+        if args.entity:
+            out = {
+                "lookup": serve.entity_lookup(args.out, args.entity),
+                "neighbors": [],
+            }
+            if out["lookup"]:
+                out["neighbors"] = serve.entity_neighbors(
+                    args.out, out["lookup"][0]["entity_id"]
+                )
+            print(json.dumps(out))
+        else:
+            print(
+                json.dumps(
+                    serve.search_docs(
+                        args.out, args.query, date_from=args.date_from,
+                        date_to=args.date_to, cfg=cfg,
+                    )
+                )
+            )
+    finally:
+        ray.shutdown()
+    return 0
+
+
 def cmd_dump_defaults(_args) -> int:
     from .config import DEFAULTS
 
@@ -120,6 +167,15 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--date-to", default=None)
     s.add_argument("--config", default=None)
     s.set_defaults(fn=cmd_search)
+
+    q = sub.add_parser("query", help="serving-surface request over built KG tables")
+    q.add_argument("--out", required=True, help="pipeline output directory")
+    q.add_argument("query", nargs="?", default="")
+    q.add_argument("--entity", default=None, help="entity surface lookup + neighbors")
+    q.add_argument("--date-from", default=None)
+    q.add_argument("--date-to", default=None)
+    q.add_argument("--config", default=None)
+    q.set_defaults(fn=cmd_query)
 
     d = sub.add_parser("dump-defaults", help="print the default config as YAML")
     d.set_defaults(fn=cmd_dump_defaults)

@@ -119,10 +119,12 @@ def search_chunks(
         score_batch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
 
-    # recency boost needs the corpus max ts — tiny aggregate first
+    # recency boost needs the corpus max ts — aggregate over the ts column
+    # ONLY (projection pushdown: the second pass over a Parquet-backed chunk
+    # table reads one column, not the text+embedding payload)
     from ray.data.aggregate import Max
 
-    max_ts_val = chunks.aggregate(Max("ts"))["max(ts)"]
+    max_ts_val = chunks.select_columns(["ts"]).aggregate(Max("ts"))["max(ts)"]
     import pandas as pd
 
     anchor = int(pd.Timestamp(max_ts_val).value // 1000)  # us

@@ -1,0 +1,73 @@
+"""Serving-surface tests (reference server.py `search_docs` tool analog,
+SURVEY.md §2.10 / VERDICT.md missing-item 3): one build, then query API
+calls over the materialized tables."""
+
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory):
+    from chunksilo_ray import datagen
+    from chunksilo_ray.pipelines.kg import build_kg
+
+    corpus = datagen.corpus_dir(0.001)
+    out = str(tmp_path_factory.mktemp("kg_serve"))
+    build_kg(
+        f"{corpus}/transcripts.parquet", f"{corpus}/alias_index.parquet", out,
+        with_chunks=True,
+    )
+    return out
+
+
+def test_search_docs_shape_and_ranking(built):
+    from chunksilo_ray.pipelines.serve import search_docs
+
+    res = search_docs(built, 'Did Alice update the "config.yaml"?')
+    assert set(res) == {
+        "matched_files", "chunks", "num_matched_files", "num_chunks",
+        "query", "retrieval_time",
+    }
+    assert res["num_chunks"] > 0
+    scores = [c["score"] for c in res["chunks"]]
+    assert scores == sorted(scores, reverse=True)
+    loc = res["chunks"][0]["location"]
+    assert loc["uri"].startswith("conv://")
+    assert res["matched_files"][0]["uri"].startswith("conv://")
+    # matched_files rollup: max chunk score per conversation, desc
+    file_scores = [m["score"] for m in res["matched_files"]]
+    assert file_scores == sorted(file_scores, reverse=True)
+
+
+def test_search_docs_date_filter(built):
+    from chunksilo_ray.pipelines.serve import search_docs
+
+    res = search_docs(built, "database", date_from="2031-01-01")
+    assert res["num_chunks"] == 0  # corpus is in the past
+
+
+def test_entity_lookup_and_neighbors(built):
+    from chunksilo_ray.pipelines.serve import entity_lookup, entity_neighbors
+
+    hits = entity_lookup(built, "database")
+    assert hits and hits[0]["freq"] > 0
+    nbrs = entity_neighbors(built, hits[0]["entity_id"], k=5)
+    assert nbrs
+    weights = [n["weight"] for n in nbrs]
+    assert weights == sorted(weights, reverse=True)
+    assert all(
+        hits[0]["entity_id"] in (n["subj"], n["obj"]) for n in nbrs
+    )
+
+
+def test_cli_query_subcommand(built, capsys):
+    import json
+
+    from chunksilo_ray.cli import main
+
+    rc = main(["query", "--out", built, "database restart"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["query"] == "database restart"
+    assert "matched_files" in out
