@@ -155,3 +155,46 @@ def test_dead_letter_policy():
     assert by_turn[1]["error"] is not None
     assert by_turn[1]["mentions"] == []
     assert by_turn[1]["triples"] == []
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pipeline_weights_and_nodes_vs_oracle(smoke_corpus, tmp_out):
+    """Beyond triple P/R: per-edge WEIGHTS and per-node FREQUENCIES must
+    agree with the single-process oracle (the kg_edges_agg / kg_nodes
+    outputs are rows-only at the driver — this is their in-repo gate)."""
+    from chunksilo_ray.pipelines.kg import build_kg
+
+    transcripts = pq.read_table(f"{smoke_corpus}/transcripts.parquet")
+    alias_table = pq.read_table(f"{smoke_corpus}/alias_index.parquet")
+    expected = extractor.extract(transcripts, alias_table)
+
+    res = build_kg(
+        f"{smoke_corpus}/transcripts.parquet",
+        f"{smoke_corpus}/alias_index.parquet",
+        tmp_out,
+        with_chunks=False,
+    )
+    got_w = {}
+    for b in res["edges"].iter_batches(batch_format="pyarrow"):
+        for c, i, s, p, o, w in zip(
+            b["conv_id"].to_pylist(), b["turn_idx"].to_pylist(),
+            b["subj"].to_pylist(), b["pred"].to_pylist(),
+            b["obj"].to_pylist(), b["weight"].to_pylist(),
+        ):
+            got_w[(c, i, s, p, o)] = w
+    exp_w = expected["edge_weights"]
+    agree = sum(1 for k, w in got_w.items() if exp_w.get(k) == w)
+    assert agree / max(len(got_w), 1) >= 0.95
+    assert agree / max(len(exp_w), 1) >= 0.95
+
+    got_n = {}
+    for b in res["nodes"].iter_batches(batch_format="pyarrow"):
+        for e, s, ty, f in zip(
+            b["entity_id"].to_pylist(), b["surface"].to_pylist(),
+            b["type"].to_pylist(), b["freq"].to_pylist(),
+        ):
+            got_n[(e, s, ty)] = f
+    exp_n = expected["node_freqs"]
+    agree_n = sum(1 for k, f in got_n.items() if exp_n.get(k) == f)
+    assert agree_n / max(len(got_n), 1) >= 0.95
+    assert agree_n / max(len(exp_n), 1) >= 0.95
