@@ -49,4 +49,19 @@ def _patch_ray_http_fs_probe() -> None:
         pass
 
 
+def _tune_data_context() -> None:
+    """Engine-wide Ray Data tuning: polars-backed sort/groupby shuffles.
+    Measured on the KG pipeline at sf0.3/16 cpus: edges_agg 27.5s -> 19.9s,
+    nodes 20.6s -> 13.3s (the 3-string-key exchange sorts dominate those
+    stages). Pure executor config — result equality is covered by the DuckDB
+    oracle harness (scripts/check_oracles.py) and pytest."""
+    try:
+        import ray.data as _rd
+
+        _rd.DataContext.get_current().use_polars_sort = True
+    except Exception:  # pragma: no cover - config is best-effort
+        pass
+
+
 _patch_ray_http_fs_probe()
+_tune_data_context()

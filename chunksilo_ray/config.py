@@ -60,6 +60,10 @@ DEFAULTS: dict[str, Any] = {
         "embed_top_k": 20,
         "rerank_candidates": 100,
         "rerank_top_k": 5,
+        # "lexical" = deterministic query-token-coverage cross-scorer (the
+        # in-container stand-in for FlashRank); "passthrough" = echo the
+        # retrieval score (the reference's rerank-failure fallback order)
+        "rerank_backend": "lexical",
         "recency_half_life_days": 30.0,
         "recency_weight": 0.5,
         "min_score": 0.0,

@@ -81,21 +81,29 @@ def ivf_topk(sf_dir: str, vec_id: int = 0, k: int = 10, n_cells: int = 16, n_pro
     search only the n_probe nearest cells. The scale path for 100 TB:
     centroid assignment is a per-batch matmul; only ~n_probe/n_cells of the
     data is scanned at query time."""
-    # deterministic "training" sample WITHOUT a global sort (round-1 used
-    # sort("vec_id").limit(256) — a full shuffle just to draw a sample):
-    # multiplicative-hash filter keeps ~1/4 of ids uniformly, then limit()
-    # stops the stream early; fully deterministic for a given input.
-    def hash_sample(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    # deterministic "training" sample WITHOUT a global sort over the data:
+    # consistent (bottom-k-by-hash) sampling — each batch emits its 256
+    # smallest multiplicative-hash values, a tiny merge keeps the global
+    # bottom 256. Content-addressed, so the sample is identical whatever
+    # order blocks arrive in (a bare limit() on an unordered stream is
+    # execution-order-dependent) and the merge input is <=256 rows/block.
+    n_sample = 256
 
+    def bottomk(t: pa.Table) -> pa.Table:
         ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        keep = ((ids * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)) < np.uint64(1 << 30)
-        return t.filter(pa.array(keep))
+        h = (ids * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+        if len(h) > n_sample:
+            keep = np.argpartition(h, n_sample)[:n_sample]
+        else:
+            keep = np.arange(len(h))
+        out = t.take(pa.array(keep))
+        return out.append_column("h", pa.array(h[keep].astype(np.int64)))
 
     sample = (
         _emb(sf_dir)
-        .map_batches(hash_sample, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-        .limit(256)
+        .map_batches(bottomk, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .sort("h")
+        .limit(n_sample)
         .take_all()
     )
     X = _normalize(np.asarray([r["embedding"] for r in sample], dtype=np.float64))

@@ -54,24 +54,38 @@ def median_value_by_type(sf_dir: str) -> Dataset:
 _HLL_P = 12  # 4096 registers; rel. error ~ 1.04/sqrt(4096) ~ 1.6%
 
 
-def _hll_registers(values: np.ndarray, p: int = _HLL_P) -> np.ndarray:
-    import hashlib
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer: deterministic, well-mixed 64-bit hash
+    (crc32 is biased on sequential integer keys — measured +13% HLL
+    estimates; a strong avalanche finalizer fixes the bias without a
+    per-value Python hashing loop)."""
+    x = x.astype(np.uint64, copy=True)
+    x += np.uint64(0x9E3779B97F4A7C15)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
 
+
+def _hll_registers(values: np.ndarray, p: int = _HLL_P) -> np.ndarray:
     m = 1 << p
     regs = np.zeros(m, dtype=np.uint8)
-    # deterministic, well-mixed 64-bit hash (crc32 is biased on sequential
-    # integer keys — measured +13% HLL estimates)
-    for v in values:
-        b = int(v).to_bytes(8, "little", signed=True)
-        h = int.from_bytes(hashlib.blake2b(b, digest_size=8).digest(), "little")
-        idx = h & (m - 1)
-        w = h >> p
-        rank = 1
-        while w & 1 == 0 and rank < 64 - p:
-            rank += 1
-            w >>= 1
-        if rank > regs[idx]:
-            regs[idx] = rank
+    if len(values) == 0:
+        return regs
+    h = _mix64(np.asarray(values, dtype=np.int64).view(np.uint64))
+    idx = (h & np.uint64(m - 1)).astype(np.int64)
+    w = h >> np.uint64(p)
+    # rank = trailing zeros + 1, capped at 64-p (w has 64-p significant bits,
+    # so the isolated lowest set bit is < 2^52 — exact in float64 log2)
+    low = (w & (~w + np.uint64(1))).astype(np.float64)
+    rank = np.where(
+        w == 0,
+        np.uint8(64 - p),
+        (np.log2(np.maximum(low, 1.0)) + 1).astype(np.uint8),
+    )
+    np.maximum.at(regs, idx, rank)
     return regs
 
 

@@ -140,11 +140,37 @@ def search_chunks(
         boost, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
 
-    # candidate cap -> "rerank" (deterministic pass-through: preserves score
-    # order, the reference test contract) -> final top-k
+    # candidate cap -> rerank (deterministic lexical cross-scorer standing in
+    # for the cross-encoder; full merge semantics of the reference,
+    # search.py:1204-1241) -> final top-k
     candidates = boosted.sort("score", descending=True).limit(
         max(rerank_candidates, embed_top_k)
     )
+
+    rerank_backend = s.get("rerank_backend", "lexical")
+
+    def rerank_batch(t: pa.Table) -> pa.Table:
+        # the candidate set is capped (<= rerank_candidates rows) and lives
+        # in ONE block (repartition(1) below) — the merge needs the whole
+        # candidate list, exactly like the reference's in-process rerank
+        texts = t["text"].to_pylist()
+        if rerank_backend == "passthrough":
+            # deterministic pass-through "model": echoes the retrieval score,
+            # so the merge preserves boosted-score order (the reference's
+            # fallback path when reranking fails, search.py:1243-1245)
+            base = t["score"].to_numpy(zero_copy_only=False)
+            results = [
+                {"id": int(i), "text": texts[int(i)], "score": float(base[int(i)])}
+                for i in np.argsort(-base, kind="stable")
+            ]
+        else:
+            results = _lexical_rerank(q_tokens, texts)
+        order, scores = merge_reranked(len(texts), results, texts)
+        order = order[:rerank_top_k]
+        out = t.take(pa.array(order))
+        return out.append_column(
+            "rerank_score", pa.array([scores[i] for i in order], pa.float64())
+        )
 
     def finalize(t: pa.Table) -> pa.Table:
         # min-score + required-phrase post-filters
@@ -170,15 +196,73 @@ def search_chunks(
                 "turn_idx": t["turn_idx"],
                 "text": t["text"],
                 "score": pc.round(t["score"], ndigits=6),
+                "rerank_score": pc.round(t["rerank_score"], ndigits=6),
                 "heading_path": pa.array(hp, pa.string()),
                 "uri": uri,
                 "ts": t["ts"],
             }
         )
 
-    return candidates.map_batches(
-        finalize, batch_format="pyarrow", batch_size=None
-    ).sort("score", descending=True).limit(rerank_top_k)
+    # repartition(1): the merge is a whole-candidate-list operation on a
+    # capped (<=100 row) set — one tiny block, order preserved through
+    # finalize (no further sort: merge order IS the ranking)
+    return (
+        candidates.repartition(1)
+        .map_batches(rerank_batch, batch_format="pyarrow", batch_size=None)
+        .map_batches(finalize, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def _lexical_rerank(q_tokens: set[str], texts: list[str]) -> list[dict]:
+    """Deterministic stand-in for the cross-encoder (reference FlashRank,
+    search.py:1196-1201): score = query-token coverage of the passage.
+    Returns results sorted by score desc (stable), shaped like the model
+    output: [{"id": idx, "text": ..., "score": ...}]."""
+    scores = []
+    nq = max(len(q_tokens), 1)
+    for i, x in enumerate(texts):
+        toks = set(tokenize_surface(x))
+        scores.append((len(q_tokens & toks) / nq, i))
+    order = sorted(range(len(texts)), key=lambda i: (-scores[i][0], i))
+    return [{"id": i, "text": texts[i], "score": scores[i][0]} for i in order]
+
+
+def merge_reranked(
+    n: int, results: list[dict], texts: list[str]
+) -> tuple[list[int], dict[int, float]]:
+    """The reference's rerank merge (search.py:1204-1241), as a pure
+    function: match model results to candidates by index first, fall back to
+    exact-text match (dedup via a seen-set), then append every unmatched
+    candidate with the MINIMUM matched score so index/text mismatches never
+    drop results. Returns (candidate order, {candidate_idx: rerank_score})."""
+    text_to_indices: dict[str, list[int]] = {}
+    for idx, x in enumerate(texts):
+        text_to_indices.setdefault(x, []).append(idx)
+
+    order: list[int] = []
+    scores: dict[int, float] = {}
+    seen: set[int] = set()
+    for r in results:
+        score = float(r.get("score", 0.0))
+        ridx = r.get("id")
+        if ridx is not None and 0 <= ridx < n:
+            if ridx not in seen:
+                order.append(ridx)
+                scores[ridx] = score
+                seen.add(ridx)
+        else:
+            for idx in text_to_indices.get(r.get("text", ""), []):
+                if idx not in seen:
+                    order.append(idx)
+                    scores[idx] = score
+                    seen.add(idx)
+                    break
+    min_score = min(scores.values()) if scores else 0.0
+    for idx in range(n):
+        if idx not in seen:
+            order.append(idx)
+            scores[idx] = min_score
+    return order, scores
 
 
 def _empty_result() -> pa.Table:

@@ -385,3 +385,35 @@ def test_input_fingerprint_subsecond_rewrite(tmp_path):
     os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns + 1))
     fp2 = input_fingerprint(str(f))
     assert fp1 != fp2
+
+
+# ---------------------------------------------------------------------------
+# rerank merge semantics (reference search.py:1204-1241)
+
+
+def test_merge_reranked_index_text_and_min_score_paths():
+    from chunksilo_ray.pipelines.search import merge_reranked
+
+    texts = ["alpha", "beta", "gamma", "beta"]
+    # model output: one index match, one index-less text match (dedups to the
+    # FIRST unseen index with that text), one bogus id out of range that text-
+    # matches the second "beta"; "gamma" never mentioned -> min-score tail
+    results = [
+        {"id": 2, "text": "gamma", "score": 0.9},
+        {"id": None, "text": "beta", "score": 0.7},
+        {"id": 99, "text": "beta", "score": 0.4},
+        {"id": 2, "text": "gamma", "score": 0.2},  # dup index: ignored
+    ]
+    order, scores = merge_reranked(len(texts), results, texts)
+    assert order == [2, 1, 3, 0]
+    assert scores[2] == 0.9 and scores[1] == 0.7 and scores[3] == 0.4
+    # unmatched candidate 0 gets the MINIMUM matched score (never dropped)
+    assert scores[0] == 0.4
+
+
+def test_merge_reranked_empty_results_keeps_all():
+    from chunksilo_ray.pipelines.search import merge_reranked
+
+    order, scores = merge_reranked(3, [], ["a", "b", "c"])
+    assert order == [0, 1, 2]
+    assert all(scores[i] == 0.0 for i in range(3))
