@@ -45,9 +45,10 @@ DEFAULTS: dict[str, Any] = {
         "max_pairs": 2_000_000,  # driver union-find edge-list cap
     },
     "assembly": {
-        # conversations longer than this are salted into (conv_id, turn_idx//N)
-        # sub-groups for the shuffle, then offsets are stitched with a broadcast
-        # prefix-sum map (skew guard named by the north rule).
+        # retained for config/fingerprint compatibility: the round-2 assembly
+        # is a global sort whose range partitioning splits giant conversations
+        # across blocks by construction (stages/assemble.py docstring) — the
+        # salted-groupby skew guard this knob tuned no longer exists.
         "salt_threshold": 512,
     },
     "runtime": {

@@ -355,15 +355,16 @@ def customers_without_orders(
     if len(custkeys_with_orders) > broadcast_limit:
         return _shuffle_anti_join(cust, "c_custkey", ["c_name"],
                                   keys_ds.select_columns(["o_custkey"]), "o_custkey")
-    key_set_ref = ray.put(set(custkeys_with_orders))
+    key_set_ref = ray.put(np.sort(np.asarray(custkeys_with_orders, dtype=np.int64)))
 
     class Anti:
         def __init__(self, r):
-            self.keys = ray.get(r)
+            self.keys = ray.get(r)  # sorted int64 array, broadcast once
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            mask = [k not in self.keys for k in t["c_custkey"].to_pylist()]
-            return t.filter(pa.array(mask, pa.bool_()))
+            ck = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            mask = ~np.isin(ck, self.keys, assume_unique=False)
+            return t.filter(pa.array(mask))
 
     return cust.map_batches(Anti, fn_constructor_args=(key_set_ref,),
                             batch_format="pyarrow", batch_size=None, concurrency=(1, 4))
@@ -412,22 +413,31 @@ def supplier_nation_region(sf_dir: str) -> Dataset:
     """Two-level broadcast join chain: supplier -> nation -> region."""
     nation = _pq(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
     region = _pq(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    # pre-join the two dimension tables on the driver (both tiny), broadcast
+    # one sorted-key lookup: per batch it's one searchsorted + two takes —
+    # no per-row Python
     rlut = dict(zip(region["r_regionkey"], region["r_name"]))
-    nlut = {
-        int(k): (v, rlut.get(int(rk)))
-        for k, v, rk in zip(nation["n_nationkey"], nation["n_name"], nation["n_regionkey"])
-    }
-    ref = ray.put(nlut)
+    nkeys = nation["n_nationkey"].to_numpy().astype(np.int64)
+    order = np.argsort(nkeys)
+    n_names = nation["n_name"].to_numpy()[order]
+    r_names = np.asarray(
+        [rlut.get(int(rk)) for rk in nation["n_regionkey"].to_numpy()[order]], dtype=object
+    )
+    ref = ray.put((nkeys[order], n_names, r_names))
     sup = _pq(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
 
     class JoinNR:
         def __init__(self, r):
-            self.lut = ray.get(r)
+            self.keys, self.n_names, self.r_names = ray.get(r)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            pairs = [self.lut.get(k, (None, None)) for k in t["s_nationkey"].to_pylist()]
-            t = t.append_column("n_name", pa.array([p[0] for p in pairs], pa.string()))
-            t = t.append_column("r_name", pa.array([p[1] for p in pairs], pa.string()))
+            nk = t["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.clip(np.searchsorted(self.keys, nk), 0, len(self.keys) - 1)
+            valid = self.keys[pos] == nk
+            t = t.filter(pa.array(valid))
+            hit = pos[valid]
+            t = t.append_column("n_name", pa.array(self.n_names[hit].tolist(), pa.string()))
+            t = t.append_column("r_name", pa.array(self.r_names[hit].tolist(), pa.string()))
             return t.select(["s_suppkey", "s_name", "n_name", "r_name"])
 
     return sup.map_batches(JoinNR, fn_constructor_args=(ref,), batch_format="pyarrow", batch_size=None,

@@ -59,6 +59,21 @@ def build_kg(
     out = pathlib.Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
 
+    # opt-in stage wall-clock trace (GRAFT_TIMING=1): per-stage completion
+    # offsets on stderr — the profiling hook behind BASELINE.md's scaling
+    # analysis (stages overlap, so offsets are completion times, not costs)
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _t0 = _time.perf_counter()
+    _trace = _os.environ.get("GRAFT_TIMING") == "1"
+
+    def _mark(name: str) -> None:
+        if _trace:
+            print(f"[kg +{_time.perf_counter() - _t0:7.2f}s] {name}",
+                  file=_sys.stderr, flush=True)
+
     # explicit block-size control (north rule: target_max_block_size for
     # wide rows / very long conversations)
     tmbs = cfg.get("runtime.target_max_block_size")
@@ -88,6 +103,7 @@ def build_kg(
         keep_in_memory=True,  # downstream consumers read pinned blocks
         write_executor=writer,
     )
+    _mark("assembled materialized")
 
     # ---- stage 2: mention detect + entity link + triple extraction ----------
     alias_table = pq.read_table(alias_path)
@@ -137,19 +153,26 @@ def build_kg(
         chunks_future = pool.submit(chunks_ckpt.run, _build_chunks)
 
     extracted = ext_ckpt.run(_build_extracted, keep_in_memory=True, write_executor=writer)
+    _mark("extracted materialized")
 
-    # dead-letter accounting: rows the extractor marked failed (error column)
-    def _err_partial(t):
+    # dead-letter accounting: rows the extractor marked failed (error
+    # column). The scan reads only pinned blocks — run it on a driver thread
+    # so it overlaps canonicalization (both consume `extracted`)
+    def _count_dead_letters() -> int:
         import pyarrow as _pa
 
-        n_err = int(t.num_rows - t.column("error").null_count)
-        return _pa.table({"n": _pa.array([n_err], _pa.int64())})
+        def _err_partial(t):
+            n_err = int(t.num_rows - t.column("error").null_count)
+            return _pa.table({"n": _pa.array([n_err], _pa.int64())})
 
-    dead_letters = 0
-    for _b in extracted.map_batches(
-        _err_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-    ).iter_batches(batch_format="pyarrow"):
-        dead_letters += int(sum(_b["n"].to_pylist()))
+        total = 0
+        for _b in extracted.map_batches(
+            _err_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow"):
+            total += int(sum(_b["n"].to_pylist()))
+        return total
+
+    dead_letters_future = pool.submit(_count_dead_letters)
 
     # ---- stage 3: canonicalization (shuffle #2 + driver union-find) ---------
     canon_cfg = cfg.section("canon")
@@ -176,6 +199,7 @@ def build_kg(
             cosine_threshold=canon_cfg["cosine_threshold"],
         )
         cmap_path.write_text(json.dumps({"fingerprint": cmap_fp, "map": cmap}))
+    _mark("canonical map built")
 
     # ---- stage 4: graph materialize -----------------------------------------
     # edges: shuffle-free (per-turn weights computed in the explode pass);
@@ -199,10 +223,13 @@ def build_kg(
     # edges(+agg) and nodes are independent — overlap their executions
     edges_future = pool.submit(_edges_chain)
     nodes = nodes_ckpt.run(lambda: materialize_nodes(extracted, cmap))
+    _mark("nodes done")
     edges, edges_agg = edges_future.result()
+    _mark("edges+agg done")
 
     # ---- side branch result (launched right after assembly) ----------------
     chunks = chunks_future.result() if chunks_future is not None else None
+    _mark("chunks done")
     pool.shutdown(wait=True)
 
     # durability barrier: all background checkpoint writes must land before
@@ -212,6 +239,7 @@ def build_kg(
         if fut is not None:
             fut.result()
     writer.shutdown(wait=True)
+    _mark("checkpoint writes durable")
 
     metrics = {
         "turns": (asm_ckpt.manifest() or {}).get("rows"),
@@ -220,7 +248,7 @@ def build_kg(
         "edges_agg": (edges_agg_ckpt.manifest() or {}).get("rows"),
         "nodes": (nodes_ckpt.manifest() or {}).get("rows"),
         "canonical_merges": len(cmap),
-        "dead_letter_turns": dead_letters,
+        "dead_letter_turns": dead_letters_future.result(),
     }
     edges_ckpt.record_metrics({"emitted_edges": metrics["edges"]})
     return {
