@@ -111,36 +111,40 @@ def _shingle_hash64(shingles: list[str], cache: dict[str, int]) -> np.ndarray:
     return np.fromiter(out, dtype=np.uint64, count=len(out))
 
 
-class _ShingleSig:
-    """Stateful map_batches stage: doc -> ONE row carrying the 64-bit
-    shingle-hash set plus the per-band LSH keys (text is tokenized exactly
-    once for the whole dedup pipeline). Band key packs (band_id, band_hash)
-    into int64."""
+# worker-global memo: shingle/token string -> 64-bit md5 hash. The value is
+# config-independent, so one memo serves every dedup op on the worker; the
+# stages are stateless TASK fns (no actor-pool startup on short queries) and
+# warm task workers keep the memo across batches — the same amortization the
+# round-1 actor gave, without the actor.
+_MD5_MEMO: dict[str, int] = {}
 
-    def __init__(self, num_perm: int, bands: int, shingle_k: int):
-        assert num_perm % bands == 0
-        self.rows = num_perm // bands
-        self.bands = bands
-        self.k = shingle_k
-        self.a, self.b = _hash_params(num_perm)
-        self.cache: dict[str, int] = {}  # actor-lifetime shingle-hash memo
 
-    def __call__(self, t: pa.Table) -> pa.Table:
+def _shingle_sig_fn(num_perm: int, bands: int, shingle_k: int):
+    """map_batches task fn: doc -> ONE row carrying the 64-bit shingle-hash
+    set plus the per-band LSH keys (text is tokenized exactly once for the
+    whole dedup pipeline). Band key packs (band_id, band_hash) into int64."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    a, b = _hash_params(num_perm)
+
+    def fn(t: pa.Table) -> pa.Table:
+        if len(_MD5_MEMO) > 4_000_000:  # bound worker memory
+            _MD5_MEMO.clear()
         ids = t["doc_id"].to_pylist()
         texts = t["text"].to_pylist()
         out_id: list[int] = []
         out_sh: list[list[int]] = []
         out_keys: list[list[int]] = []
         for did, text in zip(ids, texts):
-            sh = _shingle_hash64(_token_shingles(text, self.k), self.cache)
+            sh = _shingle_hash64(_token_shingles(text, shingle_k), _MD5_MEMO)
             if sh.size == 0:
                 continue
             # minhash base = low 32 bits (exact Mersenne-61 universal hashing
             # needs x < 2^32); the verify set keeps all 64 bits
-            sig = _minhash_sig_exact(sh & np.uint64(0xFFFFFFFF), self.a, self.b)
+            sig = _minhash_sig_exact(sh & np.uint64(0xFFFFFFFF), a, b)
             keys = [
-                (bi << 32) | zlib.crc32(sig[bi * self.rows : (bi + 1) * self.rows].tobytes())
-                for bi in range(self.bands)
+                (bi << 32) | zlib.crc32(sig[bi * rows_per_band : (bi + 1) * rows_per_band].tobytes())
+                for bi in range(bands)
             ]
             out_id.append(did)
             out_sh.append(sh.astype(np.int64).tolist())
@@ -152,6 +156,8 @@ class _ShingleSig:
                 "band_keys": pa.array(out_keys, pa.list_(pa.int64())),
             }
         )
+
+    return fn
 
 
 # ---------------------------------------------------------------------------
@@ -231,11 +237,9 @@ def _verified_edges(
     amplification through the widest shuffle); this one ships it once."""
     ds = _docs(sf_dir, ["doc_id", "text"])
     sig = ds.map_batches(
-        _ShingleSig,
-        fn_constructor_args=(num_perm, bands, shingle_k),
+        _shingle_sig_fn(num_perm, bands, shingle_k),
         batch_format="pyarrow",
         batch_size=None,
-        concurrency=(1, 4),
         zero_copy_batch=True,
     ).materialize()
 
@@ -435,52 +439,46 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> Dataset:
 # SimHash
 
 
-class SimHashStage:
+_SIMHASH_SHIFTS = np.arange(64, dtype=np.uint64)
+
+
+def _tok_hashes(toks: list[str]) -> np.ndarray:
+    get = _MD5_MEMO.get
+    out = np.empty(len(toks), dtype=np.uint64)
+    for i, w in enumerate(toks):
+        h = get(w)
+        if h is None:
+            h = int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "big")
+            _MD5_MEMO[w] = h
+        out[i] = h
+    return out
+
+
+def _simhash_batch(t: pa.Table) -> pa.Table:
     """64-bit SimHash over md5 token hashes, occurrence-weighted, emitted as
     a 16-hex-char string (DuckDB computes the identical value from
-    ('0x'||substr(md5(tok),1,16))::UBIGINT bit votes). Stateful: the
-    token-hash memo lives for the actor."""
-
-    def __init__(self):
-        self.word = _WORD_RE
-        self.cache: dict[str, int] = {}
-        self.shifts = np.arange(64, dtype=np.uint64)
-
-    def _tok_hashes(self, toks: list[str]) -> np.ndarray:
-        get = self.cache.get
-        out = np.empty(len(toks), dtype=np.uint64)
-        for i, w in enumerate(toks):
-            h = get(w)
-            if h is None:
-                h = int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "big")
-                self.cache[w] = h
-            out[i] = h
-        return out
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        out = []
-        for x in texts:
-            toks = self.word.findall(x.lower())
-            if not toks:
-                out.append("0" * 16)
-                continue
-            hs = self._tok_hashes(toks)
-            bits = ((hs[:, None] >> self.shifts[None, :]) & np.uint64(1)).astype(np.int64)
-            votes = (2 * bits - 1).sum(axis=0)
-            v = np.uint64(0)
-            sel = np.flatnonzero(votes > 0)
-            for i in sel:
-                v |= np.uint64(1) << np.uint64(i)
-            out.append(format(int(v), "016x"))
-        return pa.table(
-            {"doc_id": t["doc_id"], "simhash": pa.array(out, pa.string())}
-        )
+    ('0x'||substr(md5(tok),1,16))::UBIGINT bit votes). Stateless task fn;
+    the token-hash memo is the worker-global _MD5_MEMO."""
+    texts = t["text"].to_pylist()
+    out = []
+    for x in texts:
+        toks = _WORD_RE.findall(x.lower())
+        if not toks:
+            out.append("0" * 16)
+            continue
+        hs = _tok_hashes(toks)
+        bits = ((hs[:, None] >> _SIMHASH_SHIFTS[None, :]) & np.uint64(1)).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        v = np.uint64(0)
+        for i in np.flatnonzero(votes > 0):
+            v |= np.uint64(1) << np.uint64(i)
+        out.append(format(int(v), "016x"))
+    return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(out, pa.string())})
 
 
 def simhash_docs(sf_dir: str) -> Dataset:
     ds = _docs(sf_dir, ["doc_id", "text"])
-    return ds.map_batches(SimHashStage, batch_format="pyarrow", batch_size=None, concurrency=(1, 4),
+    return ds.map_batches(_simhash_batch, batch_format="pyarrow", batch_size=None,
                           zero_copy_batch=True)
 
 
@@ -601,38 +599,40 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3, max_group: int = 512) -
 # embedding-cosine near-dup
 
 
-class _HyperplaneBands:
+_PLANES_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def _hyperplane_bands_fn(dim: int, band_bits: int = 8, n_bands: int = 24, seed: int = 13):
     """Multi-band random-hyperplane LSH: n_bands bands of band_bits sign
     bits. Collision prob per bit at cosine 0.95 is 1-acos(.95)/pi ~ 0.899,
     so recall = 1-(1-0.899^8)^24 ~ 1-2e-6 — near-exhaustive at the 0.95
     threshold while buckets stay tiny. Planes are regenerated from a fixed
-    seed per actor (a few KB; deterministic across processes).
+    seed once per WORKER (a few KB; deterministic across processes;
+    stateless task fn — no actor-pool startup).
 
     Scale note: rows carry the normalized vector into the band shuffle
     (n_bands x vector amplification). At 100 TB drop n_bands / use a
     vec_id-only first pass + hash-join fetch; for the near-dup thresholds
     this engine targets, the carried-vector form is the latency winner."""
 
-    def __init__(self, dim: int, band_bits: int = 8, n_bands: int = 24, seed: int = 13):
-        rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((dim, band_bits * n_bands))
-        self.band_bits = band_bits
-        self.n_bands = n_bands
-
-    def __call__(self, t: pa.Table) -> pa.Table:
+    def fn(t: pa.Table) -> pa.Table:
+        key = (dim, band_bits, n_bands, seed)
+        planes = _PLANES_CACHE.get(key)
+        if planes is None:
+            planes = np.random.default_rng(seed).standard_normal((dim, band_bits * n_bands))
+            _PLANES_CACHE[key] = planes
         emb = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         emb = np.divide(emb, norms, where=norms > 0)
-        signs = (emb @ self.planes) > 0  # (n, n_bands*band_bits)
-        n = emb.shape[0]
-        weights = 1 << np.arange(self.band_bits)
+        signs = (emb @ planes) > 0  # (n, n_bands*band_bits)
+        weights = 1 << np.arange(band_bits)
         out_key, out_id, out_vec = [], [], []
         ids = t["vec_id"].to_pylist()
         vec_lists = emb.tolist()
-        for band in range(self.n_bands):
-            sl = signs[:, band * self.band_bits : (band + 1) * self.band_bits]
-            key = (sl @ weights) + (band << self.band_bits)
-            out_key.extend(key.tolist())
+        for band in range(n_bands):
+            sl = signs[:, band * band_bits : (band + 1) * band_bits]
+            k = (sl @ weights) + (band << band_bits)
+            out_key.extend(k.tolist())
             out_id.extend(ids)
             out_vec.extend(vec_lists)
         keys_np = np.asarray(out_key, dtype=np.int64)
@@ -644,6 +644,8 @@ class _HyperplaneBands:
                 "vec": pa.array(out_vec, pa.list_(pa.float64())),
             }
         )
+
+    return fn
 
 
 def _cosine_pairs_partition(threshold: float, max_group: int):
@@ -700,13 +702,19 @@ def embedding_near_dups(
     config is ~1-2e-6 at tau=0.95 and unit-gated with constructed near-dup
     pairs in tests/test_dedup_suite.py)."""
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    dim = len(ds.take(1)[0]["embedding"])
+    # dim from the Parquet schema (driver-side metadata read — a Dataset
+    # take(1) here cost a full executor startup per query)
+    import pyarrow.parquet as _pq
+
+    schema = _pq.read_schema(f"{sf_dir}/embeddings.parquet")
+    emb_type = schema.field("embedding").type
+    dim = emb_type.list_size if hasattr(emb_type, "list_size") and emb_type.list_size else None
+    if not dim:
+        dim = len(ds.take(1)[0]["embedding"])
     bucketed = ds.map_batches(
-        _HyperplaneBands,
-        fn_constructor_args=(dim, band_bits, n_bands),
+        _hyperplane_bands_fn(dim, band_bits, n_bands),
         batch_format="pyarrow",
         batch_size=None,
-        concurrency=(1, 4),
         zero_copy_batch=True,
     )
     pairs = bucketed.groupby("__part").map_groups(

@@ -26,16 +26,17 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
-    """Deterministic query: the embedding of ``vec_id`` (float64)."""
-    t = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    """Deterministic query: the embedding of ``vec_id`` (float64). ONE row —
+    a driver-side predicate-pushdown read (Parquet row-group pruning on the
+    vec_id statistics), not a distributed execution: fetching a single
+    query vector through a Dataset pipeline paid ~1-2 s of executor latency
+    per similarity query."""
+    import pyarrow.dataset as pads
 
-    def grab(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return b.filter(pc.equal(b["vec_id"], vec_id))
-
-    rows = t.map_batches(grab, batch_format="pyarrow", batch_size=None).take(1)
-    return np.asarray(rows[0]["embedding"], dtype=np.float64)
+    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["embedding"], filter=pads.field("vec_id") == vec_id
+    )
+    return np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
 
 
 def cosine_topk(sf_dir: str, vec_id: int = 0, k: int = 10) -> "pa.Table":
@@ -46,30 +47,28 @@ def cosine_topk(sf_dir: str, vec_id: int = 0, k: int = 10) -> "pa.Table":
     qn = q / np.linalg.norm(q)
     q_ref = ray.put(qn)
 
-    class PartialTopK:
-        def __init__(self, ref, k):
-            self.q = ray.get(ref)
-            self.k = k
+    def partial_topk(t: pa.Table) -> pa.Table:
+        # stateless task + worker-global broadcast cache (no actor-pool
+        # startup on the critical path of a short query)
+        from ..util import cached_get
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            emb = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
-            emb = _normalize(emb)
-            sims = emb @ self.q
-            if len(sims) > self.k:
-                keep = np.argpartition(-sims, self.k)[: self.k]
-            else:
-                keep = np.arange(len(sims))
-            ids = np.asarray(t["vec_id"].to_pylist())[keep]
-            return pa.table(
-                {
-                    "vec_id": pa.array(ids, pa.int64()),
-                    "cosine": pa.array(np.round(sims[keep], 6), pa.float64()),
-                }
-            )
+        qv = cached_get(q_ref)
+        emb = _normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float64))
+        sims = emb @ qv
+        if len(sims) > k:
+            keep = np.argpartition(-sims, k)[:k]
+        else:
+            keep = np.arange(len(sims))
+        ids = np.asarray(t["vec_id"].to_pylist())[keep]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cosine": pa.array(np.round(sims[keep], 6), pa.float64()),
+            }
+        )
 
     partials = _emb(sf_dir).map_batches(
-        PartialTopK, fn_constructor_args=(q_ref, k), batch_format="pyarrow", batch_size=None,
-        concurrency=(1, 4), zero_copy_batch=True
+        partial_topk, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
     merged = partials.sort("cosine", descending=True).limit(k)
     t = pa.Table.from_pylist(merged.take_all())
@@ -119,38 +118,35 @@ def ivf_topk(sf_dir: str, vec_id: int = 0, k: int = 10, n_cells: int = 16, n_pro
 
     q = query_vector(sf_dir, vec_id)
     qn = q / np.linalg.norm(q)
-    probe_cells = set(np.argsort(-(centroids @ qn))[:n_probe].tolist())
+    probe_cells = np.argsort(-(centroids @ qn))[:n_probe]
     state_ref = ray.put((centroids, qn, probe_cells))
 
-    class ProbeTopK:
-        def __init__(self, ref, k):
-            self.centroids, self.q, self.cells = ray.get(ref)
-            self.k = k
+    def probe_topk(t: pa.Table) -> pa.Table:
+        from ..util import cached_get
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            emb = _normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float64))
-            cell = np.argmax(emb @ self.centroids.T, axis=1)
-            mask = np.isin(cell, list(self.cells))
-            if not mask.any():
-                return pa.table({"vec_id": pa.array([], pa.int64()),
-                                 "cosine": pa.array([], pa.float64())})
-            emb = emb[mask]
-            ids = np.asarray(t["vec_id"].to_pylist())[mask]
-            sims = emb @ self.q
-            if len(sims) > self.k:
-                keep = np.argpartition(-sims, self.k)[: self.k]
-            else:
-                keep = np.arange(len(sims))
-            return pa.table(
-                {
-                    "vec_id": pa.array(ids[keep], pa.int64()),
-                    "cosine": pa.array(np.round(sims[keep], 6), pa.float64()),
-                }
-            )
+        cents, qv, cells = cached_get(state_ref)
+        emb = _normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float64))
+        cell = np.argmax(emb @ cents.T, axis=1)
+        mask = np.isin(cell, cells)
+        if not mask.any():
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        emb = emb[mask]
+        ids = np.asarray(t["vec_id"].to_pylist())[mask]
+        sims = emb @ qv
+        if len(sims) > k:
+            keep = np.argpartition(-sims, k)[:k]
+        else:
+            keep = np.arange(len(sims))
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[keep], pa.int64()),
+                "cosine": pa.array(np.round(sims[keep], 6), pa.float64()),
+            }
+        )
 
     partials = _emb(sf_dir).map_batches(
-        ProbeTopK, fn_constructor_args=(state_ref, k), batch_format="pyarrow", batch_size=None,
-        concurrency=(1, 4), zero_copy_batch=True
+        probe_topk, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
     merged = partials.sort("cosine", descending=True).limit(k)
     t = pa.Table.from_pylist(merged.take_all())

@@ -25,3 +25,25 @@ def pool_bounds(max_actors: int | None = None, num_cpus: float = 1.0) -> tuple[i
     # worker processes; tasks reuse warm ones)
     lo = max(1, hi // 4)
     return (lo, hi)
+
+
+_REF_CACHE: dict[str, object] = {}
+
+
+def cached_get(ref):
+    """Worker-global broadcast fetch: ``ray.get`` an ObjectRef once per
+    worker process, then serve every subsequent task on that worker from the
+    cache (the stateless-task twin of doing ``ray.get`` in an actor's
+    ``__init__``). Stateless tasks + warm workers beat a dedicated actor
+    pool for SHORT stages: no actor-process startup on the critical path,
+    and the stage scales to every free CPU instantly."""
+    import ray
+
+    key = ref.hex()
+    got = _REF_CACHE.get(key)
+    if got is None:
+        if len(_REF_CACHE) > 8:
+            _REF_CACHE.clear()
+        got = ray.get(ref)
+        _REF_CACHE[key] = got
+    return got
