@@ -170,6 +170,11 @@ def _shingle_sig_fn(num_perm: int, bands: int, shingle_k: int):
 
 _COARSE_PARTS = 64
 
+# candidate-pair count up to which the candidate DOC-ID set (ints) may be
+# collected to the driver and broadcast as a sketch filter; past this the
+# attach exchange falls back to shipping all sketches (no driver set)
+_CAND_BROADCAST_LIMIT = 5_000_000
+
 
 def _coarse_parts(keys: np.ndarray, parts: int = _COARSE_PARTS) -> np.ndarray:
     """Deterministic multiplicative hash partition of an int64 key column."""
@@ -283,7 +288,38 @@ def _verified_edges(
         raw_pairs.map_batches(add_pair_part, batch_format="pyarrow", batch_size=None)
         .groupby("__part")
         .map_groups(lambda t: dedup_pairs_part(t), batch_format="pyarrow")
+        .materialize()  # tiny: deduped candidate pairs (int ids only)
     )
+
+    _EMPTY_EDGES = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("inter", pa.int64()), ("uni", pa.int64())]
+    )
+    n_cands = cands.count()
+    if n_cands == 0:
+        return rd.from_arrow(_EMPTY_EDGES.empty_table())
+
+    # candidate-doc broadcast filter: only docs that are IN a candidate pair
+    # need their sketch shipped into the attach exchange (the unfiltered
+    # union moved EVERY doc's sketch — O(corpus) instead of O(candidates)).
+    # The id set is ints (16 B/pair) collected from the materialized pair
+    # table, with a budget guard: past it, fall back to the full-union path
+    # rather than hold an unbounded driver set (broadcast_inner_join's
+    # documented pattern in ops/relational.py).
+    cand_ref = None
+    if n_cands <= _CAND_BROADCAST_LIMIT:
+        import ray as _ray
+
+        parts = [
+            np.concatenate(
+                [
+                    b["a"].to_numpy(zero_copy_only=False),
+                    b["b"].to_numpy(zero_copy_only=False),
+                ]
+            )
+            for b in cands.iter_batches(batch_format="pyarrow")
+        ]
+        cand_ids = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+        cand_ref = _ray.put(cand_ids)
 
     # tagged union on doc_id (coarse-partitioned): pair memberships + sketches
     def memberships(t: pa.Table) -> pa.Table:
@@ -302,6 +338,11 @@ def _verified_edges(
         )
 
     def sketches(t: pa.Table) -> pa.Table:
+        if cand_ref is not None:
+            from ..util import cached_get
+
+            doc_np = t["doc_id"].to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(np.isin(doc_np, cached_get(cand_ref))))
         n = t.num_rows
         doc = t["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table(
