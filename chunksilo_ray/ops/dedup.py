@@ -64,14 +64,25 @@ def exact_dedup_docs(sf_dir: str) -> Dataset:
         hashes = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in t["text"].to_pylist()]
         return t.append_column("text_hash", pa.array(hashes, pa.string()))
 
-    def keep_min(t: pa.Table) -> pa.Table:
-        i = pc.index(pc.equal(t["doc_id"], pc.min(t["doc_id"])), True).as_py()
-        return t.slice(i, 1).select(["doc_id", "text_hash"])
+    from ..stages.materialize import _string_key_part
+
+    def partial_min(t: pa.Table) -> pa.Table:
+        # per-batch combine, then ONE coarse int-key exchange + in-partition
+        # hash aggregate (groupby(text_hash).map_groups paid one Python call
+        # per distinct text — 50k calls at sf0.1)
+        g = t.group_by("text_hash", use_threads=False).aggregate([("doc_id", "min")])
+        g = g.rename_columns(["text_hash", "doc_id"])
+        return g.append_column("__part", _string_key_part(g, ["text_hash"]))
+
+    def final_min(t: pa.Table) -> pa.Table:
+        g = t.group_by("text_hash", use_threads=False).aggregate([("doc_id", "min")])
+        return pa.table({"doc_id": g.column("doc_id_min"), "text_hash": g.column("text_hash")})
 
     return (
         ds.map_batches(add_hash, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-        .groupby("text_hash")
-        .map_groups(keep_min, batch_format="pyarrow")
+        .map_batches(partial_min, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(final_min, batch_format="pyarrow")
     )
 
 

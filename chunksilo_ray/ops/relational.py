@@ -330,9 +330,26 @@ def orders_with_customer_segment(
     joined = broadcast_inner_join(
         orders, "o_custkey", cust, "c_custkey", ["c_mktsegment"], broadcast_limit
     )
-    agg = joined.groupby("c_mktsegment").aggregate(
-        Sum("o_totalprice", alias_name="segment_revenue"), Count(alias_name="n_orders")
+
+    def partial(t: pa.Table) -> pa.Table:
+        # per-batch combine: the exchange then moves ~5 rows per block
+        # instead of sorting every joined order row by segment string
+        g = t.group_by("c_mktsegment", use_threads=False).aggregate(
+            [("o_totalprice", "sum"), ("o_totalprice", "count")]
+        )
+        return g.rename_columns(["c_mktsegment", "rev", "n"])
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby("c_mktsegment")
+        .aggregate(Sum("rev", alias_name="segment_revenue"), Sum("n", alias_name="n_orders"))
     )
+
+    def fix_types(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("n_orders")
+        return t.set_column(i, "n_orders", pc.cast(t.column("n_orders"), pa.int64()))
+
+    agg = agg.map_batches(fix_types, batch_format="pyarrow", batch_size=None)
     return round_columns(agg, ["segment_revenue"])
 
 
