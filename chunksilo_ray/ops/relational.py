@@ -263,13 +263,23 @@ def broadcast_inner_join(
                             batch_format="pyarrow", batch_size=None, concurrency=(1, 4))
 
 
+_JOIN_PARTS = 64
+
+
+def _int_key_part(keys: np.ndarray, parts: int = _JOIN_PARTS) -> pa.Array:
+    h = (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+    return pa.array((h % np.uint64(parts)).astype(np.int64))
+
+
 def _shuffle_inner_join(
     fact: Dataset, fact_key: str, fact_cols: list[str],
     dim: Dataset, dim_key: str, dim_cols: list[str],
 ) -> Dataset:
     """Hash-partition join: both sides tagged onto one union schema, ONE
-    groupby(key) co-locates matching rows, the group fn stitches them
-    (ops/joins.py co-groupby pattern, generalized)."""
+    coarse int-key exchange co-locates complete key groups for many keys per
+    partition, and the partition fn stitches them VECTORIZED (sorted dim
+    keys + one searchsorted over the fact keys — no per-key Python; the
+    round-1 groupby(__key).map_groups paid one UDF call per distinct key)."""
     types: dict[str, pa.DataType] = {}
     for sch in (fact.schema(), dim.schema()):
         for name, typ in zip(sch.names, sch.types):
@@ -278,8 +288,10 @@ def _shuffle_inner_join(
     def tag(side: int, key_col: str, present: list[str]):
         def fn(t: pa.Table) -> pa.Table:
             n = t.num_rows
+            keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
             cols: dict[str, pa.Array] = {
-                "__key": pc.cast(t[key_col], pa.int64()),
+                "__part": _int_key_part(keys),
+                "__key": pa.array(keys),
                 "__side": pa.array(np.full(n, side, dtype=np.int8)),
             }
             for c in fact_cols + dim_cols:
@@ -292,20 +304,34 @@ def _shuffle_inner_join(
         tag(1, fact_key, fact_cols), batch_format="pyarrow", batch_size=None
     ).union(dim.map_batches(tag(0, dim_key, dim_cols), batch_format="pyarrow", batch_size=None))
 
-    def join_group(t: pa.Table) -> pa.Table:
+    def join_partition(t: pa.Table) -> pa.Table:
         side = t["__side"].to_numpy(zero_copy_only=False)
+        keys = t["__key"].to_numpy(zero_copy_only=False)
         dim_idx = np.flatnonzero(side == 0)
         fact_idx = np.flatnonzero(side == 1)
+        empty = pa.table(
+            {c: pa.array([], type=types[c]) for c in fact_cols + dim_cols}
+        )
         if dim_idx.size == 0 or fact_idx.size == 0:
-            return t.slice(0, 0).select(fact_cols + dim_cols)
-        f = t.take(pa.array(fact_idx)).select(fact_cols)
-        d0 = int(dim_idx[0])
+            return empty
+        dkeys = keys[dim_idx]
+        order = np.argsort(dkeys, kind="stable")  # first dim row per key wins
+        dkeys_sorted = dkeys[order]
+        fkeys = keys[fact_idx]
+        pos = np.searchsorted(dkeys_sorted, fkeys)
+        pos_c = np.clip(pos, 0, len(dkeys_sorted) - 1)
+        valid = dkeys_sorted[pos_c] == fkeys
+        if not valid.any():
+            return empty
+        f_rows = fact_idx[valid]
+        d_rows = dim_idx[order[pos_c[valid]]]
+        out = t.take(pa.array(f_rows)).select(fact_cols)
+        d = t.take(pa.array(d_rows))
         for c in dim_cols:
-            v = t[c][d0].as_py()
-            f = f.append_column(c, pa.array([v] * f.num_rows, type=types[c]))
-        return f
+            out = out.append_column(c, d[c])
+        return out
 
-    return tagged.groupby("__key").map_groups(join_group, batch_format="pyarrow")
+    return tagged.groupby("__part").map_groups(join_partition, batch_format="pyarrow")
 
 
 def customers_per_nation(sf_dir: str, broadcast_limit: int = BROADCAST_ROW_LIMIT) -> Dataset:
@@ -396,8 +422,10 @@ def _shuffle_anti_join(
     def tag(side: int, key_col: str, present: list[str]):
         def fn(t: pa.Table) -> pa.Table:
             n = t.num_rows
+            keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
             cols: dict[str, pa.Array] = {
-                "__key": pc.cast(t[key_col], pa.int64()),
+                "__part": _int_key_part(keys),
+                "__key": pa.array(keys),
                 "__side": pa.array(np.full(n, side, dtype=np.int8)),
             }
             for c in left_cols:
@@ -410,18 +438,22 @@ def _shuffle_anti_join(
         tag(0, left_key, left_cols), batch_format="pyarrow", batch_size=None
     ).union(right.map_batches(tag(1, right_key, []), batch_format="pyarrow", batch_size=None))
 
-    def keep_unmatched(t: pa.Table) -> pa.Table:
+    def keep_unmatched_partition(t: pa.Table) -> pa.Table:
+        # vectorized per-partition anti join: left rows whose key is absent
+        # from the partition's right-side key set (np.isin, no per-key UDF)
         side = t["__side"].to_numpy(zero_copy_only=False)
-        if (side == 1).any():
-            return t.slice(0, 0).select(["__key", *left_cols])
-        return t.select(["__key", *left_cols])
+        keys = t["__key"].to_numpy(zero_copy_only=False)
+        left_idx = np.flatnonzero(side == 0)
+        right_keys = np.unique(keys[side == 1])
+        keep = left_idx[~np.isin(keys[left_idx], right_keys)]
+        return t.take(pa.array(keep)).select(["__key", *left_cols])
 
     def finish(t: pa.Table) -> pa.Table:
         return t.rename_columns([left_key, *left_cols])
 
     return (
-        tagged.groupby("__key")
-        .map_groups(keep_unmatched, batch_format="pyarrow")
+        tagged.groupby("__part")
+        .map_groups(keep_unmatched_partition, batch_format="pyarrow")
         .map_batches(finish, batch_format="pyarrow", batch_size=None)
     )
 
