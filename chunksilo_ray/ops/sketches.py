@@ -20,17 +20,24 @@ def _events(sf_dir: str, columns: list[str] | None = None) -> Dataset:
 
 
 def topk_events_per_user(sf_dir: str, k: int = 3) -> Dataset:
-    """Top-k events by value per user (rank within group): the groupby +
-    in-group sort shape; SQL oracle via row_number() OVER."""
+    """Top-k events by value per user (rank within group): coarse user-hash
+    partitions, then ONE vectorized sort + cumcount per partition (the
+    per-user map_groups form paid one Python call per user); SQL oracle via
+    row_number() OVER. Per-batch partial top-k before the exchange bounds
+    the shuffled rows at k per user per batch."""
     ds = _events(sf_dir, ["event_id", "user_id", "value"])
+    from .window import _user_partitioned
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["value", "event_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
+    def topk_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "value", "event_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        g["rank"] = g.groupby("user_id").cumcount() + 1
+        g = g[g["rank"] <= k]
         return g[["user_id", "event_id", "value", "rank"]]
 
-    return ds.groupby("user_id").map_groups(topk, batch_format="pandas")
+    return _user_partitioned(ds).groupby("__part").map_groups(
+        topk_partition, batch_format="pandas"
+    )
 
 
 def median_value_by_type(sf_dir: str) -> Dataset:

@@ -25,6 +25,23 @@ def _events(sf_dir: str, columns: list[str] | None = None) -> Dataset:
     return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
 
 
+_WINDOW_PARTS = 64
+
+
+def _user_partitioned(ds: Dataset, parts: int = _WINDOW_PARTS) -> Dataset:
+    """Add a coarse user-hash partition column: the per-user window UDFs then
+    run once per PARTITION (complete users per partition, vectorized inside)
+    instead of once per user — groupby(user).map_groups paid one Python call
+    per user, the dominant cost at real user cardinality."""
+
+    def add_part(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (uid * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return t.append_column("__part", pa.array((h % np.uint64(parts)).astype(np.int64)))
+
+    return ds.map_batches(add_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
 def tumbling_hourly(sf_dir: str) -> Dataset:
     """Hourly tumbling-window aggregate per user: count + value sum.
     Window key is computed vectorized per batch; the aggregate is then an
@@ -56,22 +73,22 @@ def session_windows(sf_dir: str, gap_minutes: int = 30) -> Dataset:
     gap_us = gap_minutes * 60_000_000
     ds = _events(sf_dir, ["user_id", "ts", "value"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="mergesort")
+    def sessions_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # one coarse user-hash partition holds COMPLETE event sets for many
+        # users; session ids are computed vectorized across all of them
+        # (a new session starts at a user change OR a gap) — one pandas call
+        # per partition, not per user
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
         ts = g["ts"].astype("int64").to_numpy()
+        uid = g["user_id"].to_numpy()
         new_session = np.empty(len(ts), dtype=bool)
-        new_session[0] = True
-        new_session[1:] = (ts[1:] - ts[:-1]) > gap_us
+        if len(ts):
+            new_session[0] = True
+            new_session[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
         sid = np.cumsum(new_session)
         out = (
-            pd.DataFrame(
-                {
-                    "user_id": g["user_id"].to_numpy(),
-                    "session_idx": sid,
-                    "ts_us": ts,
-                    "value": g["value"].to_numpy(),
-                }
-            )
+            pd.DataFrame({"user_id": uid, "session_idx": sid, "ts_us": ts,
+                          "value": g["value"].to_numpy()})
             .groupby("session_idx")
             .agg(
                 user_id=("user_id", "first"),
@@ -86,7 +103,9 @@ def session_windows(sf_dir: str, gap_minutes: int = 30) -> Dataset:
         out["value_sum"] = out["value_sum"].round(4)
         return out[["user_id", "session_start_us", "session_end_us", "n_events", "value_sum"]]
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return _user_partitioned(ds).groupby("__part").map_groups(
+        sessions_partition, batch_format="pandas"
+    )
 
 
 def rolling_daily_per_user(sf_dir: str) -> Dataset:
@@ -94,11 +113,14 @@ def rolling_daily_per_user(sf_dir: str) -> Dataset:
     aggregate; oracle = SUM() OVER (PARTITION BY ... ORDER BY ...))."""
     ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
 
-    def running(g: pd.DataFrame) -> pd.DataFrame:
+    def running_partition(g: pd.DataFrame) -> pd.DataFrame:
         # (ts, event_id) sort: deterministic under duplicate timestamps so
-        # the SQL window-function oracle orders identically
-        g = g.sort_values(["ts", "event_id"])
-        g["running_value"] = g["value"].cumsum().round(4)
+        # the SQL window-function oracle orders identically; the cumsum is a
+        # single vectorized groupby over the whole partition
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g["running_value"] = g.groupby("user_id")["value"].cumsum().round(4)
         return g[["event_id", "user_id", "running_value"]]
 
-    return ds.groupby("user_id").map_groups(running, batch_format="pandas")
+    return _user_partitioned(ds).groupby("__part").map_groups(
+        running_partition, batch_format="pandas"
+    )
