@@ -56,6 +56,11 @@ class AliasIndex:
             if key:
                 # first writer wins (stable — alias tables are deduped upstream)
                 self.by_tokens.setdefault(key, (eid, etype))
+        # prefix filter: first sub-token of every alias key. A position whose
+        # first sub-token is absent here cannot start ANY alias match, so the
+        # scan skips the n-gram key construction entirely (the common case —
+        # most corpus tokens start no alias).
+        self.first_subtokens: frozenset[str] = frozenset(k[0] for k in self.by_tokens)
 
     @classmethod
     def from_arrow(cls, table, max_ngram: int = 3) -> "AliasIndex":
@@ -116,20 +121,27 @@ def scan_mentions(
                 _cache[tok] = tt
             tuples.append(tt)
     out: list[Mention] = []
+    first_sub = alias.first_subtokens
     i = 0
     while i < n:
         matched = False
-        # (a) alias n-grams, longest first
-        for k in range(min(alias.max_ngram, n - i), 0, -1):
-            key = tuples[i] if k == 1 else sum(tuples[i : i + k], ())
-            hit = alias.by_tokens.get(key)
-            if hit is not None:
-                surf = " ".join(raw[i : i + k])
-                eid, etype = hit
-                out.append(Mention(eid, surf, normalize_surface(surf), etype, True))
-                i += k
-                matched = True
-                break
+        # (a) alias n-grams, longest first. Prefix-filtered: if this
+        # position's first sub-token starts no alias key, no n-gram here can
+        # match — skip without building any concatenated keys. (Positions
+        # whose token tokenizes to nothing keep the unfiltered probe: their
+        # n-gram keys start with a LATER token's sub-tokens.)
+        ti = tuples[i]
+        if not ti or ti[0] in first_sub:
+            for k in range(min(alias.max_ngram, n - i), 0, -1):
+                key = ti if k == 1 else sum(tuples[i : i + k], ())
+                hit = alias.by_tokens.get(key)
+                if hit is not None:
+                    surf = " ".join(raw[i : i + k])
+                    eid, etype = hit
+                    out.append(Mention(eid, surf, normalize_surface(surf), etype, True))
+                    i += k
+                    matched = True
+                    break
         if matched:
             continue
         tok = raw[i]
