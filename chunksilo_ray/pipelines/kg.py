@@ -155,24 +155,39 @@ def build_kg(
     extracted = ext_ckpt.run(_build_extracted, keep_in_memory=True, write_executor=writer)
     _mark("extracted materialized")
 
-    # dead-letter accounting: rows the extractor marked failed (error
-    # column). The scan reads only pinned blocks — run it on a driver thread
-    # so it overlaps canonicalization (both consume `extracted`)
-    def _count_dead_letters() -> int:
+    # ONE combined scan over the pinned extracted blocks collects BOTH the
+    # dead-letter count (rows the extractor marked failed) and the distinct
+    # unknown norms canonicalization needs — the two separate passes of
+    # round 1 read the biggest intermediate table twice
+    def _scan_extracted() -> tuple[int, set]:
         import pyarrow as _pa
 
-        def _err_partial(t):
+        from ..stages.canon import batch_distinct_unknown_norms
+
+        def _partial(t):
             n_err = int(t.num_rows - t.column("error").null_count)
-            return _pa.table({"n": _pa.array([n_err], _pa.int64())})
+            nt = batch_distinct_unknown_norms(t)
+            return _pa.table(
+                {
+                    "n_err": _pa.array([n_err] + [0] * (nt.num_rows - 1 if nt.num_rows else 0),
+                                        _pa.int64())
+                    if nt.num_rows
+                    else _pa.array([n_err], _pa.int64()),
+                    "norm": nt.column("norm")
+                    if nt.num_rows
+                    else _pa.array([None], _pa.string()),
+                }
+            )
 
-        total = 0
-        for _b in extracted.map_batches(
-            _err_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        total, norms = 0, set()
+        for b in extracted.map_batches(
+            _partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
         ).iter_batches(batch_format="pyarrow"):
-            total += int(sum(_b["n"].to_pylist()))
-        return total
+            total += int(sum(b["n_err"].to_pylist()))
+            norms.update(x for x in b["norm"].to_pylist() if x is not None)
+        return total, norms
 
-    dead_letters_future = pool.submit(_count_dead_letters)
+    scan_future = pool.submit(_scan_extracted)
 
     # ---- stage 3: canonicalization (shuffle #2 + driver union-find) ---------
     canon_cfg = cfg.section("canon")
@@ -188,6 +203,7 @@ def build_kg(
     else:
         cmap = None  # type: ignore[assignment]
     if cmap is None:
+        dead_letters, distinct_norms = scan_future.result()
         cmap = build_canonical_map(
             extracted,  # nested extraction output, pinned blocks
             num_perm=canon_cfg["num_perm"],
@@ -197,6 +213,7 @@ def build_kg(
             max_pairs=canon_cfg["max_pairs"],
             jaccard_threshold=canon_cfg["jaccard_threshold"],
             cosine_threshold=canon_cfg["cosine_threshold"],
+            norms=distinct_norms,  # collected by the combined scan above
         )
         cmap_path.write_text(json.dumps({"fingerprint": cmap_fp, "map": cmap}))
     _mark("canonical map built")
@@ -248,7 +265,7 @@ def build_kg(
         "edges_agg": (edges_agg_ckpt.manifest() or {}).get("rows"),
         "nodes": (nodes_ckpt.manifest() or {}).get("rows"),
         "canonical_merges": len(cmap),
-        "dead_letter_turns": dead_letters_future.result(),
+        "dead_letter_turns": scan_future.result()[0],
     }
     edges_ckpt.record_metrics({"emitted_edges": metrics["edges"]})
     return {

@@ -211,6 +211,25 @@ def canonical_map_from_edges(edges: list[tuple[str, str]]) -> dict[str, str]:
     return out
 
 
+def batch_distinct_unknown_norms(t: pa.Table) -> pa.Table:
+    """Batch-local distinct unknown norms (partial-aggregate pattern);
+    ID-like norms are excluded — already canonical (rules.is_id_norm).
+    Accepts either flat mention rows (norm/known columns) or the nested
+    extraction output (mentions list<struct>) — the nested path avoids
+    materializing an exploded mention dataset just to collect norms."""
+    if "mentions" in t.column_names:
+        lst = t.column("mentions")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        flat = lst.flatten()
+        norm_col = flat.field("norm").filter(pc.invert(flat.field("known")))
+    else:
+        norm_col = t.column("norm").filter(pc.invert(t.column("known")))
+    uniq = pc.unique(norm_col)
+    mask = pc.invert(pc.match_substring_regex(uniq, rules.ID_NORM_RE.pattern))
+    return pa.table({"norm": uniq.filter(mask)})
+
+
 def build_canonical_map(
     mentions: Dataset,
     num_perm: int = 64,
@@ -221,39 +240,26 @@ def build_canonical_map(
     driver_threshold: int = 200_000,
     jaccard_threshold: float = rules.JACCARD_THRESHOLD,
     cosine_threshold: float = rules.COSINE_THRESHOLD,
+    norms: "set[str] | None" = None,
 ) -> dict[str, str]:
     """Full distributed candidate generation + verify; returns the (small)
     canonical map for the driver to broadcast. ``mentions`` is the exploded
-    mention dataset (needs columns norm, known)."""
-    def _batch_distinct_unknown(t: pa.Table) -> pa.Table:
-        # batch-local dedup before the shuffle (partial-aggregate pattern);
-        # ID-like norms are excluded — already canonical (rules.is_id_norm).
-        # Accepts either flat mention rows (norm/known columns) or the nested
-        # extraction output (mentions list<struct>) — the nested path avoids
-        # materializing an exploded mention dataset just to collect norms.
-        if "mentions" in t.column_names:
-            lst = t.column("mentions")
-            if isinstance(lst, pa.ChunkedArray):
-                lst = lst.combine_chunks()
-            flat = lst.flatten()
-            norm_col = flat.field("norm").filter(pc.invert(flat.field("known")))
-        else:
-            norm_col = t.column("norm").filter(pc.invert(t.column("known")))
-        norms = pc.unique(norm_col)
-        mask = pc.invert(pc.match_substring_regex(norms, rules.ID_NORM_RE.pattern))
-        return pa.table({"norm": norms.filter(mask)})
-
-    unknown = mentions.map_batches(
-        _batch_distinct_unknown, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-    )
-
-    # collect the distinct norms: per-batch uniques stream to the driver and
-    # union into a set. With ID-like norms excluded, the distinct-surface
-    # vocabulary is tiny relative to the corpus (it grows with the ENTITY
-    # vocabulary, not the row count).
-    norms: set[str] = set()
-    for b in unknown.iter_batches(batch_format="pyarrow"):
-        norms.update(b["norm"].to_pylist())
+    mention dataset (needs columns norm, known). ``norms`` may carry a
+    pre-collected distinct-unknown-norm set (the KG pipeline piggybacks the
+    collection on its dead-letter scan so the extracted table is read
+    once); when None, the scan below collects it."""
+    if norms is None:
+        unknown = mentions.map_batches(
+            batch_distinct_unknown_norms,
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+        )
+        # collect the distinct norms: per-batch uniques stream to the driver
+        # and union into a set. With ID-like norms excluded, the
+        # distinct-surface vocabulary is tiny relative to the corpus (it
+        # grows with the ENTITY vocabulary, not the row count).
+        norms = set()
+        for b in unknown.iter_batches(batch_format="pyarrow"):
+            norms.update(b["norm"].to_pylist())
 
     if len(norms) <= driver_threshold:
         # fast path: banding + verify locally — same algorithm, no extra
