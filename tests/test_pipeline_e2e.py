@@ -105,3 +105,59 @@ def test_changed_input_invalidates(smoke_corpus, tmp_out, tmp_path):
     cp2 = input_fingerprint(str(alt))
     assert cp1 != cp2
     assert fingerprint(cp1, "assemble") != fingerprint(cp2, "assemble")
+
+
+def test_sigkill_mid_run_then_resume(smoke_corpus, tmp_out, tmp_path):
+    """REAL kill/resume (north rule: 'a killed job resumes without
+    recomputation'): SIGKILL a subprocess mid-pipeline right after the first
+    stage checkpoint lands, then resume in a fresh process over the same
+    out_dir. The assembled checkpoint must be reused byte-identically (same
+    manifest mtime) and the resumed run must complete. Partially-written
+    later stages are invisible by construction (temp-dir + atomic rename +
+    manifest-last)."""
+    import os
+    import pathlib
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    script = f"""
+import ray
+ray.init(num_cpus=2, include_dashboard=False, logging_level="ERROR")
+import sys; sys.path.insert(0, {str(pathlib.Path(__file__).resolve().parents[1])!r})
+from chunksilo_ray.pipelines.kg import build_kg
+build_kg({smoke_corpus!r} + "/transcripts.parquet",
+         {smoke_corpus!r} + "/alias_index.parquet",
+         {tmp_out!r}, with_chunks=False)
+"""
+    child = subprocess.Popen(
+        [sys.executable, "-c", script],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        env={**os.environ, "RAY_ADDRESS": ""},
+    )
+    asm_manifest = pathlib.Path(tmp_out) / "assembled" / "_MANIFEST.json"
+    deadline = time.monotonic() + 180
+    try:
+        while not asm_manifest.exists():
+            if child.poll() is not None:
+                raise AssertionError("child finished before the kill point")
+            assert time.monotonic() < deadline, "assembled checkpoint never appeared"
+            time.sleep(0.05)
+        child.send_signal(signal.SIGKILL)
+    finally:
+        child.wait(timeout=60)
+
+    mtime_before = asm_manifest.stat().st_mtime_ns
+
+    from chunksilo_ray.pipelines.kg import build_kg
+
+    res = build_kg(
+        f"{smoke_corpus}/transcripts.parquet",
+        f"{smoke_corpus}/alias_index.parquet",
+        tmp_out,
+        with_chunks=False,
+    )
+    assert res["metrics"]["edges"] > 0 and res["metrics"]["nodes"] > 0
+    # the killed run's assembled checkpoint was REUSED, not rebuilt
+    assert asm_manifest.stat().st_mtime_ns == mtime_before
