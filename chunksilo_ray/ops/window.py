@@ -49,19 +49,31 @@ def tumbling_hourly(sf_dir: str) -> Dataset:
     tumbling window."""
     ds = _events(sf_dir, ["user_id", "ts", "value"])
 
-    def add_window(t: pa.Table) -> pa.Table:
+    def window_partial(t: pa.Table) -> pa.Table:
+        # window key + per-batch partial combine in one pass: the exchange
+        # then moves one row per (user, window) per batch, not every event
         ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         win = (ts // HOUR_US) * HOUR_US
-        return t.append_column("window_start_us", pa.array(win, pa.int64()))
+        t = t.append_column("window_start_us", pa.array(win, pa.int64()))
+        g = t.group_by(["user_id", "window_start_us"], use_threads=False).aggregate(
+            [("value", "count"), ("value", "sum")]
+        )
+        return g.rename_columns(["user_id", "window_start_us", "n", "v"])
 
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     agg = (
-        ds.map_batches(add_window, batch_format="pyarrow", batch_size=None,
+        ds.map_batches(window_partial, batch_format="pyarrow", batch_size=None,
                        zero_copy_batch=True)
         .groupby(["user_id", "window_start_us"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="value_sum"))
+        .aggregate(Sum("n", alias_name="n_events"), Sum("v", alias_name="value_sum"))
     )
+
+    def fix_types(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("n_events")
+        return t.set_column(i, "n_events", pa.compute.cast(t.column("n_events"), pa.int64()))
+
+    agg = agg.map_batches(fix_types, batch_format="pyarrow", batch_size=None)
     return round_columns(agg, ["value_sum"])
 
 
