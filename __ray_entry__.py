@@ -61,6 +61,33 @@ def _search_transcripts(sf_dir: str) -> Any:
     return search_chunks(chunks, 'Did Alice update the "config.yaml"?')
 
 
+def _docs_dir_scan(sf_dir: str, n_docs: int = 200) -> Any:
+    """Format-dispatch file-tree source: a deterministic .txt tree is written
+    from documents.parquet (idempotent, content = the text column verbatim),
+    then read back DISTRIBUTED via sources.docs_dir.read_docs_dir. The
+    DuckDB oracle reads the same tree with read_text() — a value-level gate
+    on the byte round-trip of the source."""
+    import os
+
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    tree = f"/tmp/chunksilo_ray_docs_tree/{os.path.basename(os.path.normpath(sf_dir))}"
+    os.makedirs(tree, exist_ok=True)
+    t = _pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    t = t.take(_pc.sort_indices(t, sort_keys=[("doc_id", "ascending")])).slice(0, n_docs)
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        with open(f"{tree}/doc-{did:06d}.txt", "w", encoding="utf-8") as f:
+            f.write(text)
+
+    from chunksilo_ray.sources.docs_dir import read_docs_dir
+
+    ds = read_docs_dir(tree, include=("*.txt",))
+    return ds.map_batches(
+        lambda b: b.select(["doc_path", "text"]), batch_format="pyarrow", batch_size=None
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from chunksilo_ray.ops import (
         dedup,
@@ -130,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_scan": text_search.phrase_scan,
         "bm25_topk": text_search.bm25_topk,
         "search_transcripts": _search_transcripts,
+        "docs_dir_scan": _docs_dir_scan,
         # --- KG flagship pipeline outputs (non-SQL: Ray-native semantics) ---
         "kg_edges": lambda sf_dir: _kg_result(sf_dir)["edges"],
         "kg_edges_agg": lambda sf_dir: _kg_result(sf_dir)["edges_agg"],
@@ -197,6 +225,13 @@ def oracle_sql() -> dict[str, str]:
     stop_list = _sql_str_list(STOPWORDS)
     prof = {lang: _sql_str_list(words) for lang, words in _LANG_PROFILES.items()}
     return {
+        # the docs_dir_scan query writes this tree deterministically from
+        # documents.parquet BEFORE the oracle runs (driver order: Ray query
+        # first, then SQL); the path matches the sf0.01 correctness gate
+        "docs_dir_scan": """
+            SELECT filename AS doc_path, content AS text
+            FROM read_text('/tmp/chunksilo_ray_docs_tree/sf0.01/*.txt')
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 4) AS sum_qty,
