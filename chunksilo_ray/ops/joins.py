@@ -29,7 +29,11 @@ def asof_join_purchases_to_clicks(sf_dir: str) -> Dataset:
     composition path: one shuffle, no actor state."""
     ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type", "value"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # one coarse user-hash partition: pandas merge_asof(by="user_id")
+        # performs the per-user as-of for EVERY user in the partition in one
+        # vectorized call (the round-1 per-user map_groups paid one Python
+        # call per user)
         left = g[g["event_type"] == "purchase"].sort_values(["ts", "event_id"])
         right = g[g["event_type"] == "click"].sort_values(["ts", "event_id"])
         if left.empty:
@@ -43,25 +47,30 @@ def asof_join_purchases_to_clicks(sf_dir: str) -> Dataset:
             )
         merged = pd.merge_asof(
             left[["event_id", "user_id", "ts"]],
-            right[["event_id", "ts"]].rename(columns={"event_id": "click_id"}),
+            right[["event_id", "user_id", "ts"]].rename(columns={"event_id": "click_id"}),
             on="ts",
+            by="user_id",
             direction="backward",
         )
+        click_ts = merged.merge(
+            right[["event_id", "ts"]].rename(
+                columns={"event_id": "click_id", "ts": "click_ts"}
+            ),
+            on="click_id",
+            how="left",
+        )["click_ts"]
         merged["ms_since_click"] = (
-            (merged["ts"] - merged.merge(
-                right[["event_id", "ts"]].rename(
-                    columns={"event_id": "click_id", "ts": "click_ts"}
-                ),
-                on="click_id",
-                how="left",
-            )["click_ts"]).dt.total_seconds() * 1000.0
+            (merged["ts"] - click_ts).dt.total_seconds() * 1000.0
         ).round(3)
-        out = merged.rename(columns={"event_id": "purchase_id"})[
+        return merged.rename(columns={"event_id": "purchase_id"})[
             ["purchase_id", "user_id", "click_id", "ms_since_click"]
         ]
-        return out
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    from .window import _user_partitioned
+
+    return _user_partitioned(ds).groupby("__part").map_groups(
+        per_partition, batch_format="pandas"
+    )
 
 
 def range_join_events_in_window(sf_dir: str, window_minutes: int = 5) -> Dataset:
@@ -71,28 +80,73 @@ def range_join_events_in_window(sf_dir: str, window_minutes: int = 5) -> Dataset
     gap = pd.Timedelta(minutes=window_minutes)
     ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["event_type"] == "purchase"].sort_values(["ts", "event_id"])
-        right = g[g["event_type"] == "click"].sort_values(["ts", "event_id"])
-        rows = []
-        r_ts = right["ts"].tolist()
-        r_id = right["event_id"].tolist()
-        lo = 0
-        for _, p in left.iterrows():
-            while lo < len(r_ts) and r_ts[lo] < p["ts"] - gap:
-                lo += 1
-            j = lo
-            while j < len(r_ts) and r_ts[j] <= p["ts"]:
-                rows.append((int(p["event_id"]), int(p["user_id"]), int(r_id[j])))
-                j += 1
-        return pd.DataFrame(rows, columns=["purchase_id", "user_id", "click_id"]).astype(
-            {"purchase_id": "int64", "user_id": "int64", "click_id": "int64"}
-        ) if rows else pd.DataFrame(
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # sorted-by-(user, ts) sides; per USER SEGMENT the window bounds come
+        # from two vectorized searchsorted calls over that user's clicks
+        # (two-pointer semantics, no per-purchase Python scanning and no
+        # cartesian blowup)
+        import numpy as np
+
+        left = g[g["event_type"] == "purchase"].sort_values(["user_id", "ts", "event_id"])
+        right = g[g["event_type"] == "click"].sort_values(["user_id", "ts", "event_id"])
+        empty = pd.DataFrame(
             {
                 "purchase_id": pd.Series([], dtype="int64"),
                 "user_id": pd.Series([], dtype="int64"),
                 "click_id": pd.Series([], dtype="int64"),
             }
         )
+        if left.empty or right.empty:
+            return empty
+        gap_ns = int(gap.value)
+        p_uid = left["user_id"].to_numpy()
+        # normalize to ns regardless of the frame's datetime64 resolution
+        # (pyarrow->pandas yields datetime64[us] under pandas 2.x)
+        p_ts = left["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+        p_id = left["event_id"].to_numpy()
+        c_uid = right["user_id"].to_numpy()
+        c_ts = right["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+        c_id = right["event_id"].to_numpy()
+        out_p, out_u, out_c = [], [], []
+        # contiguous user segments on both sorted sides
+        p_starts = np.concatenate(([0], np.flatnonzero(p_uid[1:] != p_uid[:-1]) + 1, [len(p_uid)]))
+        c_seg_start = {int(u): s for s, u in zip(
+            np.concatenate(([0], np.flatnonzero(c_uid[1:] != c_uid[:-1]) + 1)),
+            c_uid[np.concatenate(([0], np.flatnonzero(c_uid[1:] != c_uid[:-1]) + 1))],
+        )}
+        c_seg_end = {}
+        keys = sorted(c_seg_start)
+        for i, u in enumerate(keys):
+            c_seg_end[u] = c_seg_start[keys[i + 1]] if i + 1 < len(keys) else len(c_uid)
+        for s, e in zip(p_starts[:-1], p_starts[1:]):
+            u = int(p_uid[s])
+            cs = c_seg_start.get(u)
+            if cs is None:
+                continue
+            ce = c_seg_end[u]
+            seg_ts = c_ts[cs:ce]
+            lo = np.searchsorted(seg_ts, p_ts[s:e] - gap_ns, side="left")
+            hi = np.searchsorted(seg_ts, p_ts[s:e], side="right")
+            counts = hi - lo
+            if not counts.any():
+                continue
+            out_p.append(np.repeat(p_id[s:e], counts))
+            out_u.append(np.full(int(counts.sum()), u, dtype=np.int64))
+            out_c.append(c_id[cs:ce][np.concatenate(
+                [np.arange(l, h) for l, h in zip(lo, hi) if h > l]
+            )])
+        if not out_p:
+            return empty
+        return pd.DataFrame(
+            {
+                "purchase_id": np.concatenate(out_p).astype("int64"),
+                "user_id": np.concatenate(out_u),
+                "click_id": np.concatenate(out_c).astype("int64"),
+            }
+        )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    from .window import _user_partitioned
+
+    return _user_partitioned(ds).groupby("__part").map_groups(
+        per_partition, batch_format="pandas"
+    )
