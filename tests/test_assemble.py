@@ -103,3 +103,45 @@ def test_salting_with_turn_idx_gaps_rare_path():
     )
     for r in out:
         assert r["doc_char_start"] == ref[r["turn_idx"]], r["turn_idx"]
+
+
+def test_fragment_stitching_under_tiny_blocks():
+    """Force MANY block-boundary fragments (tiny target block size + random
+    conversation lengths): every turn's doc_char_start and conv_n_turns must
+    equal the single-process reference, for every conversation — the
+    stitch path, not the common path, does the work here."""
+    rng = np.random.default_rng(7)
+    rows = []
+    for c in range(40):
+        n = int(rng.integers(1, 120))
+        for i in rng.permutation(n):  # shuffled input order
+            rows.append(
+                {
+                    "conv_id": f"conv-{c:04d}",
+                    "turn_idx": int(i),
+                    "role": ["user", "assistant", "tool"][int(i) % 3],
+                    "text": "x" * int(rng.integers(1, 80)),
+                    "tool": "",
+                    "ts": None,
+                }
+            )
+    t = pa.Table.from_pylist(rows)
+
+    ctx = rd.DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 8 * 1024  # ~tens of rows per block
+    try:
+        out = assemble_dialogues(rd.from_arrow(t)).take_all()
+    finally:
+        ctx.target_max_block_size = old
+
+    by_conv: dict[str, list] = {}
+    for r in out:
+        by_conv.setdefault(r["conv_id"], []).append(r)
+    assert len(out) == len(rows)
+    for conv_id, conv_rows in by_conv.items():
+        ref = _reference_offsets(conv_rows)
+        n = len(conv_rows)
+        for r in conv_rows:
+            assert r["conv_n_turns"] == n, (conv_id, r["turn_idx"])
+            assert r["doc_char_start"] == ref[r["turn_idx"]], (conv_id, r["turn_idx"])
