@@ -45,8 +45,27 @@ logger = logging.getLogger(__name__)
 _WORD_RE = re.compile(r"[A-Za-z0-9]+")
 
 
-def _docs(sf_dir: str, columns: list[str] | None = None) -> Dataset:
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+def _docs(
+    sf_dir: str, columns: list[str] | None = None, spread: bool = False
+) -> Dataset:
+    """documents read; ``spread=True`` forces one read block per cluster CPU
+    for SMALL inputs that would otherwise run a CPU-heavy downstream stage
+    (tokenize/hash) on a single task — a small fixture fits one Parquet
+    block. Large corpora (>4096 rows/cpu) keep Ray's own block planning:
+    overriding there would COALESCE blocks, the opposite of the intent."""
+    path = f"{sf_dir}/documents.parquet"
+    ds = rd.read_parquet(path, columns=columns)
+    if spread:
+        import pyarrow.parquet as _pq
+        import ray as _ray
+
+        ncpu = int(_ray.cluster_resources().get("CPU", 4)) if _ray.is_initialized() else 4
+        n_rows = _pq.read_metadata(path).num_rows
+        if n_rows and n_rows / max(ncpu, 1) < 4096:
+            # a small file is often ONE row group = one block = one task;
+            # repartition is cheap at this size and unlocks the whole cluster
+            ds = ds.repartition(max(ncpu, 1))
+    return ds
 
 
 # ---------------------------------------------------------------------------
@@ -251,7 +270,7 @@ def _verified_edges(
          exact jaccard — emitted as integer (inter, uni)
     The earlier design carried the sketch on every band row (bands x
     amplification through the widest shuffle); this one ships it once."""
-    ds = _docs(sf_dir, ["doc_id", "text"])
+    ds = _docs(sf_dir, ["doc_id", "text"], spread=True)
     sig = ds.map_batches(
         _shingle_sig_fn(num_perm, bands, shingle_k),
         batch_format="pyarrow",
@@ -529,7 +548,7 @@ def _simhash_batch(t: pa.Table) -> pa.Table:
 
 
 def simhash_docs(sf_dir: str) -> Dataset:
-    ds = _docs(sf_dir, ["doc_id", "text"])
+    ds = _docs(sf_dir, ["doc_id", "text"], spread=True)
     return ds.map_batches(_simhash_batch, batch_format="pyarrow", batch_size=None,
                           zero_copy_batch=True)
 
