@@ -22,7 +22,7 @@ stopword gating (search.py:79-96).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from typing import NamedTuple
 
 from .functions.textutils import (
     ID_LIKE_RE,
@@ -34,13 +34,30 @@ from .functions.textutils import (
 from . import rules
 
 
-@dataclass(frozen=True)
-class Mention:
+class Mention(NamedTuple):
+    # NamedTuple, not a frozen dataclass: construction is C-speed, and this
+    # object is built once per mention in the hottest loop of the engine
     entity_id: str  # canonical id for known; rules.UNKNOWN_PREFIX + norm for unknown
     surface: str
     norm: str
     entity_type: str  # person/system/tool/artifact for known; "unknown" otherwise
     known: bool
+
+
+_NORM_MEMO_CAP = 1 << 16
+_norm_memo: dict[str, str] = {}
+
+
+def _norm_cached(surface: str) -> str:
+    """Memoized normalize_surface: surfaces follow the corpus' heavy-tailed
+    entity distribution, so the worker-lifetime memo hits constantly."""
+    n = _norm_memo.get(surface)
+    if n is None:
+        if len(_norm_memo) > _NORM_MEMO_CAP:
+            _norm_memo.clear()
+        n = normalize_surface(surface)
+        _norm_memo[surface] = n
+    return n
 
 
 class AliasIndex:
@@ -78,14 +95,6 @@ class AliasIndex:
         if hit is not None:
             return hit
         return rules.TOOL_FALLBACK_PREFIX + normalize_surface(tool_name), "tool"
-
-
-def _is_alpha(tok: str) -> bool:
-    return tok.isalpha()
-
-
-def _is_digits(tok: str) -> bool:
-    return tok.isdigit()
 
 
 _TOKEN_CACHE_CAP = 1 << 16
@@ -138,7 +147,7 @@ def scan_mentions(
                 if hit is not None:
                     surf = " ".join(raw[i : i + k])
                     eid, etype = hit
-                    out.append(Mention(eid, surf, normalize_surface(surf), etype, True))
+                    out.append(Mention(eid, surf, _norm_cached(surf), etype, True))
                     i += k
                     matched = True
                     break
@@ -147,15 +156,15 @@ def scan_mentions(
         tok = raw[i]
         # (b) ID-like: single token, or (alpha, digits) bigram
         if ID_LIKE_RE.match(tok):
-            norm = normalize_surface(tok)
+            norm = _norm_cached(tok)
             out.append(Mention(rules.UNKNOWN_PREFIX + norm, tok, norm, "unknown", False))
             i += 1
             continue
         if (
             i + 1 < n
-            and _is_alpha(tok)
+            and tok.isalpha()
             and 2 <= len(tok) <= 10
-            and _is_digits(raw[i + 1])
+            and raw[i + 1].isdigit()
             and len(raw[i + 1]) <= 6
             and tok.lower() not in STOPWORDS
         ):
@@ -176,9 +185,9 @@ def scan_mentions(
             len(tok) >= rules.MIN_CAP_LEN
             and tok[0].isupper()
             and tok.lower() not in STOPWORDS
-            and not _is_digits(tok)
+            and not tok.isdigit()
         ):
-            norm = normalize_surface(tok)
+            norm = _norm_cached(tok)
             out.append(Mention(rules.UNKNOWN_PREFIX + norm, tok, norm, "unknown", False))
         i += 1
     return out
