@@ -41,7 +41,7 @@ class TestDedup:
         t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()), "text": pa.array(texts)})
 
         orig = dedup._docs
-        dedup._docs = lambda sf_dir, columns=None: rd.from_arrow(
+        dedup._docs = lambda sf_dir, columns=None, spread=False: rd.from_arrow(
             t.select(columns) if columns else t
         )
         try:
