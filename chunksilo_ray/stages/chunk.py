@@ -57,6 +57,12 @@ def split_sentences(text: str) -> list[tuple[int, str]]:
 def chunk_text(text: str, chunk_size: int, chunk_overlap: int) -> list[tuple[int, str]]:
     """Greedy sentence packing with trailing-sentence overlap.
     Returns [(start_char, chunk_text)]; start_char indexes into ``text``."""
+    # exact short-text fast path: n whitespace tokens need >= 2n-1 chars, so
+    # len <= 2*chunk_size-1 guarantees token count <= chunk_size — the whole
+    # turn is one chunk and the sentence/token regexes never run (the common
+    # case for dialogue turns)
+    if (len(text) + 1) // 2 <= chunk_size:
+        return [(0, text)] if text.strip() else []
     sents = split_sentences(text)
     if not sents:
         return []
