@@ -72,8 +72,13 @@ def _docs_dir_scan(sf_dir: str, n_docs: int = 200) -> Any:
     import pyarrow.compute as _pc
     import pyarrow.parquet as _pq
 
+    import shutil
+
     tree = f"/tmp/chunksilo_ray_docs_tree/{os.path.basename(os.path.normpath(sf_dir))}"
-    os.makedirs(tree, exist_ok=True)
+    # clear + recreate: a stale tree from an earlier run / regenerated corpus
+    # must never leak extra files into the scan or the oracle's read_text
+    shutil.rmtree(tree, ignore_errors=True)
+    os.makedirs(tree)
     t = _pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     t = t.take(_pc.sort_indices(t, sort_keys=[("doc_id", "ascending")])).slice(0, n_docs)
     for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):

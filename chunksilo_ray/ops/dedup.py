@@ -771,7 +771,7 @@ def embedding_near_dups(
     ONE streaming execution (the round-1 version executed the pipeline twice
     and used a single 12-bit band with unmeasured recall; recall of this
     config is ~1-2e-6 at tau=0.95 and unit-gated with constructed near-dup
-    pairs in tests/test_dedup_suite.py)."""
+    pairs in tests/test_round2.py)."""
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     # dim from the Parquet schema (driver-side metadata read — a Dataset
     # take(1) here cost a full executor startup per query)

@@ -238,7 +238,13 @@ def broadcast_inner_join(
     if len(dim_df) > broadcast_limit:
         fact_cols = [c for c in fact.columns() if c != fact_key]
         dim_ds = rd.from_pandas(dim_df[[dim_key, *dim_cols]])
-        return _shuffle_inner_join(fact, fact_key, fact_cols, dim_ds, dim_key, dim_cols)
+        # out_order = the broadcast path's schema (fact columns in their
+        # original order incl. the key, then dim cols) so the two paths
+        # return IDENTICAL schemas regardless of the dim table's size
+        return _shuffle_inner_join(
+            fact, fact_key, fact_cols, dim_ds, dim_key, dim_cols,
+            out_order=[*fact.columns(), *dim_cols],
+        )
 
     keys = dim_df[dim_key].to_numpy().astype(np.int64)
     order = np.argsort(keys)
@@ -274,6 +280,7 @@ def _int_key_part(keys: np.ndarray, parts: int = _JOIN_PARTS) -> pa.Array:
 def _shuffle_inner_join(
     fact: Dataset, fact_key: str, fact_cols: list[str],
     dim: Dataset, dim_key: str, dim_cols: list[str],
+    out_order: list[str] | None = None,
 ) -> Dataset:
     """Hash-partition join: both sides tagged onto one union schema, ONE
     coarse int-key exchange co-locates complete key groups for many keys per
@@ -304,14 +311,16 @@ def _shuffle_inner_join(
         tag(1, fact_key, fact_cols), batch_format="pyarrow", batch_size=None
     ).union(dim.map_batches(tag(0, dim_key, dim_cols), batch_format="pyarrow", batch_size=None))
 
+    # output schema: caller-specified order (broadcast-path parity) — the
+    # fact key survives the join under its original name on BOTH paths
+    cols_out = out_order or [fact_key, *fact_cols, *dim_cols]
+
     def join_partition(t: pa.Table) -> pa.Table:
         side = t["__side"].to_numpy(zero_copy_only=False)
         keys = t["__key"].to_numpy(zero_copy_only=False)
         dim_idx = np.flatnonzero(side == 0)
         fact_idx = np.flatnonzero(side == 1)
-        empty = pa.table(
-            {c: pa.array([], type=types[c]) for c in fact_cols + dim_cols}
-        )
+        empty = pa.table({c: pa.array([], type=types[c]) for c in cols_out})
         if dim_idx.size == 0 or fact_idx.size == 0:
             return empty
         dkeys = keys[dim_idx]
@@ -325,11 +334,18 @@ def _shuffle_inner_join(
             return empty
         f_rows = fact_idx[valid]
         d_rows = dim_idx[order[pos_c[valid]]]
-        out = t.take(pa.array(f_rows)).select(fact_cols)
+        f = t.take(pa.array(f_rows))
         d = t.take(pa.array(d_rows))
-        for c in dim_cols:
-            out = out.append_column(c, d[c])
-        return out
+        return pa.table(
+            {
+                c: (
+                    f["__key"].cast(types[fact_key])
+                    if c == fact_key
+                    else (d[c] if c in dim_cols else f[c])
+                )
+                for c in cols_out
+            }
+        )
 
     return tagged.groupby("__part").map_groups(join_partition, batch_format="pyarrow")
 
@@ -418,6 +434,13 @@ def _shuffle_anti_join(
 ) -> Dataset:
     """Anti join as ONE co-groupby: keep left rows whose group has no right
     row. The right side ships only its key column into the shuffle."""
+    # explicit types for the right side's placeholder columns — untyped
+    # pa.nulls relies on implicit null-type promotion during the shuffle
+    # union, which is Ray/Arrow-version fragile (_shuffle_inner_join's map)
+    left_types = {
+        name: _as_arrow_type(typ)
+        for name, typ in zip(left.schema().names, left.schema().types)
+    }
 
     def tag(side: int, key_col: str, present: list[str]):
         def fn(t: pa.Table) -> pa.Table:
@@ -429,7 +452,7 @@ def _shuffle_anti_join(
                 "__side": pa.array(np.full(n, side, dtype=np.int8)),
             }
             for c in left_cols:
-                cols[c] = t[c] if c in present else pa.nulls(n)
+                cols[c] = t[c] if c in present else pa.nulls(n, type=left_types[c])
             return pa.table(cols)
 
         return fn

@@ -134,7 +134,16 @@ def search_chunks(
         age_days = np.maximum((anchor - ts) / 86_400_000_000.0, 0.0)
         base = t["base_score"].to_numpy(zero_copy_only=False)
         boosted = base * (1.0 + weight * np.exp(-np.log(2.0) * age_days / half_life))
-        return t.append_column("score", pa.array(boosted, pa.float64()))
+        t = t.append_column("score", pa.array(boosted, pa.float64()))
+        # min-score + required-phrase filters run BEFORE the candidate cap and
+        # rerank truncation, so rows they remove are backfilled from
+        # lower-ranked candidates (reference order, search.py:1394-1408; the
+        # round-2 post-rerank filter could return < rerank_top_k results even
+        # when qualifying candidates existed)
+        mask = boosted > float(min_score)
+        if phrases_lower:
+            mask &= t["phrase_hit"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(mask))
 
     boosted = scored.map_batches(
         boost, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
@@ -173,12 +182,9 @@ def search_chunks(
         )
 
     def finalize(t: pa.Table) -> pa.Table:
-        # min-score + required-phrase post-filters
-        mask = pc.greater(t["score"], pa.scalar(float(min_score)))
-        if phrases_lower:
-            mask = pc.and_(mask, t["phrase_hit"])
-        t = t.filter(mask)
-        # candidate set is already capped (<= rerank_candidates rows) — plain
+        # min-score / phrase filters already ran pre-cap (in boost) — this
+        # stage only formats. candidate set is capped (<= rerank_candidates
+        # rows) — plain
         # python formatting is fine here (search.py:133-151 URI analog)
         uri = pa.array(
             [

@@ -80,11 +80,12 @@ def test_salting_stitches_giant_conversation():
         assert r["doc_char_start"] == ref[r["turn_idx"]], r["turn_idx"]
 
 
-def test_salting_with_turn_idx_gaps_rare_path():
-    """Sparse turn_idx: the salt-0 window is PARTIAL (group_n < threshold)
-    yet the conversation is multi-salt — exercises the targeted second scan
-    in _collect_bases (the single-pass candidate rule can't see this group)."""
-    idxs = [0, 3, 7, 200, 201, 450]  # threshold 128 -> salts {0, 1, 3}
+def test_sparse_turn_idx_offsets():
+    """Sparse, gappy turn_idx values: the sort-based assembly must still
+    compute exact per-turn char offsets and conv_n_turns (ordering comes from
+    the global (conv_id, turn_idx) sort, not from index contiguity).
+    Block-boundary coverage lives in test_fragment_stitching_under_tiny_blocks."""
+    idxs = [0, 3, 7, 200, 201, 450]
     t = pa.table(
         {
             "conv_id": pa.array(["conv-sparse"] * len(idxs)),
@@ -95,7 +96,7 @@ def test_salting_with_turn_idx_gaps_rare_path():
             "ts": pa.array(list(range(len(idxs))), pa.timestamp("us")),
         }
     )
-    out = assemble_dialogues(rd.from_arrow(t), salt_threshold=128).take_all()
+    out = assemble_dialogues(rd.from_arrow(t)).take_all()
     assert len(out) == len(idxs)
     assert all(r["conv_n_turns"] == len(idxs) for r in out)
     ref = _reference_offsets(

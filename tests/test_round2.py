@@ -355,6 +355,27 @@ def test_join_fallback_matches_broadcast(name):
     assert norm(fn(SF, broadcast_limit=0)) == norm(fn(SF))
 
 
+def test_join_fallback_schema_matches_broadcast():
+    """The shuffle fallback must return the SAME schema as the broadcast
+    path — including the fact key column in its original position (the
+    round-2 fallback silently dropped it, a data-size-dependent schema)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from chunksilo_ray.ops.relational import broadcast_inner_join
+
+    fact = rd.from_arrow(
+        pa.table({"v": pa.array([10.0, 20.0, 30.0]),
+                  "k": pa.array([1, 2, 99], pa.int64())})
+    )
+    dim = pd.DataFrame({"k": [1, 2, 3], "name": ["a", "b", "c"]})
+    b = broadcast_inner_join(fact, "k", dim, "k", ["name"])
+    s = broadcast_inner_join(fact, "k", dim, "k", ["name"], broadcast_limit=0)
+    assert b.schema().names == s.schema().names == ["v", "k", "name"]
+    key = lambda r: (r["k"], r["v"], r["name"])  # noqa: E731
+    assert sorted(map(key, b.take_all())) == sorted(map(key, s.take_all()))
+
+
 def test_broadcast_inner_join_drops_missing_keys():
     import ray.data as rd
     import pandas as pd
@@ -385,6 +406,44 @@ def test_input_fingerprint_subsecond_rewrite(tmp_path):
     os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns + 1))
     fp2 = input_fingerprint(str(f))
     assert fp1 != fp2
+
+
+def test_search_filters_before_rerank_truncation_backfills():
+    """Required-phrase / min-score filters run BEFORE the rerank truncation:
+    non-qualifying candidates that the lexical reranker would rank on top
+    must not consume rerank_top_k slots (the round-2 order could return
+    fewer than rerank_top_k results while qualifying candidates existed)."""
+    import ray.data as rd
+
+    from chunksilo_ray.config import Config
+    from chunksilo_ray.pipelines.search import search_chunks
+    from chunksilo_ray.stages.embed import bow_hash_embed
+
+    texts = [
+        "alpha beta gamma zzz here",   # phrase hit, partial token coverage
+        "zzz alpha",                   # phrase hit, partial token coverage
+        "alpha beta",                  # NO phrase — full coverage, reranks 1st
+        "alpha beta again",            # NO phrase — full coverage
+    ]
+    emb = bow_hash_embed(texts)
+    t = pa.table(
+        {
+            "chunk_id": pa.array([f"c{i}" for i in range(len(texts))]),
+            "conv_id": pa.array(["conv"] * len(texts)),
+            "turn_idx": pa.array(list(range(len(texts))), pa.int32()),
+            "text": pa.array(texts),
+            "tool": pa.array([""] * len(texts)),
+            "ts": pa.array([1_700_000_000_000_000] * len(texts), pa.timestamp("us")),
+            "heading_path": pa.array([["user"]] * len(texts), pa.list_(pa.string())),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(emb.ravel(), pa.float32()), emb.shape[1]
+            ),
+        }
+    )
+    cfg = Config({"search": {"rerank_top_k": 2}})
+    rows = search_chunks(rd.from_arrow(t), 'alpha beta "zzz"', cfg=cfg).take_all()
+    assert len(rows) == 2  # both qualifying candidates survive
+    assert all("zzz" in r["text"] for r in rows)
 
 
 # ---------------------------------------------------------------------------
