@@ -230,8 +230,8 @@ def _pairs_in_partition(max_group: int):
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, keys))
         keys, ids = keys[order], ids[order]
-        out_a: list[int] = []
-        out_b: list[int] = []
+        parts_a: list[np.ndarray] = []
+        parts_b: list[np.ndarray] = []
         for s, e in _segments(keys):
             if e - s < 2:
                 continue
@@ -240,11 +240,18 @@ def _pairs_in_partition(max_group: int):
                 logger.warning("LSH bucket capped: %d docs > max_group=%d",
                                len(bucket), max_group)
                 bucket = bucket[:max_group]
-            for i in range(len(bucket)):
-                for j in range(i + 1, len(bucket)):
-                    out_a.append(int(bucket[i]))
-                    out_b.append(int(bucket[j]))
-        return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())})
+            # vectorized all-pairs within the bucket (upper triangle)
+            ii, jj = np.triu_indices(len(bucket), k=1)
+            parts_a.append(bucket[ii])
+            parts_b.append(bucket[jj])
+        if not parts_a:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(parts_a), pa.int64()),
+                "b": pa.array(np.concatenate(parts_b), pa.int64()),
+            }
+        )
 
     return fn
 
@@ -389,35 +396,51 @@ def _verified_edges(
         memberships, batch_format="pyarrow", batch_size=None
     ).union(sig.map_batches(sketches, batch_format="pyarrow", batch_size=None))
 
+    _EMPTY_ATTACHED = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("sh", pa.list_(pa.int64()))]
+    )
+
     def attach_part(t: pa.Table) -> pa.Table:
-        """One doc-hash partition: sketch rows feed a local dict; membership
-        rows pick their doc's sketch from it."""
-        pa_col = t["pa_"].to_pylist()
-        doc_col = t["doc_id"].to_pylist()
-        sh_col = t["sh"].to_pylist()
-        local = {d: s for d, p, s in zip(doc_col, pa_col, sh_col) if p is None}
-        out_a, out_b, out_sh = [], [], []
-        for d, x, y in zip(doc_col, pa_col, t["pb_"].to_pylist()):
-            if x is not None and d in local:
-                out_a.append(x)
-                out_b.append(y)
-                out_sh.append(local[d])
+        """One doc-hash partition: membership rows pick their doc's sketch
+        row via a vectorized sorted-key lookup (searchsorted + Arrow take —
+        the sketch lists never cross into Python)."""
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        is_sketch = pc.is_null(t["pa_"]).to_numpy(zero_copy_only=False)
+        mb_idx = np.flatnonzero(~is_sketch)
+        sk_idx = np.flatnonzero(is_sketch)
+        if mb_idx.size == 0 or sk_idx.size == 0:
+            return _EMPTY_ATTACHED.empty_table()
+        sk_docs = doc[sk_idx]
+        order = np.argsort(sk_docs, kind="stable")
+        sk_sorted = sk_docs[order]
+        pos = np.searchsorted(sk_sorted, doc[mb_idx])
+        pos_c = np.clip(pos, 0, len(sk_sorted) - 1)
+        valid = sk_sorted[pos_c] == doc[mb_idx]
+        mb_keep = pa.array(mb_idx[valid])
+        sk_rows = pa.array(sk_idx[order[pos_c[valid]]])
         return pa.table(
             {
-                "a": pa.array(out_a, pa.int64()),
-                "b": pa.array(out_b, pa.int64()),
-                "sh": pa.array(out_sh, pa.list_(pa.int64())),
+                "a": t["pa_"].take(mb_keep),
+                "b": t["pb_"].take(mb_keep),
+                "sh": t["sh"].take(sk_rows),
             }
         )
 
     def verify_part(t: pa.Table) -> pa.Table:
         """One pair-hash partition: both sketch-bearing rows of each pair are
-        here; sort by (a, b), verify per 2-row run with exact jaccard."""
+        here; sort by (a, b), verify per 2-row run with exact jaccard over
+        int64 hash arrays (np.intersect1d on unique arrays — no Python sets;
+        the list values stay in the flattened Arrow buffer)."""
         a = t["a"].to_numpy(zero_copy_only=False)
         b = t["b"].to_numpy(zero_copy_only=False)
         order = np.lexsort((b, a))
         a, b = a[order], b[order]
-        sh_col = t["sh"].take(pa.array(order)).to_pylist()
+        sh = t["sh"].take(pa.array(order))
+        if isinstance(sh, pa.ChunkedArray):
+            sh = sh.combine_chunks()
+        flat = sh.flatten().to_numpy(zero_copy_only=False)
+        lengths = sh.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(lengths)))
         # exact run boundaries over the (a, b) composite key — no packed-int
         # collisions regardless of id range
         change = np.flatnonzero((a[1:] != a[:-1]) | (b[1:] != b[:-1])) + 1
@@ -427,16 +450,17 @@ def _verified_edges(
         for s, e in zip(starts.tolist(), ends.tolist()):
             if e - s != 2:
                 continue
-            sa, sb = set(sh_col[s]), set(sh_col[s + 1])
-            inter = len(sa & sb)
+            va = flat[offs[s] : offs[s + 1]]
+            vb = flat[offs[s + 1] : offs[s + 2]]
+            inter = np.intersect1d(va, vb, assume_unique=True).size
             if not inter:
                 continue
-            uni = len(sa) + len(sb) - inter
+            uni = va.size + vb.size - inter
             if inter / uni >= threshold:
                 out_a.append(int(a[s]))
                 out_b.append(int(b[s]))
-                out_i.append(inter)
-                out_u.append(uni)
+                out_i.append(int(inter))
+                out_u.append(int(uni))
         return pa.table(
             {
                 "a": pa.array(out_a, pa.int64()),

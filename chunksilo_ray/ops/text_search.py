@@ -134,15 +134,23 @@ def bm25_topk(
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def tf_pass(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
         texts = t["text"].to_pylist()
         n = len(texts)
         dl = np.zeros(n, dtype=np.int64)
         tf = np.zeros((n, nt), dtype=np.int64)
         for i, x in enumerate(texts):
-            toks = [w.lower() for w in _WORD_RE.findall(x)]
+            toks = _WORD_RE.findall(x.lower())
             dl[i] = len(toks)
+            # one Counter pass per doc + O(1) lookups per query term — the
+            # round-2 toks.count(term) rescanned the token list per term
+            # (O(tokens x terms) interpreted Python)
+            cnt = Counter(toks)
             for j, term in enumerate(term_set):
-                tf[i, j] = toks.count(term)
+                v = cnt.get(term)
+                if v:
+                    tf[i, j] = v
         return pa.table(
             {
                 "doc_id": t["doc_id"],

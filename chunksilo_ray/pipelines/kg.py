@@ -165,17 +165,18 @@ def build_kg(
         from ..stages.canon import batch_distinct_unknown_norms
 
         def _partial(t):
+            # one row per distinct unknown norm (n_err=0) plus ONE summary row
+            # (norm=NULL) carrying the batch's dead-letter count — an honest
+            # tagged union of the two partials this single scan collects
             n_err = int(t.num_rows - t.column("error").null_count)
-            nt = batch_distinct_unknown_norms(t)
+            norms = batch_distinct_unknown_norms(t).column("norm").combine_chunks()
+            n = len(norms)
             return _pa.table(
                 {
-                    "n_err": _pa.array([n_err] + [0] * (nt.num_rows - 1 if nt.num_rows else 0),
-                                        _pa.int64())
-                    if nt.num_rows
-                    else _pa.array([n_err], _pa.int64()),
-                    "norm": nt.column("norm")
-                    if nt.num_rows
-                    else _pa.array([None], _pa.string()),
+                    "n_err": _pa.array([n_err] + [0] * n, _pa.int64()),
+                    "norm": _pa.concat_arrays(
+                        [_pa.array([None], _pa.string()), norms]
+                    ),
                 }
             )
 
