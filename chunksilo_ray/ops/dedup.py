@@ -256,6 +256,24 @@ def _pairs_in_partition(max_group: int):
     return fn
 
 
+def _add_pair_part(t: pa.Table) -> pa.Table:
+    """Coarse pair-hash partition column over (a, b) int64 pair rows."""
+    a = t["a"].to_numpy(zero_copy_only=False)
+    b = t["b"].to_numpy(zero_copy_only=False)
+    key = a.astype(np.uint64) * np.uint64(0x100000001B3) + b.astype(np.uint64)
+    return t.append_column("__part", pa.array(_coarse_parts(key.astype(np.int64))))
+
+
+def _dedup_pairs_part(t: pa.Table) -> pa.Table:
+    """Distinct (a, b) pairs within one pair-hash partition (vectorized)."""
+    ab = np.stack(
+        [t["a"].to_numpy(zero_copy_only=False), t["b"].to_numpy(zero_copy_only=False)],
+        axis=1,
+    )
+    uniq = np.unique(ab, axis=0)
+    return pa.table({"a": pa.array(uniq[:, 0]), "b": pa.array(uniq[:, 1])})
+
+
 def _verified_edges(
     sf_dir: str,
     threshold: float,
@@ -307,24 +325,10 @@ def _verified_edges(
         .map_groups(_pairs_in_partition(max_group), batch_format="pyarrow")
     )
 
-    def dedup_pairs_part(t: pa.Table) -> pa.Table:
-        ab = np.stack(
-            [t["a"].to_numpy(zero_copy_only=False), t["b"].to_numpy(zero_copy_only=False)],
-            axis=1,
-        )
-        uniq = np.unique(ab, axis=0)
-        return pa.table({"a": pa.array(uniq[:, 0]), "b": pa.array(uniq[:, 1])})
-
-    def add_pair_part(t: pa.Table) -> pa.Table:
-        a = t["a"].to_numpy(zero_copy_only=False)
-        b = t["b"].to_numpy(zero_copy_only=False)
-        key = a.astype(np.uint64) * np.uint64(0x100000001B3) + b.astype(np.uint64)
-        return t.append_column("__part", pa.array(_coarse_parts(key.astype(np.int64))))
-
     cands = (
-        raw_pairs.map_batches(add_pair_part, batch_format="pyarrow", batch_size=None)
+        raw_pairs.map_batches(_add_pair_part, batch_format="pyarrow", batch_size=None)
         .groupby("__part")
-        .map_groups(lambda t: dedup_pairs_part(t), batch_format="pyarrow")
+        .map_groups(_dedup_pairs_part, batch_format="pyarrow")
         .materialize()  # tiny: deduped candidate pairs (int ids only)
     )
 
@@ -472,7 +476,7 @@ def _verified_edges(
 
     attached = (
         tagged.groupby("__part").map_groups(attach_part, batch_format="pyarrow")
-        .map_batches(add_pair_part, batch_format="pyarrow", batch_size=None)
+        .map_batches(_add_pair_part, batch_format="pyarrow", batch_size=None)
     )
     return attached.groupby("__part").map_groups(verify_part, batch_format="pyarrow")
 
@@ -697,18 +701,32 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3, max_group: int = 512) -
 _PLANES_CACHE: dict[tuple, np.ndarray] = {}
 
 
-def _hyperplane_bands_fn(dim: int, band_bits: int = 8, n_bands: int = 24, seed: int = 13):
-    """Multi-band random-hyperplane LSH: n_bands bands of band_bits sign
-    bits. Collision prob per bit at cosine 0.95 is 1-acos(.95)/pi ~ 0.899,
-    so recall = 1-(1-0.899^8)^24 ~ 1-2e-6 — near-exhaustive at the 0.95
-    threshold while buckets stay tiny. Planes are regenerated from a fixed
-    seed once per WORKER (a few KB; deterministic across processes;
-    stateless task fn — no actor-pool startup).
+def _normalized_embeddings(t: pa.Table) -> np.ndarray:
+    """float64 L2-normalized matrix from an Arrow list<float> column, via the
+    flattened value buffer (no per-row to_pylist)."""
+    col = t["embedding"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    if t.num_rows == 0:
+        return flat.reshape(0, 0)
+    emb = flat.reshape(t.num_rows, -1)
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    return np.divide(emb, norms, where=norms > 0)
 
-    Scale note: rows carry the normalized vector into the band shuffle
-    (n_bands x vector amplification). At 100 TB drop n_bands / use a
-    vec_id-only first pass + hash-join fetch; for the near-dup thresholds
-    this engine targets, the carried-vector form is the latency winner."""
+
+def _hyperplane_bands_fn(dim: int, band_bits: int = 16, n_bands: int = 64, seed: int = 13):
+    """Multi-band random-hyperplane LSH: n_bands bands of band_bits sign
+    bits, emitted as LIGHT (band_key, doc_id) rows — 16 B/row, NO vector
+    payload (the round-2 version replicated the full normalized vector into
+    all bands: at 384-d float64 that was ~74 KB shuffled per vector through
+    the widest exchange). Collision prob per bit at cosine 0.95 is
+    1-acos(.95)/pi ~ 0.899, so candidate recall = 1-(1-0.899^16)^64 ~
+    1-2.6e-6 — near-exhaustive at the 0.95 threshold; the wider 16-bit bands
+    keep buckets ~65536x sparser than the data so candidate volume stays
+    near-linear in true-duplicate count. Planes are regenerated from a fixed
+    seed once per WORKER (a few MB; deterministic across processes;
+    stateless task fn — no actor-pool startup)."""
 
     def fn(t: pa.Table) -> pa.Table:
         key = (dim, band_bits, n_bands, seed)
@@ -716,132 +734,206 @@ def _hyperplane_bands_fn(dim: int, band_bits: int = 8, n_bands: int = 24, seed: 
         if planes is None:
             planes = np.random.default_rng(seed).standard_normal((dim, band_bits * n_bands))
             _PLANES_CACHE[key] = planes
-        emb = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
-        norms = np.linalg.norm(emb, axis=1, keepdims=True)
-        emb = np.divide(emb, norms, where=norms > 0)
+        n = t.num_rows
+        emb = _normalized_embeddings(t)
         signs = (emb @ planes) > 0  # (n, n_bands*band_bits)
-        weights = 1 << np.arange(band_bits)
-        out_key, out_id, out_vec = [], [], []
-        ids = t["vec_id"].to_pylist()
-        vec_lists = emb.tolist()
-        for band in range(n_bands):
-            sl = signs[:, band * band_bits : (band + 1) * band_bits]
-            k = (sl @ weights) + (band << band_bits)
-            out_key.extend(k.tolist())
-            out_id.extend(ids)
-            out_vec.extend(vec_lists)
-        keys_np = np.asarray(out_key, dtype=np.int64)
+        weights = (1 << np.arange(band_bits)).astype(np.int64)
+        # (n, n_bands) band keys, banded offsets disambiguate bands; ravel
+        # band-major so the explode is one reshape — no Python loop
+        k = signs.reshape(n, n_bands, band_bits) @ weights
+        k += (np.arange(n_bands, dtype=np.int64) << band_bits)[None, :]
+        keys_np = k.T.ravel()
+        ids = np.tile(t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64), n_bands)
         return pa.table(
             {
                 "__part": pa.array(_coarse_parts(keys_np)),
                 "band_key": pa.array(keys_np),
-                "vec_id": pa.array(out_id, pa.int64()),
-                "vec": pa.array(out_vec, pa.list_(pa.float64())),
+                "doc_id": pa.array(ids),
             }
         )
 
     return fn
 
 
-def _cosine_pairs_partition(threshold: float, max_group: int):
-    """One band-hash partition: segment by band_key, exact cosine inside each
-    bucket (one matmul per bucket), partition-local pair dedup."""
-
-    def fn(t: pa.Table) -> pa.Table:
-        keys = t["band_key"].to_numpy(zero_copy_only=False)
-        ids = t["vec_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, keys))
-        keys, ids = keys[order], ids[order]
-        vecs = np.asarray(t["vec"].to_pylist(), dtype=np.float64)[order]
-        seen: set[tuple[int, int]] = set()
-        out_a, out_b, out_c = [], [], []
-        for s, e in _segments(keys):
-            if e - s < 2:
-                continue
-            if e - s > max_group:
-                logger.warning("hyperplane bucket capped: %d > %d", e - s, max_group)
-                e = s + max_group
-            sub = vecs[s:e]
-            sims = sub @ sub.T
-            ii, jj = np.where(np.triu(sims >= threshold, k=1))
-            for x, y in zip(ii.tolist(), jj.tolist()):
-                a, b = int(ids[s + x]), int(ids[s + y])
-                if a == b:
-                    continue
-                lo, hi = min(a, b), max(a, b)
-                if (lo, hi) in seen:
-                    continue
-                seen.add((lo, hi))
-                out_a.append(lo)
-                out_b.append(hi)
-                out_c.append(round(float(sims[x, y]), 6))
-        return pa.table(
-            {
-                "vec_a": pa.array(out_a, pa.int64()),
-                "vec_b": pa.array(out_b, pa.int64()),
-                "cosine": pa.array(out_c, pa.float64()),
-            }
-        )
-
-    return fn
+_EMPTY_NEAR_DUPS = pa.schema(
+    [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cosine", pa.float64())]
+)
 
 
 def embedding_near_dups(
-    sf_dir: str, threshold: float = 0.95, band_bits: int = 8, n_bands: int = 24,
+    sf_dir: str, threshold: float = 0.95, band_bits: int = 16, n_bands: int = 64,
     max_group: int = 4096,
 ) -> "pa.Table":
-    """Near-dup pairs by embedding cosine >= threshold: multi-band
-    hyperplane LSH buckets -> exact within-bucket cosine -> pair-key dedup.
-    ONE streaming execution (the round-1 version executed the pipeline twice
-    and used a single 12-bit band with unmeasured recall; recall of this
-    config is ~1-2e-6 at tau=0.95 and unit-gated with constructed near-dup
-    pairs in tests/test_round2.py)."""
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    """Near-dup pairs by embedding cosine >= threshold, vectors shipped ONCE:
+
+      1. light band explode (band_key, vec_id) -> in-partition candidate
+         pairs (np.triu over each bucket)
+      2. pair-key groupby dedups candidates BEFORE any vector movement
+      3. vector attach: pair memberships + a SECOND pruned read of the
+         embeddings (filtered to candidate ids via a budgeted broadcast set)
+         co-grouped by vec_id — each candidate's vector enters the exchange
+         exactly once, not once per band
+      4. exact cosine per pair in the pair-key partition (vectorized
+         even/odd row dot products), >= threshold kept
+
+    Same attach-once shape as the minhash `_verified_edges`; candidate
+    recall ~1-2.6e-6 misses at tau=0.95 (see _hyperplane_bands_fn), gated
+    with constructed cross-batch positives in tests/test_round2.py."""
+    path = f"{sf_dir}/embeddings.parquet"
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
     # dim from the Parquet schema (driver-side metadata read — a Dataset
     # take(1) here cost a full executor startup per query)
     import pyarrow.parquet as _pq
 
-    schema = _pq.read_schema(f"{sf_dir}/embeddings.parquet")
+    schema = _pq.read_schema(path)
     emb_type = schema.field("embedding").type
     dim = emb_type.list_size if hasattr(emb_type, "list_size") and emb_type.list_size else None
     if not dim:
         dim = len(ds.take(1)[0]["embedding"])
+
     bucketed = ds.map_batches(
         _hyperplane_bands_fn(dim, band_bits, n_bands),
         batch_format="pyarrow",
         batch_size=None,
         zero_copy_batch=True,
     )
-    pairs = bucketed.groupby("__part").map_groups(
-        _cosine_pairs_partition(threshold, max_group), batch_format="pyarrow"
+    raw_pairs = bucketed.groupby("__part").map_groups(
+        _pairs_in_partition(max_group), batch_format="pyarrow"
+    )
+    cands = (
+        raw_pairs.map_batches(_add_pair_part, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(_dedup_pairs_part, batch_format="pyarrow")
+        .materialize()  # tiny: deduped candidate id pairs
+    )
+    if cands.count() == 0:
+        return _EMPTY_NEAR_DUPS.empty_table()
+
+    # candidate-id broadcast filter (budgeted, same guard as _verified_edges):
+    # the attach read ships vectors ONLY for docs in some candidate pair
+    cand_ref = None
+    if cands.count() <= _CAND_BROADCAST_LIMIT:
+        import ray as _ray
+
+        parts = [
+            np.concatenate(
+                [b["a"].to_numpy(zero_copy_only=False), b["b"].to_numpy(zero_copy_only=False)]
+            )
+            for b in cands.iter_batches(batch_format="pyarrow")
+        ]
+        cand_ids = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+        cand_ref = _ray.put(cand_ids)
+
+    def memberships(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        doc = np.concatenate([a, b])
+        n = len(a)
+        return pa.table(
+            {
+                "__part": pa.array(_coarse_parts(doc)),
+                "doc_id": pa.array(doc),
+                "pa_": pa.array(np.concatenate([a, a])),
+                "pb_": pa.array(np.concatenate([b, b])),
+                "vec": pa.array([None] * (2 * n), pa.list_(pa.float64())),
+            }
+        )
+
+    def vec_rows(t: pa.Table) -> pa.Table:
+        if cand_ref is not None:
+            from ..util import cached_get
+
+            doc_np = t["vec_id"].to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(np.isin(doc_np, cached_get(cand_ref))))
+        n = t.num_rows
+        doc = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = _normalized_embeddings(t)
+        vec_col = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32) * emb.shape[1], pa.int32()),
+            pa.array(emb.ravel(), pa.float64()),
+        )
+        return pa.table(
+            {
+                "__part": pa.array(_coarse_parts(doc)),
+                "doc_id": pa.array(doc),
+                "pa_": pa.nulls(n, pa.int64()),
+                "pb_": pa.nulls(n, pa.int64()),
+                "vec": vec_col,
+            }
+        )
+
+    tagged = cands.map_batches(
+        memberships, batch_format="pyarrow", batch_size=None
+    ).union(
+        rd.read_parquet(path, columns=["vec_id", "embedding"]).map_batches(
+            vec_rows, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
     )
 
-    def add_part(t: pa.Table) -> pa.Table:
-        a = t["vec_a"].to_numpy(zero_copy_only=False)
-        b = t["vec_b"].to_numpy(zero_copy_only=False)
-        key = a.astype(np.uint64) * np.uint64(0x100000001B3) + b.astype(np.uint64)
-        return t.append_column("__part", pa.array(_coarse_parts(key.astype(np.int64))))
+    _EMPTY_ATTACHED = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("vec", pa.list_(pa.float64()))]
+    )
 
-    def dedup_part(t: pa.Table) -> pa.Table:
-        ab = np.stack(
-            [t["vec_a"].to_numpy(zero_copy_only=False), t["vec_b"].to_numpy(zero_copy_only=False)],
-            axis=1,
+    def attach_part(t: pa.Table) -> pa.Table:
+        """Vectorized membership->vector lookup (searchsorted + Arrow take),
+        same kernel as the minhash sketch attach."""
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        is_vec = pc.is_null(t["pa_"]).to_numpy(zero_copy_only=False)
+        mb_idx = np.flatnonzero(~is_vec)
+        vx_idx = np.flatnonzero(is_vec)
+        if mb_idx.size == 0 or vx_idx.size == 0:
+            return _EMPTY_ATTACHED.empty_table()
+        vx_docs = doc[vx_idx]
+        order = np.argsort(vx_docs, kind="stable")
+        vx_sorted = vx_docs[order]
+        pos = np.searchsorted(vx_sorted, doc[mb_idx])
+        pos_c = np.clip(pos, 0, len(vx_sorted) - 1)
+        valid = vx_sorted[pos_c] == doc[mb_idx]
+        mb_keep = pa.array(mb_idx[valid])
+        vx_rows = pa.array(vx_idx[order[pos_c[valid]]])
+        return pa.table(
+            {
+                "a": t["pa_"].take(mb_keep),
+                "b": t["pb_"].take(mb_keep),
+                "vec": t["vec"].take(vx_rows),
+            }
         )
-        _, first = np.unique(ab, axis=0, return_index=True)
-        keep = pa.array(np.sort(first))
-        return t.take(keep).select(["vec_a", "vec_b", "cosine"])
 
-    deduped = (
-        pairs.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+    def verify_part(t: pa.Table) -> pa.Table:
+        """One pair-hash partition: both vector-bearing rows of each pair are
+        here; sort by (a, b), cosine = vectorized row-wise dot over the
+        even/odd rows of the run starts."""
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        vec = t["vec"].take(pa.array(order))
+        if isinstance(vec, pa.ChunkedArray):
+            vec = vec.combine_chunks()
+        V = vec.flatten().to_numpy(zero_copy_only=False).reshape(len(a), -1)
+        change = np.flatnonzero((a[1:] != a[:-1]) | (b[1:] != b[:-1])) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(a)]))
+        s2 = starts[ends - starts == 2]  # complete pairs only
+        if s2.size == 0:
+            return _EMPTY_NEAR_DUPS.empty_table()
+        cos = np.einsum("ij,ij->i", V[s2], V[s2 + 1])
+        keep = cos >= threshold
+        return pa.table(
+            {
+                "vec_a": pa.array(a[s2[keep]], pa.int64()),
+                "vec_b": pa.array(b[s2[keep]], pa.int64()),
+                "cosine": pa.array(np.round(cos[keep], 6), pa.float64()),
+            }
+        )
+
+    verified = (
+        tagged.groupby("__part").map_groups(attach_part, batch_format="pyarrow")
+        .map_batches(_add_pair_part, batch_format="pyarrow", batch_size=None)
         .groupby("__part")
-        .map_groups(dedup_part, batch_format="pyarrow")
+        .map_groups(verify_part, batch_format="pyarrow")
     )
     # verified near-dup pairs are tiny by construction: collect into an Arrow
     # table with an EXPLICIT schema (an empty Dataset loses its schema, which
     # would fail the driver's schema compare on fixtures with no near-dups)
-    return pa.Table.from_pylist(
-        deduped.take_all(),
-        schema=pa.schema(
-            [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cosine", pa.float64())]
-        ),
-    )
+    return pa.Table.from_pylist(verified.take_all(), schema=_EMPTY_NEAR_DUPS)

@@ -135,6 +135,13 @@ def test_embedding_near_dups_constructed_positives(tmp_path):
     assert len(want) >= 6
     assert got == want
 
+    # the band explode must be vec_id-only — no vector payload through the
+    # widest shuffle (the vectors attach once, later, for candidates only)
+    from chunksilo_ray.ops.dedup import _hyperplane_bands_fn
+
+    band_rows = _hyperplane_bands_fn(32)(t)
+    assert band_rows.column_names == ["__part", "band_key", "doc_id"]
+
 
 def test_ngram_jaccard_pairs_match_bruteforce():
     from chunksilo_ray.ops.dedup import _token_shingles, ngram_jaccard_pairs
