@@ -75,17 +75,23 @@ def cosine_topk(sf_dir: str, vec_id: int = 0, k: int = 10) -> "pa.Table":
     return t.select(["vec_id", "cosine"])
 
 
-def ivf_topk(sf_dir: str, vec_id: int = 0, k: int = 10, n_cells: int = 16, n_probe: int = 4) -> "pa.Table":
-    """IVF-style ANN: k-means-lite centroids from a deterministic sample,
-    search only the n_probe nearest cells. The scale path for 100 TB:
-    centroid assignment is a per-batch matmul; only ~n_probe/n_cells of the
-    data is scanned at query time."""
-    # deterministic "training" sample WITHOUT a global sort over the data:
-    # consistent (bottom-k-by-hash) sampling — each batch emits its 256
-    # smallest multiplicative-hash values, a tiny merge keeps the global
-    # bottom 256. Content-addressed, so the sample is identical whatever
-    # order blocks arrive in (a bare limit() on an unordered stream is
-    # execution-order-dependent) and the merge input is <=256 rows/block.
+# ---------------------------------------------------------------------------
+# IVF: train-once persistent index (reference load-once module-global index
+# pattern, src/chunksilo/search.py:950-971), then n_probe-cell queries that
+# read ONLY the probed partitions.
+
+_IVF_STATE_DIR = "/tmp/chunksilo_ray_ivf"
+_IVF_ALGO_VERSION = 1  # bump to invalidate persisted indexes on algo change
+_IVF_MEM_CACHE: dict[str, np.ndarray] = {}  # fingerprint -> centroids
+
+
+def _train_centroids(sf_dir: str, n_cells: int) -> np.ndarray:
+    """k-means-lite centroids from a deterministic sample WITHOUT a global
+    sort over the data: consistent (bottom-k-by-hash) sampling — each batch
+    emits its 256 smallest multiplicative-hash values, a tiny merge keeps
+    the global bottom 256. Content-addressed, so the sample is identical
+    whatever order blocks arrive in (a bare limit() on an unordered stream
+    is execution-order-dependent)."""
     n_sample = 256
 
     def bottomk(t: pa.Table) -> pa.Table:
@@ -115,44 +121,139 @@ def ivf_topk(sf_dir: str, vec_id: int = 0, k: int = 10, n_cells: int = 16, n_pro
             if len(m):
                 v = m.mean(axis=0)
                 centroids[c] = v / (np.linalg.norm(v) or 1.0)
+    return centroids
 
+
+def ivf_index(sf_dir: str, n_cells: int = 16) -> tuple[np.ndarray, str]:
+    """Build-or-load the persistent IVF index for a table: centroids + a
+    cell-partitioned copy of the embeddings (hive layout, one directory per
+    cell), keyed by the input's fingerprint (manifest pattern from
+    state/manifest.py). Repeated queries on the same table skip training AND
+    read only their probed cell partitions; a rewritten input invalidates
+    the fingerprint and retrains. Returns (centroids, index_dir)."""
+    import json
+    import os
+    import pathlib
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    from ..state.manifest import fingerprint, input_fingerprint
+
+    path = f"{sf_dir}/embeddings.parquet"
+    fp = fingerprint(input_fingerprint(path), "ivf", n_cells, _IVF_ALGO_VERSION)
+    root = pathlib.Path(_IVF_STATE_DIR) / fp
+    if fp in _IVF_MEM_CACHE:
+        return _IVF_MEM_CACHE[fp], str(root)
+    manifest_path = root / "_MANIFEST.json"
+    if manifest_path.exists():
+        try:
+            m = json.loads(manifest_path.read_text())
+        except (OSError, json.JSONDecodeError):
+            m = None
+        if m and m.get("fingerprint") == fp:
+            cent = _pq.read_table(root / "centroids.parquet")
+            centroids = (
+                cent["value"]
+                .to_numpy(zero_copy_only=False)
+                .reshape(int(m["n_cells"]), int(m["dim"]))
+            )
+            _IVF_MEM_CACHE[fp] = centroids
+            return centroids, str(root)
+
+    centroids = _train_centroids(sf_dir, n_cells)
+    tmp = pathlib.Path(str(root) + ".tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    tmp.mkdir(parents=True)
+
+    # cell-partitioned data copy: assignment is one matmul per batch against
+    # the broadcast centroids; the hive layout is what makes a query read
+    # n_probe/n_cells of the data instead of scanning everything
+    cent_ref = ray.put(centroids)
+
+    def assign(t: pa.Table) -> pa.Table:
+        from ..util import cached_get
+
+        cents = cached_get(cent_ref)
+        emb = _normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float64))
+        cell = np.argmax(emb @ cents.T, axis=1).astype(np.int64)
+        return t.append_column("cell", pa.array(cell))
+
+    _emb(sf_dir).map_batches(
+        assign, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).write_parquet(str(tmp / "assigned"), partition_cols=["cell"])
+
+    flat = centroids.ravel()
+    _pq.write_table(
+        pa.table({"value": pa.array(flat, pa.float64())}),
+        tmp / "centroids.parquet",
+    )
+    os.replace(tmp, root)  # atomic: a crash mid-build leaves no manifest
+    manifest_path.write_text(
+        json.dumps({"fingerprint": fp, "n_cells": int(len(centroids)),
+                    "dim": int(centroids.shape[1])})
+    )
+    _IVF_MEM_CACHE[fp] = centroids
+    return centroids, str(root)
+
+
+def ivf_topk(
+    sf_dir: str, vec_id: int = 0, k: int = 10, n_cells: int = 16, n_probe: int = 10
+) -> "pa.Table":
+    """IVF ANN top-k: probe the n_probe nearest cells of the persistent
+    index — the query reads ONLY those cell partitions (file-level pruning
+    via the hive layout), then brute-force cosine within them. Recall vs
+    exact top-k is gated >= 0.9 at THIS shipped default configuration
+    (tests/test_round2.py), and the index is trained once per table, not
+    once per query. The testdata embeddings are near-isotropic gaussians —
+    the hardest case for IVF — hence the conservative 10/16 probe default;
+    clustered real-corpus embeddings support lower n_probe/n_cells ratios
+    (the scale lever is n_cells growing with the table)."""
+    centroids, root = ivf_index(sf_dir, n_cells)
     q = query_vector(sf_dir, vec_id)
     qn = q / np.linalg.norm(q)
     probe_cells = np.argsort(-(centroids @ qn))[:n_probe]
-    state_ref = ray.put((centroids, qn, probe_cells))
+    import glob
 
-    def probe_topk(t: pa.Table) -> pa.Table:
+    # file-level pruning: only the probed cells' hive partitions are read
+    # (read_parquet wants concrete files when given a list)
+    paths = [
+        f
+        for c in probe_cells
+        for f in sorted(glob.glob(f"{root}/assigned/cell={int(c)}/*.parquet"))
+    ]
+    empty = pa.table(
+        {"vec_id": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}
+    )
+    if not paths:
+        return empty
+    q_ref = ray.put(qn)
+
+    def partial_topk(t: pa.Table) -> pa.Table:
         from ..util import cached_get
 
-        cents, qv, cells = cached_get(state_ref)
+        qv = cached_get(q_ref)
         emb = _normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float64))
-        cell = np.argmax(emb @ cents.T, axis=1)
-        mask = np.isin(cell, cells)
-        if not mask.any():
-            return pa.table({"vec_id": pa.array([], pa.int64()),
-                             "cosine": pa.array([], pa.float64())})
-        emb = emb[mask]
-        ids = np.asarray(t["vec_id"].to_pylist())[mask]
         sims = emb @ qv
         if len(sims) > k:
             keep = np.argpartition(-sims, k)[:k]
         else:
             keep = np.arange(len(sims))
+        ids = np.asarray(t["vec_id"].to_pylist())[keep]
         return pa.table(
             {
-                "vec_id": pa.array(ids[keep], pa.int64()),
+                "vec_id": pa.array(ids, pa.int64()),
                 "cosine": pa.array(np.round(sims[keep], 6), pa.float64()),
             }
         )
 
-    partials = _emb(sf_dir).map_batches(
-        probe_topk, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    partials = rd.read_parquet(paths, columns=["vec_id", "embedding"]).map_batches(
+        partial_topk, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
     merged = partials.sort("cosine", descending=True).limit(k)
     t = pa.Table.from_pylist(merged.take_all())
-    return t.select(["vec_id", "cosine"]) if t.num_rows else pa.table(
-        {"vec_id": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}
-    )
+    return t.select(["vec_id", "cosine"]) if t.num_rows else empty
 
 
 def label_centroids(sf_dir: str) -> Dataset:

@@ -75,7 +75,7 @@ class TestSimilarity:
         from chunksilo_ray.ops.similarity import cosine_topk, ivf_topk
 
         exact = {r["vec_id"] for r in cosine_topk(SF, vec_id=0, k=10).to_pylist()}
-        approx = {r["vec_id"] for r in ivf_topk(SF, vec_id=0, k=10, n_probe=8).to_pylist()}
+        approx = {r["vec_id"] for r in ivf_topk(SF, vec_id=0, k=10).to_pylist()}  # shipped defaults
         # approximate: expect decent overlap, and the query itself found
         assert 0 in approx
         assert len(exact & approx) >= 5
