@@ -203,6 +203,7 @@ def build_kg(
             cmap = None  # type: ignore[assignment]
     else:
         cmap = None  # type: ignore[assignment]
+    cmap_rebuilt = cmap is None
     if cmap is None:
         dead_letters, distinct_norms = scan_future.result()
         cmap = build_canonical_map(
@@ -217,6 +218,24 @@ def build_kg(
             norms=distinct_norms,  # collected by the combined scan above
         )
         cmap_path.write_text(json.dumps({"fingerprint": cmap_fp, "map": cmap}))
+    # flat (norm, canonical) side table: lets an EXTERNAL SQL engine recompute
+    # edges/nodes from the extracted checkpoint by joining the map (the
+    # driver's kg_* DuckDB oracles) — tiny, rewritten with the map
+    cmap_pq_path = out / "canonical_map.parquet"
+    if cmap_rebuilt or not cmap_pq_path.exists():
+        import pyarrow as _pa
+        import pyarrow.parquet as _pqw
+
+        norm_keys = sorted(cmap)
+        _pqw.write_table(
+            _pa.table(
+                {
+                    "norm": _pa.array(norm_keys, _pa.string()),
+                    "canonical": _pa.array([cmap[k] for k in norm_keys], _pa.string()),
+                }
+            ),
+            cmap_pq_path,
+        )
     _mark("canonical map built")
 
     # ---- stage 4: graph materialize -----------------------------------------
