@@ -130,6 +130,23 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """MCP stdio loop over the built KG tables (reference server.py:61-106:
+    FastMCP run over stdio). Requires the 'mcp' package — absent here, the
+    error names the one-shot 'query' alternative."""
+    from .config import Config
+    from .pipelines.serve import build_mcp_server
+
+    cfg = Config.from_yaml(args.config) if args.config else None
+    ray = _ray_session()
+    try:
+        server = build_mcp_server(args.out, cfg=cfg)
+        server.run()  # stdio loop; returns on client disconnect
+    finally:
+        ray.shutdown()
+    return 0
+
+
 def cmd_dump_defaults(_args) -> int:
     from .config import DEFAULTS
 
@@ -176,6 +193,11 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--date-to", default=None)
     q.add_argument("--config", default=None)
     q.set_defaults(fn=cmd_query)
+
+    m = sub.add_parser("serve", help="MCP stdio server over built KG tables")
+    m.add_argument("--out", required=True, help="pipeline output directory")
+    m.add_argument("--config", default=None)
+    m.set_defaults(fn=cmd_serve)
 
     d = sub.add_parser("dump-defaults", help="print the default config as YAML")
     d.set_defaults(fn=cmd_dump_defaults)

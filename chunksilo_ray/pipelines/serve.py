@@ -103,6 +103,56 @@ def entity_lookup(out_dir: str, surface: str, k: int = 10) -> list[dict]:
     ]
 
 
+def build_mcp_server(out_dir: str, cfg: Config | None = None, mcp=None):
+    """Register the serving tools on a FastMCP server — the reference's MCP
+    stdio surface (reference src/chunksilo/server.py:61-106: a FastMCP
+    instance exposing `search_docs(query, date_from, date_to)` over the
+    persisted index, run over stdio by the CLI).
+
+    ``mcp`` may be injected (tests use a fake with the same ``tool()``
+    decorator contract); by default the ``mcp`` package's FastMCP is
+    imported lazily and a clear actionable error raised when the package is
+    absent in this container (same seam pattern as the onnx embedding
+    backend, stages/embed.py). Returns the server with three tools
+    registered: search_docs, entity_lookup, entity_neighbors."""
+    if mcp is None:
+        try:  # pragma: no cover - mcp absent in this environment
+            from mcp.server.fastmcp import FastMCP  # type: ignore[import-not-found]
+        except ImportError as exc:
+            raise RuntimeError(
+                "the 'serve' command needs the 'mcp' package (FastMCP) for "
+                "the stdio loop; install it, or use 'chunksilo_ray query' "
+                "for one-shot requests over the same tables"
+            ) from exc
+        mcp = FastMCP("chunksilo-ray")  # pragma: no cover
+
+    # bind the module-level request fns under private names so the tool
+    # functions can carry the reference's public tool names (the inner defs
+    # make those names function-local, so fetch the module fns via globals())
+    _search = globals()["search_docs"]
+    _lookup = globals()["entity_lookup"]
+    _neighbors = globals()["entity_neighbors"]
+
+    @mcp.tool()
+    def search_docs(  # noqa: F811 - tool name contract (reference server.py:61)
+        query: str, date_from: str | None = None, date_to: str | None = None
+    ) -> dict:
+        """Search the built chunk table; ranked chunks + conversation rollup."""
+        return _search(out_dir, query, date_from=date_from, date_to=date_to, cfg=cfg)
+
+    @mcp.tool()
+    def entity_lookup(surface: str, k: int = 10) -> list:  # noqa: F811
+        """Resolve a surface form against the KG nodes table."""
+        return _lookup(out_dir, surface, k=k)
+
+    @mcp.tool()
+    def entity_neighbors(entity_id: str, k: int = 20) -> list:  # noqa: F811
+        """Top-k weighted edges touching an entity in the aggregated KG."""
+        return _neighbors(out_dir, entity_id, k=k)
+
+    return mcp
+
+
 def entity_neighbors(out_dir: str, entity_id: str, k: int = 20) -> list[dict]:
     """Top-k weighted edges touching an entity from the aggregated edge
     table — the KG-native query the reference's flat index cannot answer."""

@@ -71,3 +71,49 @@ def test_cli_query_subcommand(built, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["query"] == "database restart"
     assert "matched_files" in out
+
+
+class _FakeMCP:
+    """Stand-in with the FastMCP registration contract: tool() returns a
+    decorator; the server records tools by function __name__."""
+
+    def __init__(self):
+        self.tools = {}
+        self.ran = False
+
+    def tool(self, *a, **kw):
+        def deco(fn):
+            self.tools[fn.__name__] = fn
+            return fn
+
+        return deco
+
+    def run(self, *a, **kw):
+        self.ran = True
+
+
+def test_mcp_server_registration_and_tools(built):
+    """The MCP stdio surface (reference server.py:61-106): three tools
+    registered under the reference's names, each answering over the built
+    tables when invoked the way FastMCP would."""
+    from chunksilo_ray.pipelines.serve import build_mcp_server
+
+    mcp = build_mcp_server(built, mcp=_FakeMCP())
+    assert set(mcp.tools) == {"search_docs", "entity_lookup", "entity_neighbors"}
+
+    res = mcp.tools["search_docs"]('Did Alice update the "config.yaml"?')
+    assert res["num_chunks"] > 0
+
+    hits = mcp.tools["entity_lookup"]("database")
+    assert hits and hits[0]["freq"] > 0
+    nbrs = mcp.tools["entity_neighbors"](hits[0]["entity_id"], k=3)
+    assert nbrs and all(hits[0]["entity_id"] in (n["subj"], n["obj"]) for n in nbrs)
+
+
+def test_mcp_server_missing_package_error(built):
+    """Without the mcp package (this container), the seam raises an
+    actionable error naming the one-shot alternative (embed-seam pattern)."""
+    from chunksilo_ray.pipelines.serve import build_mcp_server
+
+    with pytest.raises(RuntimeError, match="query"):
+        build_mcp_server(built)
