@@ -25,11 +25,15 @@ DEFAULTS: dict[str, Any] = {
         "batch_size": 512,  # bulk-call lever, reference index.py:1091-1124
         "concurrency": 0,  # 0 = size pool from cluster CPUs (util.pool_bounds)
         "num_cpus": 1,
+        # auto = stateless tasks for cheap state (bow), actor pool for
+        # expensive state (onnx model weights); see stages/embed.py
+        "mode": "auto",
     },
     "linking": {
         "max_ngram": 3,  # longest alias n-gram matched during the scan
         "concurrency": 0,  # 0 = size pool from cluster CPUs (util.pool_bounds)
         "num_cpus": 1,
+        "mode": "auto",  # auto = stateless tasks + worker-global alias memo
         "batch_size": 2048,
         # wall-clock budget per row in the extraction actor (reference
         # per_file_seconds, cfgload.py:74-80): over-budget rows dead-letter
@@ -55,6 +59,12 @@ DEFAULTS: dict[str, Any] = {
         "batch_size": 4096,
         "read_override_num_blocks": None,
         "target_max_block_size": None,  # bytes; None = Ray default (128 MiB)
+        # overlap independent stage executions on driver threads: measured
+        # SLOWER on a shared-everything single node (concurrent streaming
+        # executions contend for CPU slots + object store + memory bandwidth
+        # instead of pipelining — see pipelines/kg.py); opt-in for clusters
+        # with I/O-bound branches
+        "overlap": False,
     },
     "search": {
         # retained reference knobs (cfgload.py:86-96) for the search-style ops

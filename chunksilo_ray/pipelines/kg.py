@@ -121,15 +121,37 @@ def build_kg(
             concurrency=link_cfg["concurrency"],
             num_cpus=link_cfg["num_cpus"],
             per_row_seconds=link_cfg["per_row_seconds"],
+            mode=link_cfg.get("mode", "auto"),
         )
 
-    # the chunk+embed side branch only needs the assembly checkpoint — launch
-    # it on a driver thread so its Dataset execution overlaps the extraction
-    # branch (Ray multiplexes concurrent streaming executions over the
-    # cluster; the two stages share CPUs under backpressure)
+    # Overlapping independent Dataset executions on driver threads was the
+    # round-2 design; measured head-to-head at sf0.3 it LOSES to strict
+    # serialization (61 s vs 85 s at 16 CPUs): concurrent streaming
+    # executions each assume they own the cluster, so they fight over CPU
+    # slots, object-store memory and (on this DRAM-throttled host) memory
+    # bandwidth instead of pipelining. Serial execution also scales more
+    # honestly 4->16 CPUs — every stage gets the full cluster. The overlap
+    # path is kept behind runtime.overlap for clusters where the branches
+    # are I/O-heavy enough to interleave profitably.
+    overlap = bool(cfg.get("runtime.overlap"))
+
+    class _Inline:
+        """submit() that just runs the fn — the serial twin of the pool."""
+
+        @staticmethod
+        def submit(fn, *a, **kw):
+            from concurrent.futures import Future
+
+            f: Future = Future()
+            try:
+                f.set_result(fn(*a, **kw))
+            except BaseException as exc:  # noqa: BLE001 - future contract
+                f.set_exception(exc)
+            return f
+
     chunks_ckpt = None
     chunks_future = None
-    pool = ThreadPoolExecutor(max_workers=3)
+    pool = ThreadPoolExecutor(max_workers=3) if overlap else None
     if with_chunks:
         chk_cfg = cfg.section("chunking")
         emb_cfg = cfg.section("embedding")
@@ -148,9 +170,12 @@ def build_kg(
                 batch_size=emb_cfg["batch_size"],
                 concurrency=emb_cfg["concurrency"],
                 num_cpus=emb_cfg["num_cpus"],
+                mode=emb_cfg.get("mode", "auto"),
             )
 
-        chunks_future = pool.submit(chunks_ckpt.run, _build_chunks)
+        if overlap:
+            chunks_future = pool.submit(chunks_ckpt.run, _build_chunks)
+        # serial mode: chunks run LAST (after the graph tables) — see below
 
     extracted = ext_ckpt.run(_build_extracted, keep_in_memory=True, write_executor=writer)
     _mark("extracted materialized")
@@ -188,7 +213,7 @@ def build_kg(
             norms.update(x for x in b["norm"].to_pylist() if x is not None)
         return total, norms
 
-    scan_future = pool.submit(_scan_extracted)
+    scan_future = (pool if overlap else _Inline).submit(_scan_extracted)
 
     # ---- stage 3: canonicalization (shuffle #2 + driver union-find) ---------
     canon_cfg = cfg.section("canon")
@@ -257,17 +282,20 @@ def build_kg(
         ea = edges_agg_ckpt.run(lambda: materialize_edges_agg(e))
         return e, ea
 
-    # edges(+agg) and nodes are independent — overlap their executions
-    edges_future = pool.submit(_edges_chain)
+    # edges(+agg) and nodes are independent — overlapped only when configured
+    edges_future = (pool if overlap else _Inline).submit(_edges_chain)
     nodes = nodes_ckpt.run(lambda: materialize_nodes(extracted, cmap))
     _mark("nodes done")
     edges, edges_agg = edges_future.result()
     _mark("edges+agg done")
 
-    # ---- side branch result (launched right after assembly) ----------------
+    # ---- side branch (chunk+embed off the assembly checkpoint) -------------
+    if with_chunks and chunks_future is None:  # serial mode: runs last
+        chunks_future = _Inline.submit(chunks_ckpt.run, _build_chunks)
     chunks = chunks_future.result() if chunks_future is not None else None
     _mark("chunks done")
-    pool.shutdown(wait=True)
+    if pool is not None:
+        pool.shutdown(wait=True)
 
     # durability barrier: all background checkpoint writes must land before
     # metrics read the manifests / the call returns resumable state

@@ -107,6 +107,11 @@ class EmbedActor:
         return t.append_column("embedding", col)
 
 
+# worker-global word->bucket memo for the stateless-task bow variant
+# (bow_hash_embed caps it at _BUCKET_CACHE_CAP)
+_WORKER_BUCKETS: dict[str, int] = {}
+
+
 def embed_chunks(
     chunks: Dataset,
     backend: str = "bow",
@@ -114,7 +119,28 @@ def embed_chunks(
     batch_size: int = 512,
     concurrency: int | tuple[int, int] = 4,
     num_cpus: float = 1,
+    mode: str = "auto",
 ) -> Dataset:
+    """Stage modes: ``auto`` picks by state cost — the bow backend's only
+    state is a word->bucket memo (rebuilds in microseconds), so it runs as
+    stateless tasks on warm workers; a real model backend (onnx) keeps the
+    actor pool so weights load once per actor, never per task-worker."""
+    if mode == "auto":
+        mode = "tasks" if backend == "bow" else "actors"
+    if mode == "tasks" and backend == "bow":
+        text_column = "text"
+
+        def _task(t: pa.Table) -> pa.Table:
+            vecs = bow_hash_embed(t.column(text_column).to_pylist(), dim, _WORKER_BUCKETS)
+            col = pa.FixedSizeListArray.from_arrays(pa.array(vecs.ravel(), pa.float32()), dim)
+            return t.append_column("embedding", col)
+
+        return chunks.map_batches(
+            _task,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            zero_copy_batch=True,
+        )
     # cluster-sized autoscaling pool (see link.py rationale); 0 = pure auto
     if isinstance(concurrency, int):
         from ..util import pool_bounds

@@ -58,10 +58,12 @@ def input_fingerprint(path: str) -> str:
     return fingerprint(entries)
 
 
-# target rows per checkpoint part file: big enough that re-read planning
-# (driver-side metadata sampling is per-file) stays cheap, small enough that
-# partition-level resume skips meaningful units
-MIN_ROWS_PER_FILE = 250_000
+# Checkpoint part files are written one-per-materialized-block (no row-count
+# coalescing): at production block sizes (DataContext.target_max_block_size,
+# 128 MiB default) that lands right in parquet's sweet spot, and measured
+# locally the old 250k-row coalescing serialized the encode of wide-row
+# tables through a handful of write tasks (chunks-with-embeddings checkpoint:
+# 7.4 s -> 2.2 s once writes parallelized per block).
 
 
 def code_fingerprint(package_dir: str) -> str:
@@ -109,7 +111,7 @@ class StageCheckpoint:
         if self.dir.exists():
             shutil.rmtree(self.dir)
         tmp.mkdir(parents=True)
-        ds.write_parquet(str(tmp), min_rows_per_file=MIN_ROWS_PER_FILE)
+        ds.write_parquet(str(tmp))  # one file per materialized block
         parts = []
         total_rows = 0
         for f in sorted(tmp.glob("*.parquet")):
@@ -131,37 +133,37 @@ class StageCheckpoint:
         self,
         build: Callable[[], Dataset],
         metrics: dict | None = None,
-        keep_in_memory: bool = False,
+        keep_in_memory: bool = True,
         write_executor=None,
     ) -> Dataset:
         """Build-or-reuse: if a manifest with a matching fingerprint exists,
-        re-read the checkpoint; otherwise execute ``build`` into a temp dir,
-        rename atomically, and write the manifest with per-part lineage.
+        re-read the checkpoint; otherwise execute ``build``, MATERIALIZE the
+        stage in the object store, write the Parquet checkpoint from the
+        pinned blocks (one encode task per block — measured 3x faster than a
+        write operator fused into the build pipeline, whose row-count
+        coalescing funneled wide tables through a few tasks), and hand the
+        materialized dataset to downstream consumers. Under memory pressure
+        Ray spills the pinned blocks; the checkpoint is the durable copy
+        either way, and the returned dataset is freed when the caller drops
+        it.
 
-        ``keep_in_memory=True``: materialize the stage in the object store
-        first, write the Parquet checkpoint FROM the pinned blocks, and hand
-        the materialized dataset to downstream consumers — they skip the
-        re-read + re-planning entirely, while a restarted job still resumes
-        from the on-disk checkpoint. (Under memory pressure Ray spills the
-        pinned blocks; the checkpoint is the durable copy either way.)
+        ``keep_in_memory`` is retained for API compatibility; every stage now
+        materializes before writing (see above).
 
-        ``write_executor`` (requires keep_in_memory): a ThreadPoolExecutor —
-        the disk-bound checkpoint write runs in the background, OFF the
-        pipeline's critical path; ``self.write_future`` resolves when the
-        durable copy + manifest exist. Downstream compute overlaps the IO."""
+        ``write_executor``: a ThreadPoolExecutor — the disk-bound checkpoint
+        write runs in the background, OFF the pipeline's critical path;
+        ``self.write_future`` resolves when the durable copy + manifest
+        exist."""
+        del keep_in_memory
         self.write_future = None
         if self.complete():
             return self.read()
-        ds = build()
-        if keep_in_memory:
-            ds = ds.materialize()
-            if write_executor is not None:
-                self.write_future = write_executor.submit(self._write_checkpoint, ds, metrics)
-                return ds
-            self._write_checkpoint(ds, metrics)
+        ds = build().materialize()
+        if write_executor is not None:
+            self.write_future = write_executor.submit(self._write_checkpoint, ds, metrics)
             return ds
         self._write_checkpoint(ds, metrics)
-        return self.read()
+        return ds
 
     def record_metrics(self, extra: dict) -> None:
         m = self.manifest() or {}

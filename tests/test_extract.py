@@ -198,3 +198,46 @@ def test_pipeline_weights_and_nodes_vs_oracle(smoke_corpus, tmp_out):
     agree_n = sum(1 for k, f in got_n.items() if exp_n.get(k) == f)
     assert agree_n / max(len(got_n), 1) >= 0.95
     assert agree_n / max(len(exp_n), 1) >= 0.95
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_link_extract_task_mode_matches_actor_mode(smoke_corpus):
+    """The stateless-task stage variant (mode='tasks', the auto default) and
+    the actor-pool variant share one kernel (stages/link.py::extract_batch) —
+    their outputs must be row-for-row identical."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from chunksilo_ray.stages.link import link_extract
+
+    t = pq.read_table(f"{smoke_corpus}/transcripts.parquet").slice(0, 200)
+    alias_ref = ray.put(pq.read_table(f"{smoke_corpus}/alias_index.parquet"))
+
+    def _rows(mode):
+        rows = link_extract(rd.from_arrow(t), alias_ref, mode=mode).take_all()
+        return sorted(
+            (
+                (r["conv_id"], r["turn_idx"], str(r["mentions"]), str(r["triples"]), r["error"])
+                for r in rows
+            )
+        )
+
+    assert _rows("tasks") == _rows("actors")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embed_task_mode_matches_actor_mode(smoke_corpus):
+    """Same parity contract for the embedding stage's bow backend."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from chunksilo_ray.stages.embed import embed_chunks
+
+    t = pa.table({"text": pa.array(["hello world", "the Database is down", "", "alpha beta alpha"])})
+
+    def _vecs(mode):
+        rows = embed_chunks(rd.from_arrow(t), mode=mode).take_all()
+        return {r["text"]: tuple(r["embedding"]) for r in rows}
+
+    assert _vecs("tasks") == _vecs("actors")
