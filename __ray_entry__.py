@@ -93,9 +93,34 @@ def _docs_dir_scan(sf_dir: str, n_docs: int = 200) -> Any:
     )
 
 
+# deterministic synthetic media corpus, written by the media queries so the
+# DuckDB oracles can recompute features/frames from the same input (the
+# docs_dir_scan pattern); recreated on every call — no stale file risk
+_MEDIA_PQ = "/tmp/chunksilo_ray_media/media.parquet"
+
+
+def _media_features(sf_dir: str) -> Any:
+    """Multimodal feature stage over the written media corpus. The driver
+    compares the SQL-expressible columns (sizes + content fingerprints);
+    mean_pixel comes from the stubbed decode and stays pytest-gated
+    (tests/test_ops.py), so it is dropped from the driver-visible result."""
+    from chunksilo_ray.ops import multimodal
+
+    multimodal.write_media_parquet(_MEDIA_PQ)
+    return multimodal.media_features().drop_columns(["mean_pixel"])
+
+
+def _video_frames(sf_dir: str) -> Any:
+    from chunksilo_ray.ops import multimodal
+
+    multimodal.write_media_parquet(_MEDIA_PQ)
+    return multimodal.video_frames()
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from chunksilo_ray.ops import (
         dedup,
+        graph,
         joins,
         multimodal,
         relational,
@@ -139,12 +164,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "simhash_dup_pairs": dedup.simhash_dup_pairs,
         "embedding_near_dups": dedup.embedding_near_dups,
+        # distributed connected components (no driver union-find; ops/graph.py)
+        "ngram_dup_components": graph.ngram_dup_components,
         # --- similarity search (task brief) ---
         "cosine_topk": similarity.cosine_topk,
         "ivf_topk": similarity.ivf_topk,
+        # exhaustive probe = exact: value-oracles the IVF index machinery
+        "ivf_topk_exhaustive": similarity.ivf_topk_exhaustive,
         "label_centroids": similarity.label_centroids,
-        # --- multimodal plumbing (task brief; synthetic media, stub decode) ---
-        "media_features": lambda sf_dir: multimodal.media_features(),
+        # --- multimodal plumbing (task brief; synthetic media, stub decode;
+        # SQL-oracled since round 3 on sizes/fingerprints/frame grid) ---
+        "media_features": _media_features,
         # --- rank + sketch operators ---
         "topk_events_per_user": sketches.topk_events_per_user,
         "median_value_by_type": sketches.median_value_by_type,
@@ -170,10 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges_agg": lambda sf_dir: _kg_result(sf_dir)["edges_agg"],
         "kg_nodes": lambda sf_dir: _kg_result(sf_dir)["nodes"],
         "kg_chunks": lambda sf_dir: _kg_result(sf_dir)["chunks"].drop_columns(["embedding"]),
-        # last on purpose: media_features already exercises the identical
-        # multimodal plumbing, so if the driver evaluates a bounded number of
-        # queries, this is the one whose row-only check duplicates coverage
-        "video_frames": lambda sf_dir: multimodal.video_frames(),
+        "video_frames": _video_frames,
     }
     return q
 
@@ -247,6 +274,27 @@ def oracle_sql() -> dict[str, str]:
         "docs_dir_scan": """
             SELECT filename AS doc_path, content AS text
             FROM read_text('/tmp/chunksilo_ray_docs_tree/sf0.01/*.txt')
+        """,
+        # media queries write /tmp/chunksilo_ray_media/media.parquet first
+        # (deterministic synth corpus); md5(lower(hex(payload))) matches the
+        # engine's content_md5_16 byte-for-byte (DuckDB md5 is VARCHAR-only)
+        "media_features": f"""
+            SELECT media_id, kind,
+                   octet_length(payload) AS payload_bytes,
+                   substr(md5(lower(hex(payload))), 1, 16) AS content_md5
+            FROM read_parquet('{_MEDIA_PQ}')
+        """,
+        "video_frames": f"""
+            SELECT media_id,
+                   CAST(t_ms // 5000 AS INTEGER) AS frame_idx,
+                   CAST(t_ms AS INTEGER) AS t_ms,
+                   substr(md5(lower(hex(payload))), 1, 16) AS content_md5
+            FROM (
+                SELECT media_id, payload,
+                       unnest(generate_series(0, duration_ms - 1, 5000)) AS t_ms
+                FROM read_parquet('{_MEDIA_PQ}')
+                WHERE kind = 'video' AND duration_ms > 0
+            )
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -431,6 +479,14 @@ def oracle_sql() -> dict[str, str]:
                         WHERE vec_id = 0)), 6) AS cosine
             FROM embeddings ORDER BY cosine DESC LIMIT 10
         """,
+        # exhaustive-probe IVF == exact top-k (same oracle as cosine_topk)
+        "ivf_topk_exhaustive": """
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                        WHERE vec_id = 0)), 6) AS cosine
+            FROM embeddings ORDER BY cosine DESC LIMIT 10
+        """,
         # --- round-2 oracles: text analysis -------------------------------
         "detect_language": f"""
             WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
@@ -503,6 +559,18 @@ def oracle_sql() -> dict[str, str]:
                             UNION
                             SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
             SELECT a AS doc_id, CAST(LEAST(MIN(b), a) AS BIGINT) AS dup_group
+            FROM reach GROUP BY a
+        """,
+        # distributed CC over the verified bigram-jaccard pair graph: the
+        # oracle recomputes the pairs in SQL and closes them transitively
+        "ngram_dup_components": f"""
+            WITH RECURSIVE {_SHINGLE2},
+            edges AS (SELECT da AS a, db AS b FROM jpairs
+                      UNION SELECT db, da FROM jpairs),
+            reach(a, b) AS (SELECT a, b FROM edges
+                            UNION
+                            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+            SELECT a AS doc_id, CAST(LEAST(MIN(b), a) AS BIGINT) AS component
             FROM reach GROUP BY a
         """,
         "ngram_jaccard_pairs": f"""

@@ -53,6 +53,33 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
     return pa.table(rows, schema=MEDIA_SCHEMA)
 
 
+def content_md5_16(payload: bytes) -> str:
+    """16-hex-char content fingerprint, computed over the payload's lowercase
+    hex encoding — byte-for-byte reproducible by an external SQL engine as
+    ``substr(md5(lower(hex(payload))), 1, 16)`` (DuckDB's md5 only accepts
+    VARCHAR, not BLOB), which is what makes the media queries value-oracle-able
+    in the driver's correctness gate."""
+    return hashlib.md5(payload.hex().encode()).hexdigest()[:16]
+
+
+def write_media_parquet(path: str, n: int = 64, seed: int = 42) -> str:
+    """Write the deterministic synthetic media corpus to Parquet so an
+    external SQL oracle can recompute the media pipelines from the same
+    input (the docs_dir_scan pattern: Ray query writes the input first, the
+    oracle reads it). The file is recreated on every call — no staleness
+    across corpus regenerations."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    p = pathlib.Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    if p.exists():
+        p.unlink()
+    pq.write_table(synth_media_table(n=n, seed=seed), p)
+    return str(p)
+
+
 def decode_image_stub(payload: bytes) -> np.ndarray:  # pragma: no cover - stub
     """Real impl would be PIL/cv2; absent in this container (task brief:
     stub behind NotImplementedError)."""
@@ -83,10 +110,10 @@ class MediaFeatureActor:
         payloads = t["payload"].to_pylist()
         widths = t["width"].to_pylist()
         heights = t["height"].to_pylist()
-        sizes, sha16, mean_px = [], [], []
+        sizes, md5s, mean_px = [], [], []
         for payload, w, h in zip(payloads, widths, heights):
             sizes.append(len(payload))
-            sha16.append(hashlib.sha256(payload).hexdigest()[:16])
+            md5s.append(content_md5_16(payload))
             if self.use_real:  # pragma: no cover
                 px = decode_image_stub(payload)
             else:
@@ -97,7 +124,7 @@ class MediaFeatureActor:
                 "media_id": pa.array(ids, pa.string()),
                 "kind": pa.array(kinds, pa.string()),
                 "payload_bytes": pa.array(sizes, pa.int64()),
-                "content_sha16": pa.array(sha16, pa.string()),
+                "content_md5": pa.array(md5s, pa.string()),
                 "mean_pixel": pa.array(mean_px, pa.float64()),
             }
         )
@@ -111,7 +138,7 @@ class FrameSampleActor:
         self.every_ms = every_ms
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        out_id, out_frame_idx, out_t_ms, out_hash = [], [], [], []
+        out_id, out_frame_idx, out_t_ms, out_md5 = [], [], [], []
         for mid, kind, payload, dur in zip(
             t["media_id"].to_pylist(),
             t["kind"].to_pylist(),
@@ -120,18 +147,18 @@ class FrameSampleActor:
         ):
             if kind != "video" or dur <= 0:
                 continue
+            fp = content_md5_16(payload)  # with a real codec: per-frame hash
             for k, t_ms in enumerate(range(0, dur, self.every_ms)):
-                frame_seed = zlib.crc32(payload) ^ t_ms
                 out_id.append(mid)
                 out_frame_idx.append(k)
                 out_t_ms.append(t_ms)
-                out_hash.append(int(frame_seed))
+                out_md5.append(fp)
         return pa.table(
             {
                 "media_id": pa.array(out_id, pa.string()),
                 "frame_idx": pa.array(out_frame_idx, pa.int32()),
                 "t_ms": pa.array(out_t_ms, pa.int32()),
-                "frame_hash": pa.array(out_hash, pa.int64()),
+                "content_md5": pa.array(out_md5, pa.string()),
             }
         )
 

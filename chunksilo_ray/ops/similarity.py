@@ -256,6 +256,18 @@ def ivf_topk(
     return t.select(["vec_id", "cosine"]) if t.num_rows else empty
 
 
+def ivf_topk_exhaustive(
+    sf_dir: str, vec_id: int = 0, k: int = 10, n_cells: int = 16
+) -> "pa.Table":
+    """IVF with every cell probed (n_probe = n_cells): mathematically exact,
+    so the full IVF machinery — training sample, centroid assignment,
+    hive-partitioned index layout, per-cell partial top-k, global merge —
+    gets a VALUE-level DuckDB oracle (exact brute-force cosine top-k). The
+    shipped approximate config (``ivf_topk``) stays recall-gated in pytest;
+    this query is the driver-visible proof the machinery itself is sound."""
+    return ivf_topk(sf_dir, vec_id=vec_id, k=k, n_cells=n_cells, n_probe=n_cells)
+
+
 def label_centroids(sf_dir: str) -> Dataset:
     """Mean embedding per label: per-batch partial sums -> tiny final
     combine (mergeable-sketch pattern). Output is FLAT (label, dim, value,

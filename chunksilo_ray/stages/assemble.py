@@ -1,4 +1,9 @@
-"""Dialogue assembly: global sort(conv_id, turn_idx) + vectorized reassembly.
+"""Dialogue assembly: per-turn offset computation without moving text.
+
+Two paths, identical outputs (parity-tested): a lengths-only shuffle +
+broadcast attach (default — text bytes never enter an exchange), and the
+round-2 global sort(conv_id, turn_idx) + vectorized reassembly as the
+over-budget fallback. Details at ``assemble_dialogues``.
 
 The Ray-Data analog of the reference's heading-aware document splitting
 (reference src/chunksilo/docx_utils.py:118-285: group body under ordered
@@ -169,14 +174,9 @@ def _finalize_fn(bases: dict[tuple[str, int], tuple[int, int]]):
     return finalize
 
 
-def assemble_dialogues(turns: Dataset, salt_threshold: int = 512) -> Dataset:
-    """SHUFFLE #1 of the KG pipeline (SURVEY.md §3.4). Returns per-turn rows
-    ordered by turn_idx within each conversation, with ``conv_n_turns`` and
-    ``doc_char_start`` (offset of the turn text inside the assembled
-    "<role>: <text>\\n" conversation document). ``salt_threshold`` is
-    retained for config/fingerprint compatibility; the sort-based shuffle
-    needs no salting (see module docstring)."""
-    del salt_threshold
+def _assemble_sort(turns: Dataset) -> Dataset:
+    """The full-payload global-sort path (round-2 design): the fallback when
+    the per-turn offset table itself is too big to broadcast."""
     prepped = turns.map_batches(
         _prep_batch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
@@ -185,3 +185,157 @@ def assemble_dialogues(turns: Dataset, salt_threshold: int = 512) -> Dataset:
     return local.map_batches(
         _finalize_fn(bases), batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-offsets path (round 3): the sort moved the full text payload
+# through the exchange twice, yet every downstream consumer (extraction,
+# chunking) is strictly per-turn — only the two derived columns need
+# cross-row information. So: compute per-turn lengths in a cheap projection
+# scan, exchange ONLY (conv_id, turn_idx, contrib_len) — tens of bytes/row
+# instead of the text — reduce offsets per conversation in coarse hash
+# partitions, broadcast the resulting offset table once (ray.put + worker
+# -global cache), and attach the two columns to the UNMOVED turns in a
+# second scan. Text bytes never enter an exchange. Over the broadcast
+# budget (offsets table no longer "small side"), fall back to the sort.
+
+_OFFSET_PARTS = 64
+_OFF_INDEX_CACHE: dict[str, tuple] = {}  # ref.hex -> (pd.Index, starts, n_turns)
+
+
+def _lengths_batch(t: pa.Table) -> pa.Table:
+    contrib = pc.add(
+        pc.add(pc.utf8_length(t["role"]), pc.utf8_length(t["text"])),
+        pa.scalar(3, pa.int32()),
+    )
+    out = t.select(["conv_id", "turn_idx"])
+    out = out.append_column("contrib_len", pc.cast(contrib, pa.int64()))
+    import polars as pl
+
+    h = (
+        pl.from_arrow(out.select(["conv_id"]))
+        .select(pl.col("conv_id").hash(seed=7).alias("h"))["h"]
+        .to_numpy()
+        .astype(np.uint64)
+    )
+    part = ((h >> np.uint64(33)) % np.uint64(_OFFSET_PARTS)).astype(np.int64)
+    return out.append_column("__part", pa.array(part))
+
+
+def _offsets_part(t: pa.Table) -> pa.Table:
+    """All lengths rows of one coarse partition -> (conv_id, turn_idx,
+    conv_n_turns, turn_char_start). Vectorized: dictionary-encode conv_id,
+    lexsort (conv, turn), segmented exclusive cumsum."""
+    conv = t["conv_id"].combine_chunks()
+    codes = pc.dictionary_encode(conv).indices.to_numpy(zero_copy_only=False)
+    turn = t["turn_idx"].to_numpy(zero_copy_only=False)
+    contrib = t["contrib_len"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((turn, codes))
+    codes_s, contrib_s = codes[order], contrib[order]
+    n = len(codes_s)
+    starts = np.concatenate(([0], np.flatnonzero(codes_s[1:] != codes_s[:-1]) + 1))
+    ends = np.concatenate((starts[1:], [n]))
+    seg_len = ends - starts
+    seg_id = np.repeat(np.arange(len(starts)), seg_len)
+    excl = np.concatenate(([0], np.cumsum(contrib_s[:-1])))
+    local = excl - excl[starts][seg_id]
+    return pa.table(
+        {
+            "conv_id": conv.take(pa.array(order)),
+            "turn_idx": pa.array(turn[order]).cast(t["turn_idx"].type),
+            "conv_n_turns": pa.array(seg_len[seg_id].astype(np.int32)),
+            "turn_char_start": pa.array(local, pa.int64()),
+        }
+    )
+
+
+def _offset_keys(conv: pa.Array | pa.ChunkedArray, turn) -> np.ndarray:
+    ks = pc.binary_join_element_wise(
+        pc.cast(conv, pa.string()), pc.cast(turn, pa.string()), "\x1f"
+    )
+    if isinstance(ks, pa.ChunkedArray):
+        ks = ks.combine_chunks()
+    return ks.to_numpy(zero_copy_only=False)
+
+
+def _attach_fn(off_ref):
+    def attach(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        from ..util import cached_get
+
+        key = off_ref.hex()
+        cached = _OFF_INDEX_CACHE.get(key)
+        if cached is None:
+            if len(_OFF_INDEX_CACHE) > 2:
+                _OFF_INDEX_CACHE.clear()
+            off: pa.Table = cached_get(off_ref)
+            idx = pd.Index(_offset_keys(off["conv_id"], off["turn_idx"]))
+            cached = (
+                idx,
+                off["turn_char_start"].to_numpy(zero_copy_only=False),
+                off["conv_n_turns"].to_numpy(zero_copy_only=False),
+            )
+            _OFF_INDEX_CACHE[key] = cached
+        idx, tcs, n_turns = cached
+        pos = idx.get_indexer(_offset_keys(t["conv_id"], t["turn_idx"]))
+        # offsets derive from the same input scan — every key must resolve
+        if len(pos) and pos.min() < 0:
+            raise ValueError("assembly offset lookup miss — input changed mid-run")
+        role_len = pc.utf8_length(t["role"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        out = t.append_column("conv_n_turns", pa.array(n_turns[pos].astype(np.int32)))
+        out = out.append_column(
+            "doc_char_start", pa.array(tcs[pos] + role_len + 2, pa.int64())
+        )
+        return out.select(ASSEMBLED_COLUMNS)
+
+    return attach
+
+
+def _assemble_broadcast(turns: Dataset) -> Dataset:
+    import ray
+
+    offsets = (
+        turns.map_batches(
+            _lengths_batch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+        .groupby("__part")
+        .map_groups(_offsets_part, batch_format="pyarrow")
+    )
+    off_tbl = pa.Table.from_pylist(offsets.take_all())
+    if off_tbl.num_rows == 0:
+        off_tbl = pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int32()),
+                "conv_n_turns": pa.array([], pa.int32()),
+                "turn_char_start": pa.array([], pa.int64()),
+            }
+        )
+    off_ref = ray.put(off_tbl)
+    return turns.map_batches(
+        _attach_fn(off_ref), batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+
+def assemble_dialogues(
+    turns: Dataset, salt_threshold: int = 512, broadcast_limit: int | None = None
+) -> Dataset:
+    """SHUFFLE #1 of the KG pipeline (SURVEY.md §3.4). Returns per-turn rows
+    with ``conv_n_turns`` and ``doc_char_start`` (offset of the turn text
+    inside the assembled "<role>: <text>\\n" conversation document).
+
+    Path selection: when the per-turn offset table fits the broadcast budget
+    (``broadcast_limit`` rows, default 8M ~ 300 MB), the text payload never
+    enters an exchange — lengths-only shuffle + broadcast attach (module
+    comment above). Past the budget: the round-2 global sort, whose range
+    partitioning also discharges conversation skew. ``salt_threshold`` is
+    retained for config/fingerprint compatibility. Output columns and values
+    are identical on both paths (parity-tested); row ORDER is not part of
+    the contract (broadcast path preserves input order, sort path sorts)."""
+    del salt_threshold
+    if broadcast_limit is None:
+        broadcast_limit = 8_000_000
+    if broadcast_limit > 0 and turns.count() <= broadcast_limit:
+        return _assemble_broadcast(turns)
+    return _assemble_sort(turns)

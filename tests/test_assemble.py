@@ -69,7 +69,9 @@ def test_salting_stitches_giant_conversation():
             "ts": pa.array(np.arange(n)[perm], pa.timestamp("us")),
         }
     )
-    out = assemble_dialogues(rd.from_arrow(t), salt_threshold=128).take_all()
+    # broadcast_limit=0 forces the sort fallback — the giant-conversation
+    # range-partitioning property belongs to that path
+    out = assemble_dialogues(rd.from_arrow(t), salt_threshold=128, broadcast_limit=0).take_all()
     assert len(out) == n
     assert all(r["conv_n_turns"] == n for r in out)
     ref = _reference_offsets(
@@ -80,11 +82,29 @@ def test_salting_stitches_giant_conversation():
         assert r["doc_char_start"] == ref[r["turn_idx"]], r["turn_idx"]
 
 
+def test_broadcast_and_sort_paths_are_value_identical():
+    """The lengths-broadcast path (default) and the full-sort fallback must
+    produce identical (conv_id, turn_idx) -> (text, conv_n_turns,
+    doc_char_start) mappings on a shuffled multi-conversation corpus."""
+    src = datagen.generate_transcripts(2000, seed=9)
+    ds = rd.from_arrow(src)
+
+    def keyed(rows):
+        return {
+            (r["conv_id"], r["turn_idx"]): (r["text"], r["conv_n_turns"], r["doc_char_start"])
+            for r in rows
+        }
+
+    broadcast = keyed(assemble_dialogues(ds).take_all())
+    fallback = keyed(assemble_dialogues(ds, broadcast_limit=0).take_all())
+    assert broadcast == fallback
+
+
 def test_sparse_turn_idx_offsets():
-    """Sparse, gappy turn_idx values: the sort-based assembly must still
-    compute exact per-turn char offsets and conv_n_turns (ordering comes from
-    the global (conv_id, turn_idx) sort, not from index contiguity).
-    Block-boundary coverage lives in test_fragment_stitching_under_tiny_blocks."""
+    """Sparse, gappy turn_idx values: assembly must compute exact per-turn
+    char offsets and conv_n_turns from turn_idx ordering, not from index
+    contiguity. Runs the default (broadcast) path; block-boundary coverage
+    for the sort fallback lives in test_fragment_stitching_under_tiny_blocks."""
     idxs = [0, 3, 7, 200, 201, 450]
     t = pa.table(
         {
@@ -132,7 +152,8 @@ def test_fragment_stitching_under_tiny_blocks():
     old = ctx.target_max_block_size
     ctx.target_max_block_size = 8 * 1024  # ~tens of rows per block
     try:
-        out = assemble_dialogues(rd.from_arrow(t)).take_all()
+        # sort-path coverage: stitching only exists on the fallback
+        out = assemble_dialogues(rd.from_arrow(t), broadcast_limit=0).take_all()
     finally:
         ctx.target_max_block_size = old
 

@@ -1,0 +1,78 @@
+"""Distributed connected components (ops/graph.py): correctness vs a local
+union-find oracle, multi-round convergence on long chains, empty input."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from chunksilo_ray.ops.graph import connected_components
+
+
+def _uf_oracle(edges):
+    parent = {}
+
+    def find(x):
+        r = parent.setdefault(x, x)
+        while r != parent[r]:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        parent[x] = r
+        return r
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def _run(edges):
+    t = pa.table(
+        {
+            "a": pa.array([a for a, _ in edges], pa.int64()),
+            "b": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    rows = connected_components(rd.from_arrow(t)).take_all()
+    return {r["node"]: r["component"] for r in rows}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_chain_triangle_and_pair():
+    # a 6-node chain (needs >1 propagation round), a triangle, a lone pair
+    edges = [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15),
+             (20, 21), (21, 22), (22, 20),
+             (30, 31)]
+    got = _run(edges)
+    assert got == _uf_oracle(edges)
+    assert got[15] == 10 and got[22] == 20 and got[31] == 30
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_long_chain_converges():
+    # 64-node path graph: worst-case diameter for min-label propagation;
+    # doubling-free propagation needs many rounds — convergence must still
+    # land the single component on the chain's smallest id
+    edges = [(i, i + 1) for i in range(100, 140)]
+    got = _run(edges)
+    assert set(got.values()) == {100}
+    assert len(got) == 41
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_random_graph_matches_union_find():
+    rng = np.random.default_rng(7)
+    nodes = rng.choice(5000, size=400, replace=False)
+    edges = [
+        (int(nodes[i]), int(nodes[j]))
+        for i, j in rng.integers(0, len(nodes), size=(300, 2))
+        if i != j
+    ]
+    assert _run(edges) == _uf_oracle(edges)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_empty_edges():
+    assert _run([]) == {}

@@ -182,7 +182,7 @@ class TestMultimodal:
         t = synth_media_table(n=30)
         rows = media_features(t).take_all()
         assert len(rows) == 30
-        assert all(len(r["content_sha16"]) == 16 for r in rows)
+        assert all(len(r["content_md5"]) == 16 for r in rows)
         assert all(0 <= r["mean_pixel"] <= 255 for r in rows)
 
     def test_frame_sampling_only_videos(self):
