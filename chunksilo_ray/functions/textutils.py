@@ -124,3 +124,76 @@ def words(text: str) -> list[str]:
 
 def is_id_like(token: str) -> bool:
     return ID_LIKE_RE.match(token) is not None
+
+
+def clean_syntax_spans(html: str) -> str:
+    """Unwrap syntax-highlighting ``<span>`` tags, keeping their contents
+    (reference ``confluence_html_formatter.py:16-52``: Confluence wraps code
+    in per-token spans with color/background styles or code-* classes that
+    break downstream markdown conversion). A span qualifies when its style
+    contains ``color``/``background`` or any class contains ``code``.
+
+    Stdlib ``html.parser`` reconstruction (bs4-free): non-span markup is
+    emitted verbatim via ``get_starttag_text``; entity/char refs are kept
+    raw. Pure string transform — usable inside any map_batches stage."""
+    if not html:
+        return html
+
+    from html.parser import HTMLParser
+
+    class _Unwrap(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=False)
+            self.out: list[str] = []
+            # per-open-span flag stack: True = stripped (emit nothing)
+            self.span_stack: list[bool] = []
+
+        @staticmethod
+        def _is_syntax(attrs) -> bool:
+            d = dict(attrs)
+            style = (d.get("style") or "").lower()
+            classes = (d.get("class") or "").lower().split()
+            return (
+                "color" in style
+                or "background" in style
+                or any("code" in c for c in classes)
+            )
+
+        def handle_starttag(self, tag, attrs):
+            if tag == "span":
+                strip = self._is_syntax(attrs)
+                self.span_stack.append(strip)
+                if strip:
+                    return
+            self.out.append(self.get_starttag_text())
+
+        def handle_startendtag(self, tag, attrs):
+            if tag == "span" and self._is_syntax(attrs):
+                return  # self-closing syntax span has no contents to keep
+            self.out.append(self.get_starttag_text())
+
+        def handle_endtag(self, tag):
+            if tag == "span" and self.span_stack:
+                if self.span_stack.pop():
+                    return
+            self.out.append(f"</{tag}>")
+
+        def handle_data(self, data):
+            self.out.append(data)
+
+        def handle_entityref(self, name):
+            self.out.append(f"&{name};")
+
+        def handle_charref(self, name):
+            self.out.append(f"&#{name};")
+
+        def handle_comment(self, data):
+            self.out.append(f"<!--{data}-->")
+
+        def handle_decl(self, decl):
+            self.out.append(f"<!{decl}>")
+
+    p = _Unwrap()
+    p.feed(html)
+    p.close()
+    return "".join(p.out)

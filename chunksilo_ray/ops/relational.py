@@ -246,8 +246,8 @@ def broadcast_inner_join(
             out_order=[*fact.columns(), *dim_cols],
         )
 
-    keys = dim_df[dim_key].to_numpy().astype(np.int64)
-    order = np.argsort(keys)
+    keys = _as_key_array(dim_df[dim_key].to_numpy())
+    order = np.argsort(keys, kind="stable")
     payload = (keys[order], {c: dim_df[c].to_numpy()[order] for c in dim_cols})
     ref = ray.put(payload)
 
@@ -256,7 +256,7 @@ def broadcast_inner_join(
             self.keys, self.cols = ray.get(r)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            nk = t[fact_key].to_numpy(zero_copy_only=False).astype(np.int64)
+            nk = _as_key_array(t[fact_key].to_numpy(zero_copy_only=False))
             pos = np.clip(np.searchsorted(self.keys, nk), 0, len(self.keys) - 1)
             valid = self.keys[pos] == nk
             t = t.filter(pa.array(valid))
@@ -272,8 +272,25 @@ def broadcast_inner_join(
 _JOIN_PARTS = 64
 
 
+def _as_key_array(vals: np.ndarray) -> np.ndarray:
+    """Normalize a join-key column to a searchsorted-comparable dtype:
+    integers stay int64 (exact), everything else becomes a fixed-width
+    unicode array (exact string equality; any consistent total order works
+    for the sorted-lookup join, numpy code-point order included)."""
+    if np.issubdtype(vals.dtype, np.number):
+        return vals.astype(np.int64)
+    return vals.astype("U")
+
+
 def _int_key_part(keys: np.ndarray, parts: int = _JOIN_PARTS) -> pa.Array:
-    h = (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+    """Coarse partition id from a normalized key array (int64 or unicode);
+    string keys hash via pandas' vectorized siphash."""
+    if np.issubdtype(keys.dtype, np.number):
+        h = (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+    else:
+        import pandas as pd
+
+        h = pd.util.hash_array(keys.astype(object), categorize=False)
     return pa.array((h % np.uint64(parts)).astype(np.int64))
 
 
@@ -295,7 +312,7 @@ def _shuffle_inner_join(
     def tag(side: int, key_col: str, present: list[str]):
         def fn(t: pa.Table) -> pa.Table:
             n = t.num_rows
-            keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            keys = _as_key_array(t[key_col].to_numpy(zero_copy_only=False))
             cols: dict[str, pa.Array] = {
                 "__part": _int_key_part(keys),
                 "__key": pa.array(keys),
@@ -317,7 +334,7 @@ def _shuffle_inner_join(
 
     def join_partition(t: pa.Table) -> pa.Table:
         side = t["__side"].to_numpy(zero_copy_only=False)
-        keys = t["__key"].to_numpy(zero_copy_only=False)
+        keys = _as_key_array(t["__key"].to_numpy(zero_copy_only=False))
         dim_idx = np.flatnonzero(side == 0)
         fact_idx = np.flatnonzero(side == 1)
         empty = pa.table({c: pa.array([], type=types[c]) for c in cols_out})
@@ -445,7 +462,7 @@ def _shuffle_anti_join(
     def tag(side: int, key_col: str, present: list[str]):
         def fn(t: pa.Table) -> pa.Table:
             n = t.num_rows
-            keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            keys = _as_key_array(t[key_col].to_numpy(zero_copy_only=False))
             cols: dict[str, pa.Array] = {
                 "__part": _int_key_part(keys),
                 "__key": pa.array(keys),
@@ -465,7 +482,7 @@ def _shuffle_anti_join(
         # vectorized per-partition anti join: left rows whose key is absent
         # from the partition's right-side key set (np.isin, no per-key UDF)
         side = t["__side"].to_numpy(zero_copy_only=False)
-        keys = t["__key"].to_numpy(zero_copy_only=False)
+        keys = _as_key_array(t["__key"].to_numpy(zero_copy_only=False))
         left_idx = np.flatnonzero(side == 0)
         right_keys = np.unique(keys[side == 1])
         keep = left_idx[~np.isin(keys[left_idx], right_keys)]

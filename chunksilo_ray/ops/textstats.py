@@ -233,3 +233,107 @@ def quality_filter(sf_dir: str, min_chars: int = 200, max_symbol_ratio: float = 
         )
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 3) -> Dataset:
+    """Top-k TF-IDF terms per document (tf × ln(N/df), classic unsmoothed
+    form). The pipeline shape a 100-TB corpus needs:
+
+    1. per-batch term counting (one Counter per doc, no cross-doc state);
+    2. document frequency via a distributed groupby over (doc, term) rows;
+    3. df attached back through ``broadcast_inner_join`` — the vocabulary is
+       log-bounded in corpus size, so the broadcast budget (tested shuffle
+       fallback) covers both regimes;
+    4. per-doc top-k over coarse doc-hash partitions, one vectorized
+       pandas sort + cumcount per partition (never one call per doc).
+
+    Scores are rounded to 6 decimals and ORDERED BY THE ROUNDED value (term
+    asc tiebreak), so the ranking is reproducible bit-for-bit against the
+    DuckDB oracle regardless of libm ulp differences."""
+    from collections import Counter
+
+    from ray.data.aggregate import Count as _Count
+
+    from .relational import broadcast_inner_join
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = ds.count()  # parquet metadata count - no execution
+
+    def tf_batch(t: pa.Table) -> pa.Table:
+        od, ot, oc = [], [], []
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for term, c in Counter(_WORD_RE.findall(x.lower())).items():
+                od.append(d)
+                ot.append(term)
+                oc.append(c)
+        return pa.table(
+            {
+                "doc_id": pa.array(od, t["doc_id"].type),
+                "term": pa.array(ot, pa.string()),
+                "tf": pa.array(oc, pa.int64()),
+            }
+        )
+
+    tf = ds.map_batches(
+        tf_batch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).materialize()
+    df_pd = tf.groupby("term").aggregate(_Count(alias_name="df")).to_pandas()
+    joined = broadcast_inner_join(tf, "term", df_pd, "term", ["df"])
+
+    def score_part(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tfv = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        score = np.round(tfv * np.log(float(n_docs) / dfv), 6)
+        out = t.select([c for c in ("doc_id", "term", "tf", "df") if c in t.column_names])
+        out = out.append_column("score", pa.array(score, pa.float64()))
+        return out.append_column("__part", pa.array(doc % 64, pa.int64()))
+
+    scored = joined.map_batches(
+        score_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+    def topk_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["doc_id", "score", "term"], ascending=[True, False, True], kind="mergesort"
+        )
+        g = g[g.groupby("doc_id").cumcount() < k]
+        return g[["doc_id", "term", "tf", "df", "score"]]
+
+    import pandas as pd  # noqa: F811 - local for the pandas-format stage
+
+    return scored.groupby("__part").map_groups(topk_partition, batch_format="pandas")
+
+
+def cap_docs_per_lang(sf_dir: str, cap: int = 50) -> Dataset:
+    """Deterministic per-group downsampling cap: keep at most ``cap`` docs
+    per language, chosen by md5(doc_id) order (rerun-stable, no RNG state) —
+    the domain-balancing primitive of a pretraining mix. Per-batch partial
+    capping bounds the exchange at cap rows per (lang, batch); the final
+    per-lang cap is one vectorized sort + cumcount per group (group count =
+    language count, so map_groups' per-group Python call is fine here)."""
+    import hashlib
+
+    import pandas as pd
+
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        g["__h"] = [
+            hashlib.md5(str(d).encode("utf-8")).hexdigest() for d in g["doc_id"]
+        ]
+        g = g.sort_values(["lang", "__h", "doc_id"], kind="mergesort")
+        g = g[g.groupby("lang").cumcount() < cap]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lang", "__h", "doc_id"], kind="mergesort")
+        g = g[g.groupby("lang").cumcount() < cap]
+        return g[["doc_id", "lang"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby("lang")
+        .map_groups(final, batch_format="pandas")
+    )

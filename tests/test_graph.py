@@ -76,3 +76,55 @@ def test_random_graph_matches_union_find():
 @pytest.mark.usefixtures("ray_session")
 def test_empty_edges():
     assert _run([]) == {}
+
+
+def _pagerank_oracle(edges, n_iter=5, damping=0.85):
+    """Dense numpy power iteration on the symmetrized graph, ×N scale."""
+    nodes = sorted({x for e in edges for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    adj = np.zeros((n, n))
+    for a, b in edges:
+        adj[idx[a], idx[b]] = 1.0
+        adj[idx[b], idx[a]] = 1.0
+    deg = adj.sum(axis=1)
+    pr = np.ones(n)
+    for _ in range(n_iter):
+        pr = (1 - damping) + damping * adj.T @ (pr / deg)
+    return {nd: pr[idx[nd]] for nd in nodes}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_matches_dense_power_iteration():
+    from chunksilo_ray.ops.graph import pagerank
+
+    rng = np.random.default_rng(11)
+    # canonicalize a<b: the operator treats each input row as one undirected
+    # edge (parallel edges add degree), the dense oracle uses 0/1 adjacency
+    edges = sorted(
+        {(min(int(a), int(b)), max(int(a), int(b)))
+         for a, b in rng.integers(0, 60, size=(150, 2)) if a != b}
+    )
+    t = pa.table(
+        {
+            "a": pa.array([a for a, _ in edges], pa.int64()),
+            "b": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    rows = pagerank(rd.from_arrow(t)).take_all()
+    got = {r["node"]: r["pr"] for r in rows}
+    exp = _pagerank_oracle(edges)
+    assert set(got) == set(exp)
+    for nd in exp:
+        assert abs(got[nd] - exp[nd]) < 1e-9, nd
+    # a hub (max-degree node) outranks the mean
+    hub = max(exp, key=lambda nd: sum(1 for e in edges if nd in e))
+    assert got[hub] > 1.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_empty_edges():
+    from chunksilo_ray.ops.graph import pagerank
+
+    t = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    assert pagerank(rd.from_arrow(t)).take_all() == []

@@ -106,3 +106,26 @@ class TestDates:
 class TestStopwords:
     def test_filter(self):
         assert tu.filter_stopwords(["the", "database", "a", "ok", "x"]) == ["database"]
+
+
+def test_clean_syntax_spans_unwraps_highlight_spans_only():
+    from chunksilo_ray.functions.textutils import clean_syntax_spans
+
+    h = (
+        '<p><span style="color: #d63384">def</span> '
+        '<span class="kw">foo</span>'
+        '<span class="code-line">bar</span>&amp;</p>'
+    )
+    # color-style and code-class spans unwrap; the plain-class span stays
+    assert clean_syntax_spans(h) == '<p>def <span class="kw">foo</span>bar&amp;</p>'
+
+
+def test_clean_syntax_spans_nested_and_empty():
+    from chunksilo_ray.functions.textutils import clean_syntax_spans
+
+    assert clean_syntax_spans("") == ""
+    nested = '<span style="background:#fff"><span class="codehilite">x</span></span>'
+    assert clean_syntax_spans(nested) == "x"
+    # non-span markup passes through byte-identical, comments included
+    keep = '<div id="a"><!-- c --><b>t</b></div>'
+    assert clean_syntax_spans(keep) == keep
