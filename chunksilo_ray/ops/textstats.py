@@ -239,9 +239,14 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> Dataset:
     """Top-k TF-IDF terms per document (tf × ln(N/df), classic unsmoothed
     form). The pipeline shape a 100-TB corpus needs:
 
-    1. per-batch term counting (one Counter per doc, no cross-doc state);
-    2. document frequency via a distributed groupby over (doc, term) rows;
-    3. df attached back through ``broadcast_inner_join`` — the vocabulary is
+    1. document frequency first, as a per-batch PARTIAL: a doc lives wholly
+       in one batch, so per-batch distinct-term counts sum exactly to df —
+       the exchange moves one row per distinct term per block, never the
+       (doc, term) explode, and nothing is pinned mid-pipeline;
+    2. a second streaming pass re-tokenizes and emits (doc, term, tf) rows
+       (recompute beats materializing the explode: the token scan is cheap,
+       the pinned table at corpus scale is not);
+    3. df attached through ``broadcast_inner_join`` — the vocabulary is
        log-bounded in corpus size, so the broadcast budget (tested shuffle
        fallback) covers both regimes;
     4. per-doc top-k over coarse doc-hash partitions, one vectorized
@@ -252,12 +257,30 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> Dataset:
     DuckDB oracle regardless of libm ulp differences."""
     from collections import Counter
 
-    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Sum as _Sum
 
     from .relational import broadcast_inner_join
 
     ds = _docs(sf_dir, ["doc_id", "text"])
     n_docs = ds.count()  # parquet metadata count - no execution
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for x in t["text"].to_pylist():
+            cnt.update(set(_WORD_RE.findall(x.lower())))
+        return pa.table(
+            {
+                "term": pa.array(list(cnt.keys()), pa.string()),
+                "df": pa.array(list(cnt.values()), pa.int64()),
+            }
+        )
+
+    df_pd = (
+        ds.map_batches(df_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(_Sum("df", alias_name="df"))
+        .to_pandas()
+    )
 
     def tf_batch(t: pa.Table) -> pa.Table:
         od, ot, oc = [], [], []
@@ -276,8 +299,7 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> Dataset:
 
     tf = ds.map_batches(
         tf_batch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-    ).materialize()
-    df_pd = tf.groupby("term").aggregate(_Count(alias_name="df")).to_pandas()
+    )
     joined = broadcast_inner_join(tf, "term", df_pd, "term", ["df"])
 
     def score_part(t: pa.Table) -> pa.Table:

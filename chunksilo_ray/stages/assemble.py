@@ -200,7 +200,11 @@ def _assemble_sort(turns: Dataset) -> Dataset:
 # budget (offsets table no longer "small side"), fall back to the sort.
 
 _OFFSET_PARTS = 64
-_OFF_INDEX_CACHE: dict[str, tuple] = {}  # ref.hex -> (pd.Index, starts, n_turns)
+# ref.hex -> (unique-conv pd.Index, sorted int64 keys, starts, n_turns).
+# Only the UNIQUE-CONVERSATION dictionary is indexed per worker (≈ turns/10
+# entries); the per-turn side stays numeric numpy shipped pre-sorted by the
+# driver — per-worker setup is O(#convs) strings, never O(#turns).
+_OFF_INDEX_CACHE: dict[str, tuple] = {}
 
 
 def _lengths_batch(t: pa.Table) -> pa.Table:
@@ -249,13 +253,14 @@ def _offsets_part(t: pa.Table) -> pa.Table:
     )
 
 
-def _offset_keys(conv: pa.Array | pa.ChunkedArray, turn) -> np.ndarray:
-    ks = pc.binary_join_element_wise(
-        pc.cast(conv, pa.string()), pc.cast(turn, pa.string()), "\x1f"
-    )
-    if isinstance(ks, pa.ChunkedArray):
-        ks = ks.combine_chunks()
-    return ks.to_numpy(zero_copy_only=False)
+_TURN_MASK = np.int64(0xFFFFFFFF)
+
+
+def _compound_keys(codes: np.ndarray, turn) -> np.ndarray:
+    """(conv code, turn_idx) -> one exact int64 key: code << 32 | turn.
+    turn_idx is int32 per the input contract, so the low 32 bits are exact."""
+    t = np.asarray(turn, dtype=np.int64)
+    return (codes.astype(np.int64) << np.int64(32)) | (t & _TURN_MASK)
 
 
 def _attach_fn(off_ref):
@@ -269,18 +274,25 @@ def _attach_fn(off_ref):
         if cached is None:
             if len(_OFF_INDEX_CACHE) > 2:
                 _OFF_INDEX_CACHE.clear()
-            off: pa.Table = cached_get(off_ref)
-            idx = pd.Index(_offset_keys(off["conv_id"], off["turn_idx"]))
-            cached = (
-                idx,
-                off["turn_char_start"].to_numpy(zero_copy_only=False),
-                off["conv_n_turns"].to_numpy(zero_copy_only=False),
-            )
+            dico, skey, tcs, n_turns = cached_get(off_ref)
+            conv_index = pd.Index(dico.to_numpy(zero_copy_only=False))
+            cached = (conv_index, skey, tcs, n_turns)
             _OFF_INDEX_CACHE[key] = cached
-        idx, tcs, n_turns = cached
-        pos = idx.get_indexer(_offset_keys(t["conv_id"], t["turn_idx"]))
+        conv_index, skey, tcs, n_turns = cached
+        # resolve only the batch's UNIQUE conv ids against the index, then
+        # fan the codes back out over the batch's dictionary indices
+        benc = pc.dictionary_encode(t["conv_id"].combine_chunks())
+        uniq_codes = conv_index.get_indexer(
+            benc.dictionary.to_numpy(zero_copy_only=False)
+        )
         # offsets derive from the same input scan — every key must resolve
-        if len(pos) and pos.min() < 0:
+        if len(uniq_codes) and uniq_codes.min() < 0:
+            raise ValueError("assembly offset lookup miss — input changed mid-run")
+        codes = uniq_codes[benc.indices.to_numpy(zero_copy_only=False)]
+        bkey = _compound_keys(codes, t["turn_idx"].to_numpy(zero_copy_only=False))
+        pos = np.searchsorted(skey, bkey)
+        pos = np.clip(pos, 0, max(len(skey) - 1, 0))
+        if len(bkey) and (len(skey) == 0 or not np.array_equal(skey[pos], bkey)):
             raise ValueError("assembly offset lookup miss — input changed mid-run")
         role_len = pc.utf8_length(t["role"]).to_numpy(zero_copy_only=False).astype(np.int64)
         out = t.append_column("conv_n_turns", pa.array(n_turns[pos].astype(np.int32)))
@@ -302,8 +314,12 @@ def _assemble_broadcast(turns: Dataset) -> Dataset:
         .groupby("__part")
         .map_groups(_offsets_part, batch_format="pyarrow")
     )
-    off_tbl = pa.Table.from_pylist(offsets.take_all())
-    if off_tbl.num_rows == 0:
+    # Arrow-refs concat: the offset table reaches the driver as Arrow blocks,
+    # never as Python row dicts
+    blocks = [b for b in ray.get(offsets.to_arrow_refs()) if b.num_rows]
+    if blocks:
+        off_tbl = pa.concat_tables(blocks)
+    else:
         off_tbl = pa.table(
             {
                 "conv_id": pa.array([], pa.string()),
@@ -312,7 +328,21 @@ def _assemble_broadcast(turns: Dataset) -> Dataset:
                 "turn_char_start": pa.array([], pa.int64()),
             }
         )
-    off_ref = ray.put(off_tbl)
+    # dictionary-encode conv_id ONCE on the driver; ship (unique convs,
+    # pre-sorted compound int64 keys, numpy payload columns). Workers never
+    # rebuild a per-turn string index — only the unique-conv dictionary.
+    enc = pc.dictionary_encode(off_tbl["conv_id"].combine_chunks())
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    key = _compound_keys(codes, off_tbl["turn_idx"].to_numpy(zero_copy_only=False))
+    order = np.argsort(key, kind="stable")
+    off_ref = ray.put(
+        (
+            enc.dictionary,
+            key[order],
+            off_tbl["turn_char_start"].to_numpy(zero_copy_only=False)[order],
+            off_tbl["conv_n_turns"].to_numpy(zero_copy_only=False)[order],
+        )
+    )
     return turns.map_batches(
         _attach_fn(off_ref), batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
