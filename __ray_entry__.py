@@ -205,6 +205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "high_value_projection": relational.high_value_projection,
         "tfidf_top_terms": textstats.tfidf_top_terms,
         "cap_docs_per_lang": textstats.cap_docs_per_lang,
+        # CMS-pruned EXACT heavy hitters (sketch filters, groupby verifies)
+        "heavy_hitter_users": sketches.heavy_hitter_users,
         # --- intentionally LAST: the genuinely-approximate / non-SQL trio
         # (each carries a named pytest gate instead of a DuckDB oracle; in
         # round 2 the correctness gate evaluated exactly 50 of 51 registered
@@ -636,6 +638,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
                    score
             FROM ranked WHERE rn <= 3
+        """,
+        # exact despite the sketch: CMS never underestimates, so the
+        # candidate filter keeps every true heavy hitter and the final
+        # groupby + HAVING recomputes exact counts
+        "heavy_hitter_users": """
+            SELECT user_id, COUNT(*) AS n FROM events
+            GROUP BY user_id HAVING COUNT(*) >= 75
         """,
         "cap_docs_per_lang": """
             WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hh

@@ -123,3 +123,88 @@ def approx_distinct_users(sf_dir: str) -> pa.Table:
         for blob in b["registers"].to_pylist():
             np.maximum(merged, np.frombuffer(blob, dtype=np.uint8), out=merged)
     return pa.table({"approx_distinct": pa.array([int(round(_hll_estimate(merged)))], pa.int64())})
+
+
+# -- CMS-guided exact heavy hitters ------------------------------------------
+# Count-min sketch as a PRUNING filter, not as the answer: pass 1 merges one
+# additive d x w int64 sketch per block (fixed 512 KB regardless of corpus
+# size); pass 2 broadcasts the merged sketch and lets only rows whose CMS
+# estimate clears the threshold enter the exact groupby. CMS never
+# underestimates, so no true heavy hitter is pruned — the output is EXACT
+# (SQL-oracled via HAVING COUNT(*) >= T) while the final exchange carries
+# only candidate users' partial counts instead of the full key space.
+_CMS_D, _CMS_W = 4, 1 << 14
+_CMS_SEEDS = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
+    dtype=np.uint64,
+)
+
+
+def _cms_rows(vals: np.ndarray) -> np.ndarray:
+    """(d, n) bucket indices for int64 keys under d seeded mix64 hashes."""
+    v = vals.astype(np.uint64)
+    return np.stack(
+        [_mix64(v ^ s) % np.uint64(_CMS_W) for s in _CMS_SEEDS]
+    ).astype(np.int64)
+
+
+def heavy_hitter_users(sf_dir: str, threshold: int = 75) -> Dataset:
+    """Users with >= ``threshold`` events, with EXACT counts."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, ["user_id"])
+
+    def sketch(t: pa.Table) -> pa.Table:
+        vals = t["user_id"].to_numpy(zero_copy_only=False)
+        rows = _cms_rows(vals)
+        m = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+        for r in range(_CMS_D):
+            m[r] = np.bincount(rows[r], minlength=_CMS_W)
+        return pa.table({"cms": pa.array([m.tobytes()], pa.binary())})
+
+    merged = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+    for b in ds.map_batches(
+        sketch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        for blob in b["cms"].to_pylist():
+            merged += np.frombuffer(blob, dtype=np.int64).reshape(_CMS_D, _CMS_W)
+    cms_ref = ray.put(merged)
+
+    def candidates(t: pa.Table) -> pa.Table:
+        from ..util import cached_get
+
+        m = cached_get(cms_ref)
+        vals = t["user_id"].to_numpy(zero_copy_only=False)
+        uniq, inv, cnt = np.unique(vals, return_inverse=True, return_counts=True)
+        if not len(uniq):
+            return pa.table(
+                {"user_id": pa.array([], t["user_id"].type),
+                 "n": pa.array([], pa.int64())}
+            )
+        rows = _cms_rows(uniq)
+        est = m[np.arange(_CMS_D)[:, None], rows].min(axis=0)
+        keep = est >= threshold  # no false negatives: est >= true count
+        return pa.table(
+            {
+                "user_id": pa.array(uniq[keep], t["user_id"].type),
+                "n": pa.array(cnt[keep], pa.int64()),
+            }
+        )
+
+    def final_filter(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.greater_equal(t["n"], pa.scalar(threshold)))
+        return t.set_column(
+            t.column_names.index("n"), "n", pc.cast(t["n"], pa.int64())
+        )
+
+    return (
+        ds.map_batches(
+            candidates, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+        .groupby("user_id")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(final_filter, batch_format="pyarrow", batch_size=None)
+    )

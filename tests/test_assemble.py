@@ -167,3 +167,40 @@ def test_fragment_stitching_under_tiny_blocks():
         for r in conv_rows:
             assert r["conv_n_turns"] == n, (conv_id, r["turn_idx"])
             assert r["doc_char_start"] == ref[r["turn_idx"]], (conv_id, r["turn_idx"])
+
+
+def test_broadcast_attach_boundary_keys():
+    """Compound-key attach edge cases: conv ids that are prefixes of each
+    other and turn_idx values up to int32 max must resolve exactly (the
+    key packs conv code << 32 | turn — the full int32 range must survive)."""
+    big = 2**31 - 1
+    rows = []
+    for conv in ["c", "c1", "c11"]:
+        for turn in [0, 1, big - 1, big]:
+            rows.append((conv, turn, "user", f"t-{conv}-{turn}"))
+    t = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows]),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows]),
+            "text": pa.array([r[3] for r in rows]),
+            "tool": pa.array([""] * len(rows)),
+            "ts": pa.array([0] * len(rows), pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(t)
+    out = assemble_dialogues(ds).take_all()          # broadcast path
+    ref = assemble_dialogues(ds, broadcast_limit=0).take_all()  # sort path
+    key = lambda r: (r["conv_id"], r["turn_idx"])  # noqa: E731
+    a = {key(r): (r["doc_char_start"], r["conv_n_turns"]) for r in out}
+    b = {key(r): (r["doc_char_start"], r["conv_n_turns"]) for r in ref}
+    assert a == b and len(a) == len(rows)
+    # per-conv offsets agree with the single-process reference
+    for conv in ["c", "c1", "c11"]:
+        sub = [r for r in rows if r[0] == conv]
+        exp = _reference_offsets(
+            [{"turn_idx": r[1], "role": r[2], "text": r[3]} for r in sub]
+        )
+        for r in out:
+            if r["conv_id"] == conv:
+                assert r["doc_char_start"] == exp[r["turn_idx"]]

@@ -93,3 +93,33 @@ def test_string_key_join_both_paths_agree():
     rows_b, rows_s = sorted(map(key, b.take_all())), sorted(map(key, s.take_all()))
     assert rows_b == rows_s
     assert len(rows_b) == 3  # zz-missing dropped on both paths
+
+
+def test_heavy_hitter_users_matches_duckdb():
+    import __ray_entry__ as E
+    from chunksilo_ray.ops.sketches import heavy_hitter_users
+
+    got = _as_df(heavy_hitter_users(SF).to_pandas())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    exp = con.execute(E.oracle_sql()["heavy_hitter_users"]).fetchdf()
+    assert len(got) > 0  # threshold 75 binds at sf0.001 (p90 ~ 78 events/user)
+    _assert_value_match(got, exp)
+
+
+def test_heavy_hitter_cms_prunes_but_never_drops():
+    """With an adversarially tiny threshold the CMS keeps everyone (exact
+    = plain groupby); sanity that the sketch path composes with exactness."""
+    from chunksilo_ray.ops.sketches import heavy_hitter_users
+
+    got = _as_df(heavy_hitter_users(SF, threshold=1).to_pandas())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    exp = con.execute(
+        "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id"
+    ).fetchdf()
+    _assert_value_match(got, exp)
