@@ -207,6 +207,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_docs_per_lang": textstats.cap_docs_per_lang,
         # CMS-pruned EXACT heavy hitters (sketch filters, groupby verifies)
         "heavy_hitter_users": sketches.heavy_hitter_users,
+        # LEFT OUTER join (null-producing filtered dim) + rollup + LAG window
+        "orders_left_rich_segment": relational.orders_left_rich_segment,
+        "rollup_orders": relational.rollup_orders_by_year_priority,
+        "lag_delta_per_user": window.lag_delta_per_user,
         # --- intentionally LAST: the genuinely-approximate / non-SQL trio
         # (each carries a named pytest gate instead of a DuckDB oracle; in
         # round 2 the correctness gate evaluated exactly 50 of 51 registered
@@ -645,6 +649,30 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitter_users": """
             SELECT user_id, COUNT(*) AS n FROM events
             GROUP BY user_id HAVING COUNT(*) >= 75
+        """,
+        "orders_left_rich_segment": """
+            SELECT c.c_mktsegment AS segment, COUNT(*) AS n_orders,
+                   ROUND(SUM(o.o_totalprice), 4) AS segment_revenue
+            FROM orders o LEFT JOIN
+                 (SELECT c_custkey, c_mktsegment FROM customer
+                  WHERE c_acctbal > 5000) c
+              ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        """,
+        "rollup_orders": """
+            WITH o AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+                              o_orderpriority, o_totalprice FROM orders)
+            SELECT order_year, o_orderpriority,
+                   ROUND(SUM(o_totalprice), 2) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM o GROUP BY ROLLUP(order_year, o_orderpriority)
+        """,
+        "lag_delta_per_user": """
+            SELECT event_id, user_id,
+                   ROUND(LAG(value) OVER w, 4) AS prev_value,
+                   ROUND(value - LAG(value) OVER w, 4) AS delta
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "cap_docs_per_lang": """
             WITH h AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hh

@@ -269,6 +269,57 @@ def broadcast_inner_join(
                             batch_format="pyarrow", batch_size=None, concurrency=(1, 4))
 
 
+def broadcast_left_join(
+    fact: Dataset,
+    fact_key: str,
+    dim_df,
+    dim_key: str,
+    dim_cols: list[str],
+    broadcast_limit: int = BROADCAST_ROW_LIMIT,
+) -> Dataset:
+    """LEFT OUTER join of a fact Dataset against a dimension pandas frame:
+    every fact row survives; dim columns are typed nulls where the key has
+    no dimension row. Same two-regime shape as ``broadcast_inner_join``
+    (ship-once broadcast lookup below the budget, tagged-union co-groupby
+    shuffle above it) with identical schemas on both paths."""
+    dim_types = {c: _as_arrow_type(dim_df[c].to_numpy().dtype) for c in dim_cols}
+    if len(dim_df) > broadcast_limit:
+        fact_cols = [c for c in fact.columns() if c != fact_key]
+        dim_ds = rd.from_pandas(dim_df[[dim_key, *dim_cols]])
+        return _shuffle_left_join(
+            fact, fact_key, fact_cols, dim_ds, dim_key, dim_cols,
+            out_order=[*fact.columns(), *dim_cols],
+        )
+
+    keys = _as_key_array(dim_df[dim_key].to_numpy())
+    order = np.argsort(keys, kind="stable")
+    payload = (keys[order], {c: dim_df[c].to_numpy()[order] for c in dim_cols})
+    ref = ray.put(payload)
+
+    class LJoin:
+        def __init__(self, r):
+            self.keys, self.cols = ray.get(r)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            nk = _as_key_array(t[fact_key].to_numpy(zero_copy_only=False))
+            pos = np.clip(np.searchsorted(self.keys, nk), 0, max(len(self.keys) - 1, 0))
+            valid = (self.keys[pos] == nk) if len(self.keys) else np.zeros(len(nk), bool)
+            mask = pa.array(valid)
+            for name, vals in self.cols.items():
+                typ = dim_types[name]
+                if len(self.keys):
+                    col = pc.if_else(
+                        mask, pa.array(vals[pos].tolist(), typ), pa.scalar(None, typ)
+                    )
+                else:
+                    col = pa.nulls(t.num_rows, type=typ)
+                t = t.append_column(name, col)
+            return t
+
+    return fact.map_batches(LJoin, fn_constructor_args=(ref,),
+                            batch_format="pyarrow", batch_size=None, concurrency=(1, 4))
+
+
 _JOIN_PARTS = 64
 
 
@@ -359,6 +410,87 @@ def _shuffle_inner_join(
                     f["__key"].cast(types[fact_key])
                     if c == fact_key
                     else (d[c] if c in dim_cols else f[c])
+                )
+                for c in cols_out
+            }
+        )
+
+    return tagged.groupby("__part").map_groups(join_partition, batch_format="pyarrow")
+
+
+def _shuffle_left_join(
+    fact: Dataset, fact_key: str, fact_cols: list[str],
+    dim: Dataset, dim_key: str, dim_cols: list[str],
+    out_order: list[str] | None = None,
+) -> Dataset:
+    """Hash-partition LEFT OUTER join — same tagged-union exchange as
+    ``_shuffle_inner_join``; unmatched fact rows survive with typed-null
+    dim columns."""
+    types: dict[str, pa.DataType] = {}
+    for sch in (fact.schema(), dim.schema()):
+        for name, typ in zip(sch.names, sch.types):
+            types.setdefault(name, _as_arrow_type(typ))
+
+    def tag(side: int, key_col: str, present: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            keys = _as_key_array(t[key_col].to_numpy(zero_copy_only=False))
+            cols: dict[str, pa.Array] = {
+                "__part": _int_key_part(keys),
+                "__key": pa.array(keys),
+                "__side": pa.array(np.full(n, side, dtype=np.int8)),
+            }
+            for c in fact_cols + dim_cols:
+                cols[c] = t[c] if c in present else pa.nulls(n, type=types[c])
+            return pa.table(cols)
+
+        return fn
+
+    tagged = fact.map_batches(
+        tag(1, fact_key, fact_cols), batch_format="pyarrow", batch_size=None
+    ).union(dim.map_batches(tag(0, dim_key, dim_cols), batch_format="pyarrow", batch_size=None))
+
+    cols_out = out_order or [fact_key, *fact_cols, *dim_cols]
+
+    def join_partition(t: pa.Table) -> pa.Table:
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        keys = _as_key_array(t["__key"].to_numpy(zero_copy_only=False))
+        dim_idx = np.flatnonzero(side == 0)
+        fact_idx = np.flatnonzero(side == 1)
+        if fact_idx.size == 0:
+            return pa.table({c: pa.array([], type=types[c]) for c in cols_out})
+        if dim_idx.size == 0:
+            f = t.take(pa.array(fact_idx))
+            return pa.table(
+                {
+                    c: (
+                        f["__key"].cast(types[fact_key])
+                        if c == fact_key
+                        else (pa.nulls(f.num_rows, type=types[c]) if c in dim_cols else f[c])
+                    )
+                    for c in cols_out
+                }
+            )
+        dkeys = keys[dim_idx]
+        order = np.argsort(dkeys, kind="stable")  # first dim row per key wins
+        dkeys_sorted = dkeys[order]
+        fkeys = keys[fact_idx]
+        pos = np.searchsorted(dkeys_sorted, fkeys)
+        pos_c = np.clip(pos, 0, len(dkeys_sorted) - 1)
+        valid = dkeys_sorted[pos_c] == fkeys
+        f = t.take(pa.array(fact_idx))
+        d = t.take(pa.array(dim_idx[order[pos_c]]))
+        vmask = pa.array(valid)
+        return pa.table(
+            {
+                c: (
+                    f["__key"].cast(types[fact_key])
+                    if c == fact_key
+                    else (
+                        pc.if_else(vmask, d[c].combine_chunks(), pa.scalar(None, d[c].type))
+                        if c in dim_cols
+                        else f[c]
+                    )
                 )
                 for c in cols_out
             }
@@ -563,3 +695,93 @@ def recent_events_boosted(sf_dir: str, k: int = 20) -> Dataset:
     return ds.map_batches(boost, batch_format="pyarrow", batch_size=None, zero_copy_batch=True).sort(
         "boosted_score", descending=True
     ).limit(k)
+
+
+def orders_left_rich_segment(
+    sf_dir: str, broadcast_limit: int = BROADCAST_ROW_LIMIT, min_acctbal: float = 5000.0
+) -> Dataset:
+    """LEFT join of orders against only the high-balance customers, then
+    revenue per segment — orders whose customer falls below the balance cut
+    land in the NULL-segment bucket (exercises outer-join null semantics
+    end to end; shuffle fallback past the broadcast budget). The null
+    segment rides the exchange as a sentinel string and is restored to a
+    real null afterward, so the groupby never sees a null key."""
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"]).to_pandas()
+    rich = cust[cust["c_acctbal"] > min_acctbal][["c_custkey", "c_mktsegment"]]
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = broadcast_left_join(
+        orders, "o_custkey", rich, "c_custkey", ["c_mktsegment"], broadcast_limit
+    )
+
+    _SENTINEL = "\x00none"
+
+    def partial(t: pa.Table) -> pa.Table:
+        seg = pc.fill_null(pc.cast(t["c_mktsegment"], pa.string()), _SENTINEL)
+        t = t.set_column(t.column_names.index("c_mktsegment"), "c_mktsegment", seg)
+        g = t.group_by("c_mktsegment", use_threads=False).aggregate(
+            [("o_totalprice", "sum"), ("o_totalprice", "count")]
+        )
+        return g.rename_columns(["c_mktsegment", "rev", "n"])
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby("c_mktsegment")
+        .aggregate(Sum("rev", alias_name="segment_revenue"), Sum("n", alias_name="n_orders"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        seg = pc.cast(t["c_mktsegment"], pa.string())
+        seg = pc.if_else(pc.equal(seg, _SENTINEL), pa.scalar(None, pa.string()), seg)
+        out = pa.table(
+            {
+                "segment": seg,
+                "n_orders": pc.cast(t["n_orders"], pa.int64()),
+                "segment_revenue": t["segment_revenue"],
+            }
+        )
+        return out
+
+    agg = agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+    return round_columns(agg, ["segment_revenue"])
+
+
+def rollup_orders_by_year_priority(sf_dir: str) -> Dataset:
+    """GROUP BY ROLLUP(order_year, o_orderpriority): ONE distributed groupby
+    at the finest level (with per-batch partial combine), then the coarser
+    rollup levels re-aggregate the finest RESULT — a table bounded by
+    |years| x |priorities|, so the fact table is scanned exactly once and
+    the hierarchical re-agg is driver-trivial by construction."""
+    orders = _pq(sf_dir, "orders", ["o_orderdate", "o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.append_column(
+            "order_year", pc.cast(pc.year(t["o_orderdate"]), pa.int64())
+        )
+        g = t.group_by(["order_year", "o_orderpriority"], use_threads=False).aggregate(
+            [("o_totalprice", "sum"), ("o_totalprice", "count")]
+        )
+        return g.rename_columns(["order_year", "o_orderpriority", "rev", "n"])
+
+    finest = (
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby(["order_year", "o_orderpriority"])
+        .aggregate(Sum("rev", alias_name="rev"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    import pandas as pd
+
+    lvl0 = finest.rename(columns={})
+    lvl1 = (
+        finest.groupby("order_year", as_index=False)[["rev", "n"]].sum()
+    )
+    lvl1["o_orderpriority"] = None
+    lvl2 = pd.DataFrame(
+        {"order_year": [None], "o_orderpriority": [None],
+         "rev": [finest["rev"].sum()], "n": [finest["n"].sum()]}
+    )
+    out = pd.concat([lvl0, lvl1, lvl2], ignore_index=True)[
+        ["order_year", "o_orderpriority", "rev", "n"]
+    ]
+    out["revenue"] = out.pop("rev").round(2)
+    out["n_orders"] = out.pop("n").astype("int64")
+    return rd.from_pandas(out)

@@ -136,3 +136,23 @@ def rolling_daily_per_user(sf_dir: str) -> Dataset:
     return _user_partitioned(ds).groupby("__part").map_groups(
         running_partition, batch_format="pandas"
     )
+
+
+def lag_delta_per_user(sf_dir: str) -> Dataset:
+    """Per-user LAG window: each event's previous value and value delta in
+    (ts, event_id) order; a user's first event gets NULL prev/delta. Same
+    coarse-user-partition machinery as the other windows (one vectorized
+    shift per partition, never one Python call per user); oracle =
+    LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)."""
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def lag_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = g.groupby("user_id")["value"].shift(1)
+        g["prev_value"] = prev.round(4)
+        g["delta"] = (g["value"] - prev).round(4)
+        return g[["event_id", "user_id", "prev_value", "delta"]]
+
+    return _user_partitioned(ds).groupby("__part").map_groups(
+        lag_partition, batch_format="pandas"
+    )

@@ -123,3 +123,46 @@ def test_heavy_hitter_cms_prunes_but_never_drops():
         "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id"
     ).fetchdf()
     _assert_value_match(got, exp)
+
+
+def _oracle_t(sql: str, tables: tuple[str, ...]) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con.execute(sql).fetchdf()
+
+
+def test_orders_left_rich_segment_matches_duckdb_both_paths():
+    """LEFT join null bucket: broadcast path and shuffle fallback must both
+    match the SQL LEFT JOIN (incl. the NULL-segment row)."""
+    import __ray_entry__ as E
+    from chunksilo_ray.ops.relational import orders_left_rich_segment
+
+    exp = _oracle_t(E.oracle_sql()["orders_left_rich_segment"], ("orders", "customer"))
+    assert exp["segment"].isna().any()  # the filter actually produces nulls
+    for limit in (None, 0):  # None = broadcast, 0 = forced shuffle fallback
+        kw = {} if limit is None else {"broadcast_limit": 0}
+        got = _as_df(orders_left_rich_segment(SF, **kw).to_pandas())
+        _assert_value_match(got, exp)
+
+
+def test_rollup_orders_matches_duckdb():
+    import __ray_entry__ as E
+    from chunksilo_ray.ops.relational import rollup_orders_by_year_priority
+
+    got = _as_df(rollup_orders_by_year_priority(SF).to_pandas())
+    exp = _oracle_t(E.oracle_sql()["rollup_orders"], ("orders",))
+    # all three rollup levels present: finest, per-year, grand total
+    assert got["o_orderpriority"].isna().sum() > 1
+    assert got["order_year"].isna().sum() == 1
+    _assert_value_match(got, exp)
+
+
+def test_lag_delta_per_user_matches_duckdb():
+    import __ray_entry__ as E
+    from chunksilo_ray.ops.window import lag_delta_per_user
+
+    got = _as_df(lag_delta_per_user(SF).to_pandas())
+    exp = _oracle_t(E.oracle_sql()["lag_delta_per_user"], ("events",))
+    assert got["prev_value"].isna().sum() > 0  # first event per user
+    _assert_value_match(got, exp)
