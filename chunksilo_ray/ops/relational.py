@@ -251,22 +251,24 @@ def broadcast_inner_join(
     payload = (keys[order], {c: dim_df[c].to_numpy()[order] for c in dim_cols})
     ref = ray.put(payload)
 
-    class BJoin:
-        def __init__(self, r):
-            self.keys, self.cols = ray.get(r)
+    def bjoin(t: pa.Table) -> pa.Table:
+        # stateless task + worker-global broadcast cache: no actor-pool
+        # spin-up on the critical path (see util.cached_get)
+        from ..util import cached_get
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            nk = _as_key_array(t[fact_key].to_numpy(zero_copy_only=False))
-            pos = np.clip(np.searchsorted(self.keys, nk), 0, len(self.keys) - 1)
-            valid = self.keys[pos] == nk
-            t = t.filter(pa.array(valid))
-            hit = pos[valid]
-            for name, vals in self.cols.items():
-                t = t.append_column(name, pa.array(vals[hit].tolist()))
-            return t
+        skeys, cols = cached_get(ref)
+        if not len(skeys):  # empty dim -> inner join drops every fact row
+            t = t.slice(0, 0)
+        nk = _as_key_array(t[fact_key].to_numpy(zero_copy_only=False))
+        pos = np.clip(np.searchsorted(skeys, nk), 0, max(len(skeys) - 1, 0))
+        valid = skeys[pos] == nk
+        t = t.filter(pa.array(valid))
+        hit = pos[valid]
+        for name, vals in cols.items():
+            t = t.append_column(name, pa.array(vals[hit].tolist()))
+        return t
 
-    return fact.map_batches(BJoin, fn_constructor_args=(ref,),
-                            batch_format="pyarrow", batch_size=None, concurrency=(1, 4))
+    return fact.map_batches(bjoin, batch_format="pyarrow", batch_size=None)
 
 
 def broadcast_left_join(
@@ -296,28 +298,26 @@ def broadcast_left_join(
     payload = (keys[order], {c: dim_df[c].to_numpy()[order] for c in dim_cols})
     ref = ray.put(payload)
 
-    class LJoin:
-        def __init__(self, r):
-            self.keys, self.cols = ray.get(r)
+    def ljoin(t: pa.Table) -> pa.Table:
+        from ..util import cached_get
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            nk = _as_key_array(t[fact_key].to_numpy(zero_copy_only=False))
-            pos = np.clip(np.searchsorted(self.keys, nk), 0, max(len(self.keys) - 1, 0))
-            valid = (self.keys[pos] == nk) if len(self.keys) else np.zeros(len(nk), bool)
-            mask = pa.array(valid)
-            for name, vals in self.cols.items():
-                typ = dim_types[name]
-                if len(self.keys):
-                    col = pc.if_else(
-                        mask, pa.array(vals[pos].tolist(), typ), pa.scalar(None, typ)
-                    )
-                else:
-                    col = pa.nulls(t.num_rows, type=typ)
-                t = t.append_column(name, col)
-            return t
+        skeys, cols = cached_get(ref)
+        nk = _as_key_array(t[fact_key].to_numpy(zero_copy_only=False))
+        pos = np.clip(np.searchsorted(skeys, nk), 0, max(len(skeys) - 1, 0))
+        valid = (skeys[pos] == nk) if len(skeys) else np.zeros(len(nk), bool)
+        mask = pa.array(valid)
+        for name, vals in cols.items():
+            typ = dim_types[name]
+            if len(skeys):
+                col = pc.if_else(
+                    mask, pa.array(vals[pos].tolist(), typ), pa.scalar(None, typ)
+                )
+            else:
+                col = pa.nulls(t.num_rows, type=typ)
+            t = t.append_column(name, col)
+        return t
 
-    return fact.map_batches(LJoin, fn_constructor_args=(ref,),
-                            batch_format="pyarrow", batch_size=None, concurrency=(1, 4))
+    return fact.map_batches(ljoin, batch_format="pyarrow", batch_size=None)
 
 
 _JOIN_PARTS = 64
@@ -565,17 +565,15 @@ def customers_without_orders(
                                   keys_ds.select_columns(["o_custkey"]), "o_custkey")
     key_set_ref = ray.put(np.sort(np.asarray(custkeys_with_orders, dtype=np.int64)))
 
-    class Anti:
-        def __init__(self, r):
-            self.keys = ray.get(r)  # sorted int64 array, broadcast once
+    def anti(t: pa.Table) -> pa.Table:
+        from ..util import cached_get
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ck = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-            mask = ~np.isin(ck, self.keys, assume_unique=False)
-            return t.filter(pa.array(mask))
+        skeys = cached_get(key_set_ref)  # sorted int64 array, broadcast once
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = ~np.isin(ck, skeys, assume_unique=False)
+        return t.filter(pa.array(mask))
 
-    return cust.map_batches(Anti, fn_constructor_args=(key_set_ref,),
-                            batch_format="pyarrow", batch_size=None, concurrency=(1, 4))
+    return cust.map_batches(anti, batch_format="pyarrow", batch_size=None)
 
 
 def _shuffle_anti_join(
@@ -647,22 +645,20 @@ def supplier_nation_region(sf_dir: str) -> Dataset:
     ref = ray.put((nkeys[order], n_names, r_names))
     sup = _pq(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
 
-    class JoinNR:
-        def __init__(self, r):
-            self.keys, self.n_names, self.r_names = ray.get(r)
+    def join_nr(t: pa.Table) -> pa.Table:
+        from ..util import cached_get
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            nk = t["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-            pos = np.clip(np.searchsorted(self.keys, nk), 0, len(self.keys) - 1)
-            valid = self.keys[pos] == nk
-            t = t.filter(pa.array(valid))
-            hit = pos[valid]
-            t = t.append_column("n_name", pa.array(self.n_names[hit].tolist(), pa.string()))
-            t = t.append_column("r_name", pa.array(self.r_names[hit].tolist(), pa.string()))
-            return t.select(["s_suppkey", "s_name", "n_name", "r_name"])
+        skeys, sn_names, sr_names = cached_get(ref)
+        nk = t["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(skeys, nk), 0, len(skeys) - 1)
+        valid = skeys[pos] == nk
+        t = t.filter(pa.array(valid))
+        hit = pos[valid]
+        t = t.append_column("n_name", pa.array(sn_names[hit].tolist(), pa.string()))
+        t = t.append_column("r_name", pa.array(sr_names[hit].tolist(), pa.string()))
+        return t.select(["s_suppkey", "s_name", "n_name", "r_name"])
 
-    return sup.map_batches(JoinNR, fn_constructor_args=(ref,), batch_format="pyarrow", batch_size=None,
-                           concurrency=(1, 2))
+    return sup.map_batches(join_nr, batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------

@@ -128,3 +128,28 @@ def test_pagerank_empty_edges():
 
     t = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
     assert pagerank(rd.from_arrow(t)).take_all() == []
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_broadcast_and_exchange_paths_agree():
+    """broadcast_limit=0 forces the tagged-union exchange path; the default
+    takes the broadcast-rank fast path — identical results required."""
+    from chunksilo_ray.ops.graph import pagerank
+
+    rng = np.random.default_rng(5)
+    edges = sorted(
+        {(min(int(a), int(b)), max(int(a), int(b)))
+         for a, b in rng.integers(0, 40, size=(90, 2)) if a != b}
+    )
+    t = pa.table(
+        {
+            "a": pa.array([a for a, _ in edges], pa.int64()),
+            "b": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    fast = {r["node"]: r["pr"] for r in pagerank(rd.from_arrow(t)).take_all()}
+    slow = {r["node"]: r["pr"]
+            for r in pagerank(rd.from_arrow(t), broadcast_limit=0).take_all()}
+    assert set(fast) == set(slow)
+    for nd in fast:
+        assert abs(fast[nd] - slow[nd]) < 1e-9, nd
