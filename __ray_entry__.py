@@ -167,6 +167,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_dup_components": graph.ngram_dup_components,
         # distributed fixed-iteration PageRank (tagged-union co-group rounds)
         "pagerank_part_supplier": graph.pagerank_part_supplier,
+        # PageRank of the flagship KG's own entity graph (built edges_agg)
+        "kg_entity_pagerank": lambda sf_dir: graph.entity_pagerank(
+            _kg_result(sf_dir)["edges_agg"]
+        ),
         # --- similarity search (task brief) ---
         "cosine_topk": similarity.cosine_topk,
         # exhaustive probe = exact: value-oracles the IVF index machinery
@@ -279,10 +283,10 @@ _SIMHASH_CTE = """
 """
 
 
-def _pagerank_sql(n_iter: int = 5, damping: float = 0.85) -> str:
-    """Chained-CTE power iteration matching ops/graph.py::pagerank_part_supplier
-    (every node has degree >= 1 after symmetrization, so each iteration's
-    join covers the full node set and no dangling-mass term is needed)."""
+def _pagerank_iter_ctes(n_iter: int, damping: float) -> str:
+    """Shared chained-CTE power-iteration text (every node has degree >= 1
+    after symmetrization, so each iteration's join covers the full node set
+    and no dangling-mass term is needed)."""
     iters = []
     for k in range(1, n_iter + 1):
         iters.append(
@@ -290,6 +294,11 @@ def _pagerank_sql(n_iter: int = 5, damping: float = 0.85) -> str:
             f"          FROM edges e JOIN p{k - 1} p ON p.node = e.s\n"
             f"          JOIN deg sd ON sd.node = e.s GROUP BY e.t)"
         )
+    return ",\n".join(iters)
+
+
+def _pagerank_sql(n_iter: int = 5, damping: float = 0.85) -> str:
+    """Oracle for ops/graph.py::pagerank_part_supplier."""
     return (
         "WITH e0 AS (SELECT DISTINCT 2 * l_partkey AS s, 2 * l_suppkey + 1 AS t\n"
         "            FROM lineitem),\n"
@@ -297,10 +306,26 @@ def _pagerank_sql(n_iter: int = 5, damping: float = 0.85) -> str:
         "deg AS (SELECT s AS node, CAST(COUNT(*) AS DOUBLE) AS deg\n"
         "        FROM edges GROUP BY 1),\n"
         "p0 AS (SELECT node, 1.0 AS pr FROM deg),\n"
-        + ",\n".join(iters)
+        + _pagerank_iter_ctes(n_iter, damping)
         + f"\nSELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,\n"
         f"       CAST(node // 2 AS BIGINT) AS node_key, ROUND(pr, 5) AS pr\n"
         f"FROM p{n_iter}"
+    )
+
+
+def _kg_pagerank_sql(out_dir: str, n_iter: int = 5, damping: float = 0.85) -> str:
+    """Oracle for ops/graph.py::entity_pagerank over the WRITTEN edges_agg
+    checkpoint — power iteration joining on the entity STRING keys."""
+    return (
+        f"WITH e0 AS (SELECT DISTINCT subj AS s, obj AS t\n"
+        f"            FROM read_parquet('{out_dir}/edges_agg/*.parquet')\n"
+        f"            WHERE subj <> obj),\n"
+        "edges AS (SELECT s, t FROM e0 UNION ALL SELECT t AS s, s AS t FROM e0),\n"
+        "deg AS (SELECT s AS node, CAST(COUNT(*) AS DOUBLE) AS deg\n"
+        "        FROM edges GROUP BY 1),\n"
+        "p0 AS (SELECT node, 1.0 AS pr FROM deg),\n"
+        + _pagerank_iter_ctes(n_iter, damping)
+        + f"\nSELECT node AS entity, ROUND(pr, 5) AS pr FROM p{n_iter}"
     )
 
 
@@ -623,6 +648,8 @@ def oracle_sql() -> dict[str, str]:
         # the same symmetrized bipartite graph (damping 0.85, ×N scale so
         # pr starts at 1.0 and teleport mass is exactly 1-d = 0.15)
         "pagerank_part_supplier": _PAGERANK_SQL,
+        # same unrolled CTEs over the written KG edges_agg (string node keys)
+        "kg_entity_pagerank": _kg_pagerank_sql(_KG_OUT01),
         # top-k TF-IDF terms per doc; ORDER BY the ROUNDED score (term asc
         # tiebreak) on both sides - reproducible across libm implementations
         "tfidf_top_terms": """

@@ -401,6 +401,66 @@ def pagerank_part_supplier(sf_dir: str) -> Dataset:
     return pr.map_batches(decode, batch_format="pyarrow", batch_size=None)
 
 
+def entity_pagerank(ea: Dataset, n_iter: int = 5, damping: float = 0.85) -> Dataset:
+    """PageRank of the FLAGSHIP KG's entities: the co-occurrence graph is the
+    distinct directed (subj, obj) pairs of the built ``edges_agg`` table
+    (self-loops dropped), symmetrized inside ``pagerank``. Entity ids are
+    strings, so they ride through a sorted driver vocabulary (entity
+    vocabulary is bounded — the same driver-budget argument as the
+    canonical map) into int64 codes and back. Oracle: unrolled
+    power-iteration CTEs over the WRITTEN edges_agg checkpoint, joining on
+    the string keys directly (__ray_entry__ wires the built KG in)."""
+    import ray
+
+    from ..util import cached_get
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.equal(t["subj"], t["obj"])))
+        return pa.table({"s": t["subj"], "o": t["obj"]})
+
+    pairs = (
+        ea.map_batches(to_pairs, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby(["s", "o"])
+        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+        .materialize()
+    )
+
+    def explode_ents(t: pa.Table) -> pa.Table:
+        ents = pa.concat_arrays(
+            [t["s"].combine_chunks().cast(pa.string()), t["o"].combine_chunks().cast(pa.string())]
+        )
+        return pa.table({"entity": ents})
+
+    vocab = np.sort(
+        pairs.map_batches(explode_ents, batch_format="pyarrow", batch_size=None)
+        .unique("entity")
+    )
+    vocab_ref = ray.put(vocab)
+
+    def code(t: pa.Table) -> pa.Table:
+        v = cached_get(vocab_ref)
+        s = np.searchsorted(v, t["s"].to_numpy(zero_copy_only=False).astype(str))
+        o = np.searchsorted(v, t["o"].to_numpy(zero_copy_only=False).astype(str))
+        return pa.table(
+            {"a": pa.array(s.astype(np.int64)), "b": pa.array(o.astype(np.int64))}
+        )
+
+    coded = pairs.map_batches(code, batch_format="pyarrow", batch_size=None)
+    pr = pagerank(coded, a="a", b="b", n_iter=n_iter, damping=damping)
+
+    def decode(t: pa.Table) -> pa.Table:
+        v = cached_get(vocab_ref)
+        node = t["node"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "entity": pa.array(v[node].tolist(), pa.string()),
+                "pr": pc.round(t["pr"], ndigits=5),
+            }
+        )
+
+    return pr.map_batches(decode, batch_format="pyarrow", batch_size=None)
+
+
 def ngram_dup_components(sf_dir: str) -> Dataset:
     """Near-dup clusters of the documents table WITHOUT any driver-side
     union-find: the verified bigram-jaccard pair list (ops/dedup.py) feeds

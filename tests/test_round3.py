@@ -166,3 +166,18 @@ def test_lag_delta_per_user_matches_duckdb():
     exp = _oracle_t(E.oracle_sql()["lag_delta_per_user"], ("events",))
     assert got["prev_value"].isna().sum() > 0  # first event per user
     _assert_value_match(got, exp)
+
+
+def test_kg_entity_pagerank_matches_duckdb():
+    """PageRank over the FLAGSHIP KG's own entity graph, oracled by unrolled
+    power-iteration CTEs over the written edges_agg checkpoint (string
+    node keys) — the graph op composes with the KG outputs end to end."""
+    import __ray_entry__ as E
+
+    got = _as_df(E.queries()["kg_entity_pagerank"](SF).to_pandas())
+    exp = duckdb.connect().execute(
+        E._kg_pagerank_sql("/tmp/chunksilo_ray_kg_out/sf0.001")
+    ).fetchdf()
+    assert len(got) > 100
+    assert abs(got["pr"].mean() - 1.0) < 1e-3  # mass conservation, xN scale
+    _assert_value_match(got, exp)
