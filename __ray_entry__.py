@@ -215,6 +215,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_left_rich_segment": relational.orders_left_rich_segment,
         "rollup_orders": relational.rollup_orders_by_year_priority,
         "lag_delta_per_user": window.lag_delta_per_user,
+        # round-3 batch 2 (all SQL-oracled + pytest-gated in test_round3b):
+        # two-big-sides shuffle join, JSON-prop flattening, INTERSECT,
+        # holistic + algebraic grouped aggregates, sequence packing,
+        # int8 vector quantization, first-seen acquisition curve
+        "q3_top_orders": relational.q3_order_revenue_topn,
+        "props_key_histogram": relational.props_key_histogram,
+        "users_click_and_purchase": relational.users_click_and_purchase,
+        "p95_value_by_type": sketches.p95_value_by_type,
+        "corr_value_hour_by_type": sketches.corr_value_hour_by_type,
+        "pack_sequences": textstats.pack_sequences,
+        "quantize_embeddings": similarity.quantize_embeddings,
+        "daily_new_users": window.daily_new_users,
         # --- intentionally LAST: the genuinely-approximate / non-SQL trio
         # (each carries a named pytest gate instead of a DuckDB oracle; in
         # round 2 the correctness gate evaluated exactly 50 of 51 registered
@@ -796,6 +808,74 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(entity_id, '^[a-z]+:', '') AS canonical,
                    etype AS type, COUNT(*) AS freq
             FROM canon GROUP BY entity_id, surface, etype
+        """,
+        # --- round-3 batch-2 oracles ---------------------------------------
+        "q3_top_orders": """
+            WITH o AS (
+              SELECT o_orderkey, o_orderdate, o_orderpriority
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND o_orderdate < TIMESTAMP '1998-06-01'),
+            l AS (SELECT l_orderkey,
+                         ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+                  FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-06-01'
+                  GROUP BY l_orderkey)
+            SELECT l.l_orderkey, l.revenue, o.o_orderdate, o.o_orderpriority
+            FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "props_key_histogram": """
+            SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "users_click_and_purchase": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "p95_value_by_type": """
+            SELECT event_type, ROUND(quantile_cont(value, 0.95), 6) AS p95_value
+            FROM events GROUP BY event_type
+        """,
+        "corr_value_hour_by_type": """
+            SELECT event_type,
+                   ROUND(corr(value, EXTRACT(hour FROM ts)), 4) AS corr_value_hour
+            FROM events GROUP BY event_type
+        """,
+        "pack_sequences": """
+            WITH t AS (SELECT doc_id,
+                              len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS nt
+                       FROM documents),
+            c AS (SELECT doc_id, nt,
+                         COALESCE(SUM(nt) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+                  FROM t)
+            SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+                   CAST(cum // 512 AS BIGINT) AS seq_id
+            FROM c
+        """,
+        "quantize_embeddings": """
+            WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+            m AS (SELECT vec_id, emb,
+                         list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+                  FROM s),
+            q AS (SELECT vec_id, scale,
+                         CASE WHEN scale = 0 THEN list_transform(emb, x -> 0.0)
+                              ELSE list_transform(emb, x -> trunc(x / scale)) END AS qv
+                  FROM m)
+            SELECT vec_id, ROUND(scale, 9) AS scale,
+                   CAST(list_sum(qv) AS BIGINT) AS q_sum,
+                   CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1
+            FROM q
+        """,
+        "daily_new_users": """
+            WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d
+                       FROM events GROUP BY user_id),
+            c AS (SELECT d, COUNT(*) AS n_new FROM f GROUP BY d)
+            SELECT strftime(d, '%Y-%m-%d') AS day, CAST(n_new AS BIGINT) AS n_new,
+                   CAST(SUM(n_new) OVER (ORDER BY d) AS BIGINT) AS cum_users
+            FROM c
         """,
         "bm25_topk": """
             WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w

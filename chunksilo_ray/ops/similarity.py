@@ -311,3 +311,37 @@ def label_centroids(sf_dir: str) -> Dataset:
         .groupby("label")
         .map_groups(merge_group, batch_format="pyarrow")
     )
+
+
+def quantize_embeddings(sf_dir: str) -> Dataset:
+    """Symmetric int8 quantization of the embedding column — the
+    vector-compression step of an embedding pipeline (4x smaller payloads
+    into any downstream ANN index). Pure per-row math: scale = max|x|/127,
+    q = trunc(x/scale); emitted as (vec_id, scale, q_sum, q_l1) so the
+    DuckDB oracle can recompute the quantized vectors value-exactly
+    (float64 division + trunc are bit-deterministic on both sides).
+    Vectorized: one flatten + reshape per batch, no per-vector Python."""
+    ds = _emb(sf_dir)
+
+    def quant(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        dim = int(widths[0]) if len(widths) else 0
+        assert len(widths) == 0 or (widths == dim).all(), "ragged embedding column"
+        m = flat[offs[0]: offs[-1]].reshape(-1, dim) if dim else flat.reshape(0, 0)
+        scale = np.abs(m).max(axis=1, initial=0.0) / 127.0
+        safe = np.where(scale == 0.0, 1.0, scale)
+        q = np.trunc(m / safe[:, None])
+        q[scale == 0.0] = 0.0
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "scale": pa.array(np.round(scale, 9), pa.float64()),
+                "q_sum": pa.array(q.sum(axis=1).astype(np.int64)),
+                "q_l1": pa.array(np.abs(q).sum(axis=1).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(quant, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)

@@ -208,3 +208,78 @@ def heavy_hitter_users(sf_dir: str, threshold: int = 75) -> Dataset:
         .aggregate(Sum("n", alias_name="n"))
         .map_batches(final_filter, batch_format="pyarrow", batch_size=None)
     )
+
+
+def p95_value_by_type(sf_dir: str, q: float = 0.95) -> Dataset:
+    """Exact grouped 95th percentile (linear interpolation — pandas
+    ``quantile`` and DuckDB ``quantile_cont`` agree bit-for-bit on the
+    definition). Same shape as the grouped median: the groupby co-locates
+    each type's values; a holistic quantile genuinely needs them together,
+    and the group count is bounded by |event_type|, not by data size."""
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def pq(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "p95_value": [round(float(g["value"].quantile(q)), 6)],
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(pq, batch_format="pandas")
+
+
+def corr_value_hour_by_type(sf_dir: str) -> Dataset:
+    """Pearson correlation of (value, hour-of-day) per event type via
+    ALGEBRAIC partials — each batch contributes (n, Σx, Σy, Σx², Σy², Σxy)
+    per group, the global combine is six Sums, and the closed form runs on
+    the |event_type|-bounded result. The mergeable-moments pattern is the
+    100 TB story: no value ever crosses the exchange twice.
+
+    Rounded to 4 digits: the raw-moments form and DuckDB's streaming corr
+    differ by O(1e-7) cancellation noise near zero correlation; 1e-4 is
+    comfortably coarser on both sides."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = pc.hour(t["ts"]).to_numpy(zero_copy_only=False).astype(np.float64)
+        g = (
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "n": np.ones(len(x)),
+                    "sx": x, "sy": y, "sxx": x * x, "syy": y * y, "sxy": x * y,
+                }
+            )
+            .group_by("event_type", use_threads=False)
+            .aggregate([(c, "sum") for c in ("n", "sx", "sy", "sxx", "syy", "sxy")])
+        )
+        return g.rename_columns(["event_type", "n", "sx", "sy", "sxx", "syy", "sxy"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(*[Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxx", "syy", "sxy")])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        sx, sy = t["sx"].to_numpy(zero_copy_only=False), t["sy"].to_numpy(zero_copy_only=False)
+        sxx, syy = t["sxx"].to_numpy(zero_copy_only=False), t["syy"].to_numpy(zero_copy_only=False)
+        sxy = t["sxy"].to_numpy(zero_copy_only=False)
+        num = n * sxy - sx * sy
+        den = np.sqrt(np.maximum(n * sxx - sx * sx, 0.0) * np.maximum(n * syy - sy * sy, 0.0))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            corr = np.where(den > 0, num / den, np.nan)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "corr_value_hour": pa.array(np.round(corr, 4), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)

@@ -156,3 +156,52 @@ def lag_delta_per_user(sf_dir: str) -> Dataset:
     return _user_partitioned(ds).groupby("__part").map_groups(
         lag_partition, batch_format="pandas"
     )
+
+
+def daily_new_users(sf_dir: str) -> pa.Table:
+    """User-acquisition curve: first-seen day per user (distributed argmin),
+    new-user count per day, cumulative total. The per-batch partial
+    collapses to one (user, min_day) row per user per batch, the global
+    combine is a Min over int days, and the only driver-side step is the
+    running sum over the per-DAY table — bounded by the calendar, not by
+    the data."""
+    from ray.data.aggregate import Min, Sum
+
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // 86_400_000_000
+        g = (
+            pa.table({"user_id": t["user_id"], "day": pa.array(day)})
+            .group_by("user_id", use_threads=False)
+            .aggregate([("day", "min")])
+        )
+        return g.rename_columns(["user_id", "day"])
+
+    first_seen = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Min("day", alias_name="day"))
+    )
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["day"]).group_by("day", use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(["day", "n_new"])
+
+    per_day = (
+        first_seen.map_batches(day_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("day")
+        .aggregate(Sum("n_new", alias_name="n_new"))
+        .to_pandas()
+        .sort_values("day")
+    )
+    days = per_day["day"].to_numpy(np.int64)
+    n_new = per_day["n_new"].to_numpy(np.int64)
+    labels = (days.astype("datetime64[D]")).astype(str)
+    return pa.table(
+        {
+            "day": pa.array(labels.tolist(), pa.string()),
+            "n_new": pa.array(n_new),
+            "cum_users": pa.array(np.cumsum(n_new)),
+        }
+    )
