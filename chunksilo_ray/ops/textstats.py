@@ -65,37 +65,45 @@ def docs_by_lang(sf_dir: str) -> Dataset:
 
 
 class LangIdActor:
-    """Stopword-profile language ID (n-gram heuristic): stateful stage —
-    profiles + regex compiled once per actor (reference pattern: stateful
-    stages table, SURVEY.md §2.3)."""
+    """Stopword-profile language ID (n-gram heuristic): state — the merged
+    word->languages lookup + compiled regex — is built once per worker
+    (reference pattern: stateful stages table, SURVEY.md §2.3). A word may
+    sit in several profiles ('in' is both English and German), so the merged
+    map fans each token out to ALL its languages in ONE dict probe — the
+    per-language membership scans of the first version cost |langs| set
+    probes per token."""
+
+    _LANG_ORDER = tuple(_LANG_PROFILES)  # insertion order breaks ties
 
     def __init__(self):
         self.word = _WORD_RE
-        self.profiles = {k: v for k, v in _LANG_PROFILES.items()}
+        lookup: dict[str, tuple[int, ...]] = {}
+        for li, (_, prof) in enumerate(_LANG_PROFILES.items()):
+            for w in prof:
+                lookup[w] = (*lookup.get(w, ()), li)
+        self.lookup = lookup
 
     def __call__(self, t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
         langs: list[str] = []
         hits_out: list[int] = []
         ntok_out: list[int] = []
+        lookup, order = self.lookup, self._LANG_ORDER
         for x in texts:
-            toks = [w.lower() for w in self.word.findall(x)]
+            toks = self.word.findall(x.lower())
             n = len(toks)
-            if n == 0:
-                langs.append("und")
-                hits_out.append(0)
-                ntok_out.append(0)
-                continue
-            best_lang, best = "und", 0
-            # insertion order breaks ties (en > de > fr > es), strictly-greater
-            # to advance — the oracle SQL mirrors this with ordered CASE arms
-            for lang, prof in self.profiles.items():
-                hit = sum(1 for w in toks if w in prof)
-                if hit > best:
-                    best_lang, best = lang, hit
+            counts = [0, 0, 0, 0]
+            for w in toks:
+                for li in lookup.get(w, ()):
+                    counts[li] += 1
+            # max with insertion-order tiebreak (en > de > fr > es),
+            # strictly-greater to advance — the oracle SQL mirrors this
+            # with ordered CASE arms
+            best = max(counts) if n else 0
+            best_lang = order[counts.index(best)] if best else "und"
             # confidence gate best/n > 0.05 as the exact integer compare
             # 20*best > n (float-rounding-proof; SQL does the same)
-            langs.append(best_lang if 20 * best > n else "und")
+            langs.append(best_lang if n and 20 * best > n else "und")
             hits_out.append(best)
             ntok_out.append(n)
         out = t.select([c for c in ("doc_id",) if c in t.column_names])
@@ -105,10 +113,23 @@ class LangIdActor:
         return out
 
 
+_LANGID_MEMO: list = []
+
+
+def _langid_batch(t: pa.Table) -> pa.Table:
+    # stateless task + worker-global memo: same load-once state as the actor
+    # pool without per-query actor spin-up (the pattern link/embed use for
+    # small sessions); the lookup build is microseconds either way
+    if not _LANGID_MEMO:
+        _LANGID_MEMO.append(LangIdActor())
+    return _LANGID_MEMO[0](t)
+
+
 def detect_language(sf_dir: str) -> Dataset:
     ds = _docs(sf_dir, ["doc_id", "text"])
-    return ds.map_batches(LangIdActor, batch_format="pyarrow", batch_size=None, concurrency=(1, 4),
-                          zero_copy_batch=True)
+    return ds.map_batches(
+        _langid_batch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
 
 
 def quality_scores(sf_dir: str) -> Dataset:

@@ -305,7 +305,19 @@ def _attach_fn(off_ref):
 
 
 def _assemble_broadcast(turns: Dataset) -> Dataset:
+    import os as _os
+    import sys as _sys
+    import time as _time
+
     import ray
+
+    _trace = _os.environ.get("GRAFT_TIMING") == "1"
+    _t0 = _time.perf_counter()
+
+    def _mark(name: str) -> None:
+        if _trace:
+            print(f"[asm +{_time.perf_counter() - _t0:6.2f}s] {name}",
+                  file=_sys.stderr, flush=True)
 
     offsets = (
         turns.map_batches(
@@ -317,6 +329,7 @@ def _assemble_broadcast(turns: Dataset) -> Dataset:
     # Arrow-refs concat: the offset table reaches the driver as Arrow blocks,
     # never as Python row dicts
     blocks = [b for b in ray.get(offsets.to_arrow_refs()) if b.num_rows]
+    _mark("offsets exchange + driver fetch")
     if blocks:
         off_tbl = pa.concat_tables(blocks)
     else:
@@ -343,6 +356,7 @@ def _assemble_broadcast(turns: Dataset) -> Dataset:
             off_tbl["conv_n_turns"].to_numpy(zero_copy_only=False)[order],
         )
     )
+    _mark("driver concat+encode+sort+put")
     return turns.map_batches(
         _attach_fn(off_ref), batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
