@@ -174,11 +174,19 @@ def build_kg(
             )
 
         if overlap:
-            chunks_future = pool.submit(chunks_ckpt.run, _build_chunks)
-        # serial mode: chunks run LAST (after the graph tables) — see below
+            chunks_future = pool.submit(chunks_ckpt.run, _build_chunks, write_executor=writer)
+        # serial mode: chunks BUILD runs right after extraction (below), so
+        # its background checkpoint write overlaps the canon/edges/nodes
+        # compute instead of stalling the final durability barrier
 
     extracted = ext_ckpt.run(_build_extracted, keep_in_memory=True, write_executor=writer)
     _mark("extracted materialized")
+
+    if with_chunks and not overlap:
+        chunks_future = _Inline.submit(
+            chunks_ckpt.run, _build_chunks, write_executor=writer
+        )
+        _mark("chunks built")
 
     # ONE combined scan over the pinned extracted blocks collects BOTH the
     # dead-letter count (rows the extractor marked failed) and the distinct
@@ -289,17 +297,17 @@ def build_kg(
     edges, edges_agg = edges_future.result()
     _mark("edges+agg done")
 
-    # ---- side branch (chunk+embed off the assembly checkpoint) -------------
-    if with_chunks and chunks_future is None:  # serial mode: runs last
-        chunks_future = _Inline.submit(chunks_ckpt.run, _build_chunks)
+    # ---- side branch result (built after extraction in serial mode) --------
     chunks = chunks_future.result() if chunks_future is not None else None
-    _mark("chunks done")
     if pool is not None:
         pool.shutdown(wait=True)
 
     # durability barrier: all background checkpoint writes must land before
     # metrics read the manifests / the call returns resumable state
-    for ck in (asm_ckpt, ext_ckpt, edges_ckpt):
+    barrier = [asm_ckpt, ext_ckpt, edges_ckpt]
+    if chunks_ckpt is not None:
+        barrier.append(chunks_ckpt)
+    for ck in barrier:
         fut = getattr(ck, "write_future", None)
         if fut is not None:
             fut.result()

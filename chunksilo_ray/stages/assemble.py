@@ -193,17 +193,23 @@ def _assemble_sort(turns: Dataset) -> Dataset:
 # chunking) is strictly per-turn — only the two derived columns need
 # cross-row information. So: compute per-turn lengths in a cheap projection
 # scan, exchange ONLY (conv_id, turn_idx, contrib_len) — tens of bytes/row
-# instead of the text — reduce offsets per conversation in coarse hash
-# partitions, broadcast the resulting offset table once (ray.put + worker
-# -global cache), and attach the two columns to the UNMOVED turns in a
-# second scan. Text bytes never enter an exchange. Over the broadcast
+# instead of the text — through a TARGETED two-stage hash exchange (split
+# each lengths block by part, one reduce task per part; raw Ray tasks
+# because Dataset groupby() is a sort-based global shuffle, ~6x the cost of
+# this exchange for a small 64-way partition), leave the per-part payloads
+# in the object store, and attach the two columns to the UNMOVED turns in a
+# second scan that merges the parts once per worker. Text bytes never enter
+# an exchange; the driver touches only object refs. Over the broadcast
 # budget (offsets table no longer "small side"), fall back to the sort.
 
 _OFFSET_PARTS = 64
-# ref.hex -> (unique-conv pd.Index, sorted int64 keys, starts, n_turns).
-# Only the UNIQUE-CONVERSATION dictionary is indexed per worker (≈ turns/10
-# entries); the per-turn side stays numeric numpy shipped pre-sorted by the
-# driver — per-worker setup is O(#convs) strings, never O(#turns).
+# first-part ref.hex -> (unique-conv pd.Index, sorted int64 keys, starts,
+# n_turns), merged from the per-part payloads once per worker. Only the
+# UNIQUE-CONVERSATION dictionary is string-indexed (≈ turns/10 entries);
+# the per-turn side is numeric numpy, pre-sorted within each part and
+# globally sorted after per-part code re-basing — per-worker setup is
+# O(#convs) strings + an O(#turns) numeric memcpy, never an O(#turns) sort
+# or string index.
 _OFF_INDEX_CACHE: dict[str, tuple] = {}
 
 
@@ -263,20 +269,77 @@ def _compound_keys(codes: np.ndarray, turn) -> np.ndarray:
     return (codes.astype(np.int64) << np.int64(32)) | (t & _TURN_MASK)
 
 
-def _attach_fn(off_ref):
+def _split_by_part(block: pa.Table) -> list[pa.Table]:
+    """Map side of the targeted hash exchange: one lengths block ->
+    _OFFSET_PARTS per-part sub-tables (empty slices included, so the reduce
+    fan-in is position-addressable)."""
+    part = block["__part"].to_numpy(zero_copy_only=False)
+    order = np.argsort(part, kind="stable")
+    sorted_tbl = block.take(pa.array(order))
+    bounds = np.searchsorted(part[order], np.arange(_OFFSET_PARTS + 1))
+    return [
+        sorted_tbl.slice(int(bounds[p]), int(bounds[p + 1] - bounds[p]))
+        for p in range(_OFFSET_PARTS)
+    ]
+
+
+def _reduce_offsets_part(*tables: pa.Table):
+    """Reduce side: all lengths rows of ONE hash partition -> the part's
+    broadcast payload (conv dictionary, LOCALLY-coded sorted compound keys,
+    char starts, turn counts). Keys sort by (local conv code, turn); the
+    attach worker re-bases codes per part, which keeps the concatenation of
+    parts globally sorted with no re-sort."""
+    live = [t for t in tables if t.num_rows]
+    if not live:
+        return (
+            pa.array([], pa.string()),
+            np.zeros(0, np.int64),
+            np.zeros(0, np.int64),
+            np.zeros(0, np.int32),
+        )
+    off_tbl = _offsets_part(pa.concat_tables(live))
+    enc = pc.dictionary_encode(off_tbl["conv_id"].combine_chunks())
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    key = _compound_keys(codes, off_tbl["turn_idx"].to_numpy(zero_copy_only=False))
+    order = np.argsort(key, kind="stable")
+    return (
+        enc.dictionary,
+        key[order],
+        off_tbl["turn_char_start"].to_numpy(zero_copy_only=False)[order],
+        off_tbl["conv_n_turns"].to_numpy(zero_copy_only=False)[order].astype(np.int32),
+    )
+
+
+def _merge_parts(parts: list) -> tuple:
+    """Worker-side one-time merge of the per-part payloads into the exact
+    structure the attach kernel always used: ONE conv dictionary index, ONE
+    globally-sorted compound key array. Per part p, local codes are re-based
+    by the cumulative conv count, so part p+1's smallest key exceeds part
+    p's largest — concatenation IS the global sort order."""
+    import pandas as pd
+
+    dicts = [p[0].to_numpy(zero_copy_only=False) for p in parts]
+    n_convs = np.array([len(d) for d in dicts], dtype=np.int64)
+    bases = np.concatenate(([0], np.cumsum(n_convs)))[:-1]
+    skey = np.concatenate(
+        [p[1] + (bases[i] << np.int64(32)) for i, p in enumerate(parts)]
+    ) if parts else np.zeros(0, np.int64)
+    tcs = np.concatenate([p[2] for p in parts]) if parts else np.zeros(0, np.int64)
+    n_turns = np.concatenate([p[3] for p in parts]) if parts else np.zeros(0, np.int32)
+    conv_index = pd.Index(np.concatenate(dicts) if dicts else np.array([], object))
+    return conv_index, skey, tcs, n_turns
+
+
+def _attach_fn(part_refs: list):
     def attach(t: pa.Table) -> pa.Table:
-        import pandas as pd
+        import ray as _ray
 
-        from ..util import cached_get
-
-        key = off_ref.hex()
+        key = part_refs[0].hex() if part_refs else ""
         cached = _OFF_INDEX_CACHE.get(key)
         if cached is None:
             if len(_OFF_INDEX_CACHE) > 2:
                 _OFF_INDEX_CACHE.clear()
-            dico, skey, tcs, n_turns = cached_get(off_ref)
-            conv_index = pd.Index(dico.to_numpy(zero_copy_only=False))
-            cached = (conv_index, skey, tcs, n_turns)
+            cached = _merge_parts(_ray.get(list(part_refs)))
             _OFF_INDEX_CACHE[key] = cached
         conv_index, skey, tcs, n_turns = cached
         # resolve only the batch's UNIQUE conv ids against the index, then
@@ -319,46 +382,31 @@ def _assemble_broadcast(turns: Dataset) -> Dataset:
             print(f"[asm +{_time.perf_counter() - _t0:6.2f}s] {name}",
                   file=_sys.stderr, flush=True)
 
-    offsets = (
-        turns.map_batches(
-            _lengths_batch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-        )
-        .groupby("__part")
-        .map_groups(_offsets_part, batch_format="pyarrow")
+    # Targeted two-stage hash exchange with raw Ray tasks — the one spot the
+    # Dataset API can't express (Ray 2.49 groupby() is a SORT-based global
+    # shuffle; measured 18 s at sf0.3/16 cpus for what is a 45 MB 64-way
+    # hash partition). Map: split each lengths block by __part (locality —
+    # the split task runs where the block lives). Reduce: one task per part
+    # builds that part's broadcast payload. The driver handles only object
+    # REFS — zero O(#turns) driver work (the old path concat+encode+sorted
+    # 100+ MB on the driver, a pure Amdahl segment).
+    lengths = turns.map_batches(
+        _lengths_batch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
-    # Arrow-refs concat: the offset table reaches the driver as Arrow blocks,
-    # never as Python row dicts
-    blocks = [b for b in ray.get(offsets.to_arrow_refs()) if b.num_rows]
-    _mark("offsets exchange + driver fetch")
-    if blocks:
-        off_tbl = pa.concat_tables(blocks)
-    else:
-        off_tbl = pa.table(
-            {
-                "conv_id": pa.array([], pa.string()),
-                "turn_idx": pa.array([], pa.int32()),
-                "conv_n_turns": pa.array([], pa.int32()),
-                "turn_char_start": pa.array([], pa.int64()),
-            }
-        )
-    # dictionary-encode conv_id ONCE on the driver; ship (unique convs,
-    # pre-sorted compound int64 keys, numpy payload columns). Workers never
-    # rebuild a per-turn string index — only the unique-conv dictionary.
-    enc = pc.dictionary_encode(off_tbl["conv_id"].combine_chunks())
-    codes = enc.indices.to_numpy(zero_copy_only=False)
-    key = _compound_keys(codes, off_tbl["turn_idx"].to_numpy(zero_copy_only=False))
-    order = np.argsort(key, kind="stable")
-    off_ref = ray.put(
-        (
-            enc.dictionary,
-            key[order],
-            off_tbl["turn_char_start"].to_numpy(zero_copy_only=False)[order],
-            off_tbl["conv_n_turns"].to_numpy(zero_copy_only=False)[order],
-        )
-    )
-    _mark("driver concat+encode+sort+put")
+    split_task = ray.remote(num_returns=_OFFSET_PARTS)(_split_by_part)
+    reduce_task = ray.remote(_reduce_offsets_part)
+    block_refs = lengths.to_arrow_refs()
+    _mark("lengths scan materialized")
+    splits = [split_task.remote(b) for b in block_refs]
+    part_refs = [
+        reduce_task.remote(*[s[p] for s in splits]) for p in range(_OFFSET_PARTS)
+    ]
+    # surface reduce errors here (attach would hit them later anyway);
+    # ray.wait keeps the payloads in the object store — no driver fetch
+    ray.wait(part_refs, num_returns=len(part_refs))
+    _mark("offsets exchange (split+reduce tasks)")
     return turns.map_batches(
-        _attach_fn(off_ref), batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        _attach_fn(part_refs), batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
 
 

@@ -19,7 +19,9 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data import Dataset
 
@@ -94,6 +96,47 @@ def chunk_text(text: str, chunk_size: int, chunk_overlap: int) -> list[tuple[int
     return chunks
 
 
+def _heading_path(role: pa.ChunkedArray | pa.Array, tool: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Vectorized ``[role, tool] if tool else [role]`` list column: one
+    combined values array + interleaved take indices, no Python per row."""
+    if isinstance(role, pa.ChunkedArray):
+        role = role.combine_chunks()
+    if isinstance(tool, pa.ChunkedArray):
+        tool = tool.combine_chunks()
+    n = len(role)
+    has_tool = pc.and_(tool.is_valid(), pc.not_equal(pc.fill_null(tool, ""), "")).to_numpy(
+        zero_copy_only=False
+    )
+    counts = 1 + has_tool.astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    idx = np.empty(int(offsets[-1]), dtype=np.int64)
+    idx[offsets[:-1]] = np.arange(n)  # role at each list head
+    tool_rows = np.flatnonzero(has_tool)
+    idx[offsets[:-1][tool_rows] + 1] = n + tool_rows  # tool second where present
+    values = pa.concat_arrays([role.cast(pa.string()), tool.cast(pa.string())]).take(
+        pa.array(idx)
+    )
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), values)
+
+
+def _empty_chunks() -> pa.Table:
+    return pa.table(
+        {
+            "chunk_id": pa.array([], pa.string()),
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int32()),
+            "chunk_idx": pa.array([], pa.int32()),
+            "role": pa.array([], pa.string()),
+            "tool": pa.array([], pa.string()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "text": pa.array([], pa.string()),
+            "start_char": pa.array([], pa.int64()),
+            "doc_char_start": pa.array([], pa.int64()),
+            "heading_path": pa.array([], pa.list_(pa.string())),
+        }
+    )
+
+
 class ChunkTurns:
     """Stateless map_batches callable: assembled turn rows -> chunk rows.
     ``heading_path`` is the transcript analog of the reference's heading path:
@@ -103,52 +146,115 @@ class ChunkTurns:
         self.chunk_size = chunk_size
         self.chunk_overlap = chunk_overlap
 
-    def __call__(self, t: pa.Table) -> pa.Table:
-        conv_ids = t.column("conv_id").to_pylist()
-        turn_idxs = t.column("turn_idx").to_pylist()
-        roles = t.column("role").to_pylist()
-        tools = t.column("tool").to_pylist()
-        ts = t.column("ts").to_pylist()
-        texts = t.column("text").to_pylist()
+    def _loop_rows(self, t: pa.Table, rows: np.ndarray) -> tuple[pa.Table, np.ndarray]:
+        """Scalar chunk_text over the given row indices (long/odd texts only).
+        Returns (chunk rows table, source-row index per chunk)."""
+        sub = t.take(pa.array(rows))
+        conv_ids = sub.column("conv_id").to_pylist()
+        turn_idxs = sub.column("turn_idx").to_pylist()
+        texts = sub.column("text").to_pylist()
         doc_starts = (
-            t.column("doc_char_start").to_pylist()
-            if "doc_char_start" in t.column_names
-            else [0] * t.num_rows
+            sub.column("doc_char_start").to_pylist()
+            if "doc_char_start" in sub.column_names
+            else [0] * sub.num_rows
         )
-
-        out: dict[str, list] = {c: [] for c in CHUNK_COLUMNS}
-        for r in range(t.num_rows):
+        src: list[int] = []
+        chunk_id: list[str] = []
+        chunk_idx: list[int] = []
+        ctexts: list[str] = []
+        starts: list[int] = []
+        dstarts: list[int] = []
+        for r in range(sub.num_rows):
             pieces = chunk_text(texts[r], self.chunk_size, self.chunk_overlap)
             for k, (start, ctext) in enumerate(pieces):
-                out["chunk_id"].append(f"{conv_ids[r]}#{turn_idxs[r]}#{k}")
-                out["conv_id"].append(conv_ids[r])
-                out["turn_idx"].append(turn_idxs[r])
-                out["chunk_idx"].append(k)
-                out["role"].append(roles[r])
-                out["tool"].append(tools[r])
-                out["ts"].append(ts[r])
-                out["text"].append(ctext)
-                out["start_char"].append(start)
-                out["doc_char_start"].append(doc_starts[r] + start)
-                out["heading_path"].append(
-                    [roles[r], tools[r]] if tools[r] else [roles[r]]
-                )
+                src.append(int(rows[r]))
+                chunk_id.append(f"{conv_ids[r]}#{turn_idxs[r]}#{k}")
+                chunk_idx.append(k)
+                ctexts.append(ctext)
+                starts.append(start)
+                dstarts.append(doc_starts[r] + start)
+        srcarr = np.asarray(src, dtype=np.int64)
+        picked = t.take(pa.array(srcarr))
+        return (
+            pa.table(
+                {
+                    "chunk_id": pa.array(chunk_id, pa.string()),
+                    "conv_id": picked["conv_id"],
+                    "turn_idx": picked["turn_idx"].cast(pa.int32()),
+                    "chunk_idx": pa.array(chunk_idx, pa.int32()),
+                    "role": picked["role"],
+                    "tool": picked["tool"],
+                    "ts": picked["ts"].cast(pa.timestamp("us")),
+                    "text": pa.array(ctexts, pa.string()),
+                    "start_char": pa.array(starts, pa.int64()),
+                    "doc_char_start": pa.array(dstarts, pa.int64()),
+                    "heading_path": _heading_path(picked["role"], picked["tool"]),
+                }
+            ),
+            srcarr,
+        )
 
-        return pa.table(
+    def __call__(self, t: pa.Table) -> pa.Table:
+        """Vectorized over the dominant case: a turn short enough that the
+        whole text is ONE chunk (chunk_text's exact fast path) is emitted
+        straight from Arrow kernels; only long/odd rows run the scalar
+        sentence packer. Output row order matches the scalar loop exactly:
+        chunks sorted by (source row, chunk_idx)."""
+        n = t.num_rows
+        if n == 0:
+            return _empty_chunks()
+        text = t.column("text")
+        lens = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        blank_np = pc.equal(
+            pc.utf8_length(pc.utf8_trim_whitespace(text)), 0
+        ).to_numpy(zero_copy_only=False)
+        # \x1c-\x1f are Python-blank but not Unicode-whitespace: route to the
+        # scalar path so batch semantics match str.strip() exactly
+        odd = pc.match_substring_regex(text, "[\\x1c-\\x1f]").to_numpy(zero_copy_only=False)
+        fast_np = (lens <= 2 * self.chunk_size - 1) & ~blank_np & ~odd
+        slow_rows = np.flatnonzero(~fast_np & ~(blank_np & ~odd))
+
+        fast_idx = np.flatnonzero(fast_np)
+        ftab = t.take(pa.array(fast_idx))
+        cid = pc.binary_join_element_wise(
+            pc.cast(ftab["conv_id"], pa.string()),
+            pc.cast(ftab["turn_idx"], pa.string()),
+            pa.scalar("0"),
+            "#",
+        )
+        nfast = len(fast_idx)
+        doc_start = (
+            ftab["doc_char_start"].cast(pa.int64())
+            if "doc_char_start" in ftab.column_names
+            else pa.array(np.zeros(nfast, np.int64))
+        )
+        fast_out = pa.table(
             {
-                "chunk_id": pa.array(out["chunk_id"], pa.string()),
-                "conv_id": pa.array(out["conv_id"], pa.string()),
-                "turn_idx": pa.array(out["turn_idx"], pa.int32()),
-                "chunk_idx": pa.array(out["chunk_idx"], pa.int32()),
-                "role": pa.array(out["role"], pa.string()),
-                "tool": pa.array(out["tool"], pa.string()),
-                "ts": pa.array(out["ts"], pa.timestamp("us")),
-                "text": pa.array(out["text"], pa.string()),
-                "start_char": pa.array(out["start_char"], pa.int64()),
-                "doc_char_start": pa.array(out["doc_char_start"], pa.int64()),
-                "heading_path": pa.array(out["heading_path"], pa.list_(pa.string())),
+                "chunk_id": cid,
+                "conv_id": ftab["conv_id"],
+                "turn_idx": ftab["turn_idx"].cast(pa.int32()),
+                "chunk_idx": pa.array(np.zeros(nfast, np.int32)),
+                "role": ftab["role"],
+                "tool": ftab["tool"],
+                "ts": ftab["ts"].cast(pa.timestamp("us")),
+                "text": ftab["text"],
+                "start_char": pa.array(np.zeros(nfast, np.int64)),
+                "doc_char_start": doc_start,
+                "heading_path": _heading_path(ftab["role"], ftab["tool"]),
             }
         )
+        if len(slow_rows) == 0:
+            return fast_out  # already in source-row order
+
+        slow_out, slow_src = self._loop_rows(t, slow_rows)
+        merged = pa.concat_tables([fast_out, slow_out])
+        # restore (source row, chunk_idx) order across the two parts
+        src_all = np.concatenate([fast_idx, slow_src])
+        kidx = np.concatenate(
+            [np.zeros(nfast, np.int64), np.asarray(slow_out["chunk_idx"].to_numpy(zero_copy_only=False), np.int64)]
+        )
+        order = np.lexsort((kidx, src_all))
+        return merged.take(pa.array(order))
 
 
 def chunk_turns(

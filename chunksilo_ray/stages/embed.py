@@ -31,6 +31,61 @@ _WORD_RE = re.compile(r"[A-Za-z0-9]+")
 _BUCKET_CACHE_CAP = 1 << 16
 
 
+def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(value_offsets, value_bytes) numpy views of a string/large_string
+    array — zero-copy reads of Arrow's own buffers."""
+    if pa.types.is_large_string(arr.type):
+        width, dtype = 8, np.int64
+    else:
+        width, dtype = 4, np.int32
+    offs = np.frombuffer(
+        arr.buffers()[1], dtype=dtype, count=len(arr) + 1, offset=arr.offset * width
+    )
+    vals = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return offs.astype(np.int64, copy=False), vals
+
+
+def bow_hash_embed_arrow(texts: pa.ChunkedArray | pa.Array, dim: int = 384) -> np.ndarray:
+    """Vectorized twin of :func:`bow_hash_embed` (parity-tested): same
+    ``vec[sum(ord(c) for c in word) % dim] += 1`` contract, computed at C
+    speed straight off Arrow buffers.
+
+    Equivalences that make this exact, not approximate:
+    - the scalar path lowercases FIRST, so ``findall([A-Za-z0-9]+)`` on the
+      lowered text equals ``split on [^a-z0-9]+`` minus empty fragments;
+    - every token is pure ASCII by construction, so ``sum(ord(c))`` equals
+      the token's UTF-8 byte sum, read via ``np.add.reduceat``-style prefix
+      sums over the flattened word buffer."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    out = np.zeros((n, dim), dtype=np.float32)
+    if n == 0:
+        return out
+    if texts.null_count:
+        texts = pa.compute.fill_null(texts, "")
+    toks = pa.compute.split_pattern_regex(pa.compute.utf8_lower(texts), "[^a-z0-9]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    row_of = np.repeat(
+        np.arange(n, dtype=np.int64),
+        toks.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64),
+    )
+    flat = toks.flatten()
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    if len(flat) == 0 or flat.buffers()[2] is None:
+        return out
+    voffs, vals = _string_buffers(flat)
+    csum = np.concatenate(([0], np.cumsum(vals, dtype=np.int64)))
+    sums = csum[voffs[1:]] - csum[voffs[:-1]]
+    nonempty = voffs[1:] > voffs[:-1]  # split() emits empty edge fragments
+    np.add.at(out.reshape(-1), row_of[nonempty] * dim + (sums[nonempty] % dim), 1.0)
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    np.divide(out, norms, out=out, where=norms > 0)
+    return out
+
+
 def bow_hash_embed(
     texts: list[str], dim: int = 384, _cache: dict[str, int] | None = None
 ) -> np.ndarray:
@@ -71,8 +126,7 @@ class EmbedActor:
         self.dim = dim
         self.text_column = text_column
         if backend == "bow":
-            self._bucket_cache: dict[str, int] = {}
-            self._embed = lambda texts: bow_hash_embed(texts, self.dim, self._bucket_cache)
+            self._embed = None  # __call__ uses the vectorized Arrow kernel
         elif backend == "onnx":
             # real-model seam (reference lazy ONNX load, index.py:1091-1124):
             # the model loads ONCE here — per actor, not per batch — and the
@@ -102,7 +156,11 @@ class EmbedActor:
             )
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        vecs = self._embed(t.column(self.text_column).to_pylist())
+        col_in = t.column(self.text_column)
+        if self._embed is None:
+            vecs = bow_hash_embed_arrow(col_in, self.dim)
+        else:
+            vecs = self._embed(col_in.to_pylist())
         col = pa.FixedSizeListArray.from_arrays(pa.array(vecs.ravel(), pa.float32()), self.dim)
         return t.append_column("embedding", col)
 
@@ -131,7 +189,7 @@ def embed_chunks(
         text_column = "text"
 
         def _task(t: pa.Table) -> pa.Table:
-            vecs = bow_hash_embed(t.column(text_column).to_pylist(), dim, _WORKER_BUCKETS)
+            vecs = bow_hash_embed_arrow(t.column(text_column), dim)
             col = pa.FixedSizeListArray.from_arrays(pa.array(vecs.ravel(), pa.float32()), dim)
             return t.append_column("embedding", col)
 

@@ -364,14 +364,42 @@ def test_embed_backend_seam():
         EmbedActor(backend="onnx")
     with pytest.raises(NotImplementedError, match="known backends"):
         EmbedActor(backend="bogus")
-    # bow contract: state built once in __init__, reused per call
+    # bow contract: deterministic across calls
     a = EmbedActor(backend="bow", dim=16)
     t = pa.table({"text": pa.array(["hello world", "hello there"])})
     out1 = a(t)
-    cache_after_first = dict(a._bucket_cache)
     out2 = a(t)
-    assert a._bucket_cache == cache_after_first  # warm cache reused, not rebuilt
     assert out1["embedding"].to_pylist() == out2["embedding"].to_pylist()
+
+
+def test_bow_arrow_kernel_parity():
+    """The vectorized Arrow BoW kernel must be byte-for-byte the scalar
+    contract (vec[sum(ord(c) for c in word) % dim] += 1 on text.lower()),
+    including empty/whitespace/unicode/null rows and large_string input."""
+    import numpy as np
+
+    from chunksilo_ray.stages.embed import bow_hash_embed, bow_hash_embed_arrow
+
+    texts = [
+        "Hello world, this is a Test 123!",
+        "",
+        "   \n\t ",
+        "aaa bbb aaa",
+        "Ünïcode wörds stay split the same",
+        "punctuation...everywhere!!!(and)[brackets]",
+        "x" * 5000,
+    ]
+    ref = bow_hash_embed(texts, dim=32)
+    for typ in (pa.string(), pa.large_string()):
+        got = bow_hash_embed_arrow(pa.array(texts, typ), dim=32)
+        assert np.allclose(ref, got, atol=1e-6)
+    # null rows embed as zero vectors (scalar path never sees nulls)
+    withnull = bow_hash_embed_arrow(pa.array(["abc", None], pa.string()), dim=32)
+    assert np.allclose(withnull[0], bow_hash_embed(["abc"], dim=32)[0], atol=1e-6)
+    assert not withnull[1].any()
+    # chunked input
+    ch = pa.chunked_array([pa.array(texts[:3]), pa.array(texts[3:])])
+    assert np.allclose(ref, bow_hash_embed_arrow(ch, dim=32), atol=1e-6)
 
 
 # ---------------------------------------------------------------------------
