@@ -119,6 +119,7 @@ def _video_frames(sf_dir: str) -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from chunksilo_ray.ops import (
+        curation,
         dedup,
         graph,
         joins,
@@ -227,6 +228,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": textstats.pack_sequences,
         "quantize_embeddings": similarity.quantize_embeddings,
         "daily_new_users": window.daily_new_users,
+        # round-3 batch 3: corpus-curation staples (test-set
+        # decontamination, Gopher-style repetition stats, global bigram
+        # vocabulary, deterministic source mixing) — all SQL-oracled;
+        # constructed-positive gates live in tests/test_curation.py
+        # Bloom-pruned EXACT semi-join (mergeable 8 KiB bitmap partials ->
+        # broadcast -> vectorized k-probe prune -> exact verify)
+        "bloom_semi_join_events": sketches.bloom_semi_join_events,
+        # ordered conversion funnel (per-user-partition vectorized resolve)
+        "funnel_stages": window.funnel_stages,
+        "decontaminate_docs": curation.decontaminate_docs,
+        "doc_line_repetition": curation.doc_line_repetition,
+        "top_bigrams": curation.top_bigrams,
+        "mix_sources": curation.mix_sources,
         # --- intentionally LAST: the genuinely-approximate / non-SQL trio
         # (each carries a named pytest gate instead of a DuckDB oracle; in
         # round 2 the correctness gate evaluated exactly 50 of 51 registered
@@ -876,6 +890,75 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(d, '%Y-%m-%d') AS day, CAST(n_new AS BIGINT) AS n_new,
                    CAST(SUM(n_new) OVER (ORDER BY d) AS BIGINT) AS cum_users
             FROM c
+        """,
+        "funnel_stages": """
+            WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                       WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT v.user_id, MIN(e.ts) AS t2 FROM v
+                  JOIN events e ON e.user_id = v.user_id
+                   AND e.event_type = 'click' AND e.ts > v.t1
+                  GROUP BY v.user_id),
+            p AS (SELECT c.user_id, MIN(e.ts) AS t3 FROM c
+                  JOIN events e ON e.user_id = c.user_id
+                   AND e.event_type = 'purchase' AND e.ts > c.t2
+                  GROUP BY c.user_id)
+            SELECT stage, CAST(n AS BIGINT) AS n_users FROM (
+              SELECT 1 AS stage, (SELECT COUNT(*) FROM v) AS n
+              UNION ALL SELECT 2, (SELECT COUNT(*) FROM c)
+              UNION ALL SELECT 3, (SELECT COUNT(*) FROM p)) t
+        """,
+        "bloom_semi_join_events": """
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM events
+            WHERE user_id IN (SELECT c_custkey FROM customer
+                              WHERE c_acctbal > 7500)
+            GROUP BY user_id
+        """,
+        "decontaminate_docs": """
+            WITH probes AS (
+              SELECT DISTINCT substr(text, 1, 40) AS p FROM documents
+              WHERE doc_id % 100 = 7 AND length(substr(text, 1, 40)) >= 20
+            )
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id % 100 <> 7
+              AND NOT EXISTS (SELECT 1 FROM probes WHERE position(p IN d.text) > 0)
+        """,
+        "doc_line_repetition": """
+            WITH l AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+                       FROM documents)
+            SELECT doc_id,
+                   CAST(len(ls) AS BIGINT) AS n_lines,
+                   CAST(len(list_distinct(ls)) AS BIGINT) AS n_distinct_lines,
+                   ROUND(1.0 - CAST(len(list_distinct(ls)) AS DOUBLE)
+                         / GREATEST(len(ls), 1), 6) AS dup_line_frac,
+                   ROUND(1.0 - CAST(len(list_distinct(ls)) AS DOUBLE)
+                         / GREATEST(len(ls), 1), 6) <= 0.30 AS keep
+            FROM l
+        """,
+        "top_bigrams": """
+            WITH words AS (
+              SELECT string_split(
+                       regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ') AS l
+              FROM documents
+            ),
+            bg AS (
+              SELECT l[i] || ' ' || l[i + 1] AS bigram
+              FROM words,
+                   LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) t
+              WHERE l[i] <> '' AND l[i + 1] <> ''
+            )
+            SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+            FROM bg GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50
+        """,
+        "mix_sources": """
+            SELECT doc_id, source FROM documents
+            WHERE (CAST(substr(source, 4) AS INTEGER) % 4 = 0)
+               OR (CAST(substr(source, 4) AS INTEGER) % 4 IN (1, 2)
+                   AND substr(md5(text), 1, 4) < '8000')
+               OR (CAST(substr(source, 4) AS INTEGER) % 4 = 3
+                   AND substr(md5(text), 1, 4) < '4000')
         """,
         "bm25_topk": """
             WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w

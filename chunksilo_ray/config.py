@@ -22,7 +22,11 @@ DEFAULTS: dict[str, Any] = {
     "embedding": {
         "backend": "bow",  # deterministic 384-d bag-of-words hash (test contract)
         "dim": 384,
-        "batch_size": 512,  # bulk-call lever, reference index.py:1091-1124
+        # bulk-call lever, reference index.py:1091-1124. 512 was tuned for
+        # the per-word Python kernel; the vectorized Arrow bow kernel
+        # amortizes better at 4096 (output alloc 4096x384 f32 = 6 MB/batch,
+        # still heap-safe with a full actor pool)
+        "batch_size": 4096,
         "concurrency": 0,  # 0 = size pool from cluster CPUs (util.pool_bounds)
         "num_cpus": 1,
         # auto = stateless tasks for cheap state (bow), actor pool for

@@ -1,0 +1,226 @@
+"""Corpus-curation operators a large-scale training-data pipeline needs:
+test-set decontamination, Gopher-style repetition filtering, global
+vocabulary building, and deterministic source mixing. All over the
+``documents`` table, all with exact DuckDB oracles in __ray_entry__.
+
+Scale notes per operator are inline; the common shape is: broadcast the
+small side once, keep the per-batch kernel vectorized (polars / Arrow), and
+make every exchange vocabulary- or stratum-bounded, never O(corpus rows).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+# held-out "benchmark" slice for decontamination: every doc_id = 7 (mod 100).
+# Real pipelines ship a fixed eval-set shingle list; the modulus gives a
+# deterministic, scale-proportional stand-in both engines can compute.
+_PROBE_MOD = 100
+_PROBE_RESIDUE = 7
+_PROBE_LEN = 40
+_MIN_PROBE_LEN = 20
+
+
+def _docs(sf_dir: str, columns: list[str] | None = None) -> Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# worker-global compiled-alternation memo (pattern built once per worker,
+# not per batch — the stateless-task analog of actor __init__ state)
+_PROBE_RE_MEMO: dict[str, re.Pattern | None] = {}
+
+
+def decontaminate_docs(sf_dir: str) -> Dataset:
+    """Test-set decontamination: drop every training document that contains
+    any probe string from the held-out slice (probes = first _PROBE_LEN
+    chars of each held-out doc). Returns surviving (doc_id) rows.
+
+    Scale shape: the probe list is the EVAL set — small by construction —
+    so it broadcasts (ray.put once, compiled to one alternation regex once
+    per worker); the corpus streams through a single vectorized
+    match_substring_regex scan. No exchange at all."""
+    def _probe_part(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(ids % _PROBE_MOD == _PROBE_RESIDUE))
+        p = pc.utf8_slice_codeunits(sub["text"], 0, _PROBE_LEN)
+        p = p.filter(pc.greater_equal(pc.utf8_length(p), _MIN_PROBE_LEN))
+        return pa.table({"p": p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p})
+
+    held = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(_probe_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .take_all()
+    )
+    probes = sorted({r["p"] for r in held})
+    probes_ref = ray.put(probes)
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..util import cached_get
+
+        key = probes_ref.hex()
+        pat = _PROBE_RE_MEMO.get(key, False)
+        if pat is False:
+            if len(_PROBE_RE_MEMO) > 4:
+                _PROBE_RE_MEMO.clear()
+            ps = cached_get(probes_ref)
+            pat = re.compile("|".join(re.escape(p) for p in ps)) if ps else None
+            _PROBE_RE_MEMO[key] = pat
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        train = ids % _PROBE_MOD != _PROBE_RESIDUE
+        if pat is None:
+            return t.filter(pa.array(train)).select(["doc_id"])
+        hit = pc.match_substring_regex(t["text"], pat.pattern).to_numpy(
+            zero_copy_only=False
+        )
+        return t.filter(pa.array(train & ~hit)).select(["doc_id"])
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+
+def doc_line_repetition(sf_dir: str, max_dup_frac: float = 0.30) -> Dataset:
+    """Gopher-style repetition signal: per document, the fraction of lines
+    that are duplicates of an earlier line (1 - distinct/total). Emits
+    (doc_id, n_lines, n_distinct_lines, dup_line_frac, keep) — ``keep``
+    is the filter verdict at ``max_dup_frac``. Pure per-row map: perfectly
+    parallel at any scale."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..util import polars_safe
+
+        pl = polars_safe()
+        df = pl.from_arrow(t.select(["text"]))
+        lines = df.select(pl.col("text").str.split("\n").alias("l"))
+        n = lines.select(pl.col("l").list.len().cast(pl.Int64).alias("n"))["n"].to_numpy()
+        nd = lines.select(pl.col("l").list.n_unique().cast(pl.Int64).alias("d"))["d"].to_numpy()
+        # half-away-from-zero rounding (SQL ROUND), not numpy's banker's —
+        # exact 5-at-digit-7 values (e.g. 1/128) must round the same way
+        frac = np.floor((1.0 - nd / np.maximum(n, 1)) * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_lines": pa.array(n, pa.int64()),
+                "n_distinct_lines": pa.array(nd, pa.int64()),
+                "dup_line_frac": pa.array(frac, pa.float64()),
+                "keep": pa.array(frac <= max_dup_frac),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+def top_bigrams(sf_dir: str, k: int = 50) -> Dataset:
+    """Global top-k word bigrams (vocabulary building / n-gram LM stats).
+
+    Scale shape: bigram counting is a per-batch PARTIAL (polars group_by
+    inside the batch), so the only exchange is one row per distinct bigram
+    per block — vocabulary-bounded, never O(corpus tokens). The global
+    groupby-sum output is again vocabulary-sized; per-block local top-k then
+    a tiny driver merge avoids a global sort."""
+    ds = _docs(sf_dir, ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from ..util import polars_safe
+
+        pl = polars_safe()
+        df = pl.from_arrow(t.select(["text"])).with_row_index("__doc")
+        ex = (
+            df.select(
+                "__doc",
+                pl.col("text")
+                .str.to_lowercase()
+                .str.replace_all("[^a-z0-9]+", " ")
+                .str.split(" ")
+                .alias("w"),
+            )
+            .explode("w")
+            .filter(pl.col("w") != "")
+        )
+        ex = ex.with_columns(pl.col("w").shift(-1).over("__doc").alias("w2")).drop_nulls(
+            "w2"
+        )
+        bg = (
+            ex.select((pl.col("w") + " " + pl.col("w2")).alias("bigram"))
+            .group_by("bigram")
+            .len(name="n")
+        )
+        out = bg.to_arrow()
+        return pa.table(
+            {
+                "bigram": out["bigram"].cast(pa.string()),
+                "n": out["n"].cast(pa.int64()),
+            }
+        )
+
+    counts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).groupby("bigram").aggregate(Sum("n", alias_name="n"))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        idx = pc.select_k_unstable(
+            t, k, sort_keys=[("n", "descending"), ("bigram", "ascending")]
+        )
+        return t.take(idx)
+
+    # driver merge of the per-block top-k (blocks x k rows, tiny)
+    blocks = [
+        b
+        for b in ray.get(
+            counts.map_batches(
+                local_topk, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+            ).to_arrow_refs()
+        )
+        if b.num_rows
+    ]
+    if not blocks:
+        tbl = pa.table({"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+    else:
+        allb = pa.concat_tables(blocks)
+        idx = pc.select_k_unstable(
+            allb, k, sort_keys=[("n", "descending"), ("bigram", "ascending")]
+        )
+        tbl = allb.take(idx)
+    return rd.from_arrow(tbl)
+
+
+# mixture thresholds by source index (mod 4): hex-string prefix gates — a
+# deterministic stand-in for the per-source sampling weights of a
+# data-mixing recipe (None = keep all, '8000' = 1/2, '4000' = 1/4; fixed
+# 4-hex-digit strings compare exactly like the 16-bit integers they encode)
+_MIX_GATES: dict[int, str | None] = {0: None, 1: "8000", 2: "8000", 3: "4000"}
+
+
+def mix_sources(sf_dir: str) -> Dataset:
+    """Deterministic weighted source mixing: keep each document with
+    probability rate(source), gated by a content-hash prefix compare — the
+    rerun-stable sampling a data-mixing recipe needs (rate by source index
+    mod 4). Emits surviving (doc_id, source). Pure per-row map; the md5
+    gate makes resumes and re-runs pick the identical subset."""
+    ds = _docs(sf_dir, ["doc_id", "text", "source"])
+
+    def f(t: pa.Table) -> pa.Table:
+        srcs = t["source"].to_pylist()
+        texts = t["text"].to_pylist()
+        keep = np.zeros(t.num_rows, dtype=bool)
+        for i, (s, x) in enumerate(zip(srcs, texts)):
+            gate = _MIX_GATES[int(s[3:]) % 4]
+            keep[i] = (
+                gate is None
+                or hashlib.md5(x.encode("utf-8")).hexdigest()[:4] < gate
+            )
+        return t.filter(pa.array(keep)).select(["doc_id", "source"])
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)

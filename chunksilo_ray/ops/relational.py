@@ -778,6 +778,10 @@ def rollup_orders_by_year_priority(sf_dir: str) -> Dataset:
     out = pd.concat([lvl0, lvl1, lvl2], ignore_index=True)[
         ["order_year", "o_orderpriority", "rev", "n"]
     ]
+    # the rollup total row's NULL year makes this column nullable; float64
+    # (NaN) matches how DuckDB's BIGINT-with-NULL arrives via fetchdf —
+    # pandas concat would otherwise leave dtype=object
+    out["order_year"] = out["order_year"].astype("float64")
     out["revenue"] = out.pop("rev").round(2)
     out["n_orders"] = out.pop("n").astype("int64")
     return rd.from_pandas(out)

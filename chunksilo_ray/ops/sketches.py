@@ -11,6 +11,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 from ray.data import Dataset
 
@@ -279,6 +280,114 @@ def corr_value_hour_by_type(sf_dir: str) -> Dataset:
             {
                 "event_type": t["event_type"],
                 "corr_value_hour": pa.array(np.round(corr, 4), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-pruned semi-join: the classic big-join optimization — build a small
+# mergeable Bloom filter over the dim side's keys, broadcast it, and prune
+# the fact side BEFORE any exchange. The Bloom answers "definitely not a
+# member" exactly, so pruned rows are provably droppable; survivors get an
+# exact membership verify (here a broadcast key set; at 100 TB the verify is
+# the shuffle join itself, which the Bloom has already shrunk by the miss
+# rate). Output is therefore EXACT — SQL-oracle-able end to end.
+
+_BLOOM_BITS = 1 << 16  # 8 KiB bitmap: fixed-size partial, OR-mergeable
+_BLOOM_K = 4
+
+
+def _bloom_positions(keys: np.ndarray) -> np.ndarray:
+    """(len(keys), _BLOOM_K) bit positions via k splitmix64 streams."""
+    cols = [
+        (_mix64(keys.astype(np.uint64) + np.uint64(0xA5A5A5A5 * (i + 1))) % np.uint64(_BLOOM_BITS)).astype(np.int64)
+        for i in range(_BLOOM_K)
+    ]
+    return np.stack(cols, axis=1)
+
+
+def bloom_semi_join_events(sf_dir: str, min_acctbal: float = 7500.0) -> Dataset:
+    """events ⋉ {customers with c_acctbal > min_acctbal}, aggregated to
+    (user_id, n_events, sum_value). Pipeline shape for 100 TB:
+
+    1. dim scan -> per-batch PARTIAL Bloom bitmaps (fixed 8 KiB each), OR-
+       merged on the driver: the exchange is O(#blocks x 8 KiB), key count
+       irrelevant;
+    2. ``ray.put`` the merged bitmap + (small-side) exact key set once;
+    3. fact scan: vectorized k-probe bit test prunes misses, exact np.isin
+       verifies survivors, per-batch partial aggregation;
+    4. tiny groupby on the surviving user_ids."""
+    import ray as _ray
+    import ray.data as _rd
+    from ray.data.aggregate import Sum as _Sum
+
+    cust = _rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"])
+
+    def dim_partial(t: pa.Table) -> pa.Table:
+        keys = t.filter(pc.greater(t["c_acctbal"], min_acctbal))["c_custkey"].to_numpy(
+            zero_copy_only=False
+        )
+        bitmap = np.zeros(_BLOOM_BITS >> 3, dtype=np.uint8)
+        if len(keys):
+            pos = _bloom_positions(keys).ravel()
+            np.bitwise_or.at(bitmap, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        return pa.table(
+            {
+                "bitmap": pa.array([bitmap.tobytes()], pa.binary()),
+                "keys": pa.array([keys.tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    merged = np.zeros(_BLOOM_BITS >> 3, dtype=np.uint8)
+    key_parts: list[np.ndarray] = []
+    for b in cust.map_batches(
+        dim_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        for raw, ks in zip(b["bitmap"].to_pylist(), b["keys"].to_pylist()):
+            merged |= np.frombuffer(raw, dtype=np.uint8)
+            key_parts.append(np.asarray(ks, dtype=np.int64))
+    keyset = np.unique(np.concatenate(key_parts)) if key_parts else np.zeros(0, np.int64)
+    side_ref = _ray.put((merged, keyset))
+
+    def fact_partial(t: pa.Table) -> pa.Table:
+        from ..util import cached_get
+
+        bitmap, keys = cached_get(side_ref)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        pos = _bloom_positions(uid)
+        hit = np.ones(len(uid), dtype=bool)
+        for i in range(_BLOOM_K):
+            p = pos[:, i]
+            hit &= (bitmap[p >> 3] & (1 << (p & 7)).astype(np.uint8)) != 0
+        # exact verify of Bloom survivors (false positives dropped here)
+        hit[hit] = np.isin(uid[hit], keys)
+        sub = t.filter(pa.array(hit))
+        g = sub.group_by("user_id", use_threads=False).aggregate(
+            [("value", "sum"), ("event_id", "count")]
+        )
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "value_sum": g["value_sum"],
+                "n": pc.cast(g["event_id_count"], pa.int64()),
+            }
+        )
+
+    agg = (
+        _events(sf_dir, ["event_id", "user_id", "value"])
+        .map_batches(fact_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(_Sum("value_sum", alias_name="sum_value"), _Sum("n", alias_name="n_events"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "n_events": pc.cast(t["n_events"], pa.int64()),
+                "sum_value": pc.round(t["sum_value"], 4),
             }
         )
 

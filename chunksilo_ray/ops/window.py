@@ -205,3 +205,60 @@ def daily_new_users(sf_dir: str) -> pa.Table:
             "cum_users": pa.array(np.cumsum(n_new)),
         }
     )
+
+
+def funnel_stages(sf_dir: str) -> pa.Table:
+    """Ordered conversion funnel view -> click -> purchase: stage k counts
+    users with an event of stage-k type STRICTLY AFTER their stage-(k-1)
+    anchor (anchor = earliest qualifying ts, the classic greedy funnel).
+    Returns 3 rows (stage, n_users), cumulative-entry semantics.
+
+    Scale shape: ONE coarse user-hash exchange (complete users per
+    partition), then the whole funnel resolves inside each partition with
+    three vectorized polars joins; the exchange output is 3 ints per
+    partition — the global combine is a 3-row sum."""
+    import polars as pl
+
+    ds = _events(sf_dir, ["user_id", "ts", "event_type"])
+
+    def funnel_partition(g: pd.DataFrame) -> pd.DataFrame:
+        df = pl.from_pandas(g[["user_id", "ts", "event_type"]])
+        v = (
+            df.filter(pl.col("event_type") == "view")
+            .group_by("user_id")
+            .agg(pl.col("ts").min().alias("t1"))
+        )
+        c = (
+            df.filter(pl.col("event_type") == "click")
+            .join(v, on="user_id")
+            .filter(pl.col("ts") > pl.col("t1"))
+            .group_by("user_id")
+            .agg(pl.col("ts").min().alias("t2"))
+        )
+        p = (
+            df.filter(pl.col("event_type") == "purchase")
+            .join(c, on="user_id")
+            .filter(pl.col("ts") > pl.col("t2"))
+            .group_by("user_id")
+            .agg(pl.col("ts").min().alias("t3"))
+        )
+        return pd.DataFrame(
+            {"stage": [1, 2, 3], "n_users": [v.height, c.height, p.height]}
+        )
+
+    parts = _user_partitioned(ds).groupby("__part").map_groups(
+        funnel_partition, batch_format="pandas"
+    )
+    out = (
+        parts.groupby("stage")
+        .sum("n_users")
+        .to_pandas()
+        .rename(columns={"sum(n_users)": "n_users"})
+        .sort_values("stage")
+    )
+    return pa.table(
+        {
+            "stage": pa.array(out["stage"].to_numpy(), pa.int64()),
+            "n_users": pa.array(out["n_users"].to_numpy(), pa.int64()),
+        }
+    )

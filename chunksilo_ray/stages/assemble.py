@@ -220,8 +220,9 @@ def _lengths_batch(t: pa.Table) -> pa.Table:
     )
     out = t.select(["conv_id", "turn_idx"])
     out = out.append_column("contrib_len", pc.cast(contrib, pa.int64()))
-    import polars as pl
+    from ..util import polars_safe
 
+    pl = polars_safe()
     h = (
         pl.from_arrow(out.select(["conv_id"]))
         .select(pl.col("conv_id").hash(seed=7).alias("h"))["h"]

@@ -165,16 +165,11 @@ class EmbedActor:
         return t.append_column("embedding", col)
 
 
-# worker-global word->bucket memo for the stateless-task bow variant
-# (bow_hash_embed caps it at _BUCKET_CACHE_CAP)
-_WORKER_BUCKETS: dict[str, int] = {}
-
-
 def embed_chunks(
     chunks: Dataset,
     backend: str = "bow",
     dim: int = 384,
-    batch_size: int = 512,
+    batch_size: int = 4096,
     concurrency: int | tuple[int, int] = 4,
     num_cpus: float = 1,
     mode: str = "auto",

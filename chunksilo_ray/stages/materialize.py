@@ -136,8 +136,9 @@ def _string_key_part(t: pa.Table, keys: list[str], parts: int = _AGG_PARTS) -> p
     polars hash — no per-row Python). The exchange then shuffles on ONE small
     int column instead of sorting multi-string tuples, and the real
     aggregation happens hash-based inside each partition."""
-    import polars as pl
+    from ..util import polars_safe
 
+    pl = polars_safe()
     df = pl.from_arrow(t.select(keys))
     h = (
         df.select(pl.concat_str([pl.col(k) for k in keys], separator="\x1f").hash(seed=7).alias("h"))["h"]

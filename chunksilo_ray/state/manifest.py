@@ -104,20 +104,47 @@ class StageCheckpoint:
     def _write_checkpoint(self, ds: Dataset, metrics: dict | None) -> None:
         """Write Parquet parts to a temp dir, rename atomically, record the
         manifest. Until the manifest lands, the stage reads as incomplete —
-        a crash mid-write simply reruns the stage."""
+        a crash mid-write simply reruns the stage.
+
+        Parts are written by ONE PLAIN RAY TASK PER PINNED BLOCK, not by
+        ``ds.write_parquet``: a write operator is a full streaming
+        execution, and a background-thread execution FIGHTS the foreground
+        stage's executor for CPU slots and memory bandwidth (measured: the
+        pipeline stage running concurrently with a background write ran
+        3-4x its standalone time). Plain tasks interleave with the
+        foreground execution at task granularity, schedule onto the node
+        holding each block (locality), and return (rows, bytes) so the
+        manifest needs no per-file metadata re-read."""
+        import ray as _ray
+
         tmp = pathlib.Path(str(self.dir) + ".tmp")
         if tmp.exists():
             shutil.rmtree(tmp)
         if self.dir.exists():
             shutil.rmtree(self.dir)
         tmp.mkdir(parents=True)
-        ds.write_parquet(str(tmp))  # one file per materialized block
-        parts = []
-        total_rows = 0
-        for f in sorted(tmp.glob("*.parquet")):
-            meta = pq.read_metadata(f)
-            parts.append({"file": f.name, "rows": meta.num_rows, "bytes": f.stat().st_size})
-            total_rows += meta.num_rows
+
+        @_ray.remote(num_cpus=0.5)
+        def _write_block(block, path: str) -> tuple[int, int]:
+            pq.write_table(block, path)
+            return block.num_rows, os.stat(path).st_size
+
+        refs = []
+        names = []
+        for i, b in enumerate(ds.to_arrow_refs()):
+            name = f"part-{i:06d}.parquet"
+            names.append(name)
+            refs.append(_write_block.remote(b, str(tmp / name)))
+        results = _ray.get(refs)
+        parts = [
+            {"file": name, "rows": rows, "bytes": nbytes}
+            for name, (rows, nbytes) in zip(names, results)
+            if rows
+        ]
+        total_rows = sum(p["rows"] for p in parts)
+        for name, (rows, _) in zip(names, results):
+            if not rows:  # empty blocks: drop the file, keep the dir clean
+                (tmp / name).unlink(missing_ok=True)
         os.replace(tmp, self.dir)
         manifest = {
             "stage": self.stage,

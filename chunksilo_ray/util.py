@@ -47,3 +47,26 @@ def cached_get(ref):
         got = ray.get(ref)
         _REF_CACHE[key] = got
     return got
+
+
+def polars_safe():
+    """Import polars with a retry around its lazy-submodule initialization.
+
+    Observed once under Ray: a worker's first polars use inside a task hit
+    ``module 'polars._reexport' has no attribute 'DataFrame'`` — a partial
+    lazy import. Import LAZILY here (an eager module-level import costs
+    ~1 s x every spawned worker process, measured as +5 s on the first
+    pipeline stage) and poke the lazy attribute with a short retry instead."""
+    import time as _t
+
+    last: Exception | None = None
+    for _ in range(3):
+        try:
+            import polars as pl
+
+            pl.DataFrame  # force the lazy re-export to resolve
+            return pl
+        except AttributeError as exc:  # pragma: no cover - rare import race
+            last = exc
+            _t.sleep(0.05)
+    raise last  # pragma: no cover
