@@ -241,6 +241,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_line_repetition": curation.doc_line_repetition,
         "top_bigrams": curation.top_bigrams,
         "mix_sources": curation.mix_sources,
+        # batch 4: PII redaction (RE2 kernels shared with the oracle),
+        # Gopher top-2-gram repetition, and the batch kNN join
+        "redact_pii": curation.redact_pii,
+        "doc_bigram_repetition": curation.doc_bigram_repetition,
+        "knn_join": similarity.knn_join,
         # --- intentionally LAST: the genuinely-approximate / non-SQL trio
         # (each carries a named pytest gate instead of a DuckDB oracle; in
         # round 2 the correctness gate evaluated exactly 50 of 51 registered
@@ -959,6 +964,64 @@ def oracle_sql() -> dict[str, str]:
                    AND substr(md5(text), 1, 4) < '8000')
                OR (CAST(substr(source, 4) AS INTEGER) % 4 = 3
                    AND substr(md5(text), 1, 4) < '4000')
+        """,
+        # PII patterns are RE2 on BOTH engines (pyarrow + DuckDB), so the
+        # redacted text is byte-compared; corpus carries no PII, so the
+        # constructed-positive gate lives in tests/test_curation.py
+        "redact_pii": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                     AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                     '\d{3}[-.]\d{3}[-.]\d{4}')) AS BIGINT) AS n_phones,
+                   len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) = 0
+                   AND len(regexp_extract_all(text,
+                     '\d{3}[-.]\d{3}[-.]\d{4}')) = 0 AS pii_free,
+                   regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '[EMAIL]', 'g'),
+                     '\d{3}[-.]\d{3}[-.]\d{4}', '[PHONE]', 'g') AS redacted
+            FROM documents
+        """,
+        "doc_bigram_repetition": """
+            WITH words AS (
+              SELECT doc_id, string_split(
+                       regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ') AS l
+              FROM documents
+            ),
+            bg AS (
+              SELECT doc_id, l[i] || ' ' || l[i + 1] AS bigram
+              FROM words,
+                   LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) t
+              WHERE l[i] <> '' AND l[i + 1] <> ''
+            ),
+            per AS (SELECT doc_id, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram),
+            agg AS (SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_n
+                    FROM per GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(a.top_n, 0) AS BIGINT) AS top_n,
+                   ROUND(CAST(COALESCE(a.top_n, 0) AS DOUBLE)
+                         / GREATEST(COALESCE(a.n_bigrams, 0), 1), 6) AS top_bigram_frac,
+                   ROUND(CAST(COALESCE(a.top_n, 0) AS DOUBLE)
+                         / GREATEST(COALESCE(a.n_bigrams, 0), 1), 6) <= 0.125 AS keep
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "knn_join": """
+            WITH q AS (SELECT vec_id AS query_id,
+                              CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 8),
+            s AS (SELECT q.query_id, e.vec_id,
+                         ROUND(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cosine
+                  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+            r AS (SELECT query_id, vec_id, cosine,
+                         CAST(row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+                  FROM s)
+            SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10
         """,
         "bm25_topk": """
             WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w

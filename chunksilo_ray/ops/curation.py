@@ -196,6 +196,98 @@ def top_bigrams(sf_dir: str, k: int = 50) -> Dataset:
     return rd.from_arrow(tbl)
 
 
+# PII patterns shared byte-for-byte with the DuckDB oracle: both pyarrow
+# (count/replace_substring_regex) and DuckDB regexp_* are RE2, so the scan
+# and the redaction are EXACTLY cross-checkable. Leftmost non-overlapping
+# semantics match on both sides.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\d{3}[-.]\d{3}[-.]\d{4}"
+
+
+def redact_pii(sf_dir: str) -> Dataset:
+    """PII detection + redaction over the corpus: count and mask email
+    addresses and US-style phone numbers. Emits (doc_id, n_emails,
+    n_phones, pii_free, redacted). Pure per-row vectorized map (two RE2
+    kernels per batch, compiled once inside Arrow) — perfectly parallel;
+    the redacted text column is the same size class as the input, so block
+    sizes are unchanged. Constructed-positive gate (corpus has no PII):
+    tests/test_curation.py::test_redact_pii_positive."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        n_em = pc.cast(pc.count_substring_regex(t["text"], _PII_EMAIL), pa.int64())
+        n_ph = pc.cast(pc.count_substring_regex(t["text"], _PII_PHONE), pa.int64())
+        red = pc.replace_substring_regex(t["text"], _PII_EMAIL, "[EMAIL]")
+        red = pc.replace_substring_regex(red, _PII_PHONE, "[PHONE]")
+        free = pc.and_(pc.equal(n_em, 0), pc.equal(n_ph, 0))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_emails": n_em,
+                "n_phones": n_ph,
+                "pii_free": free,
+                "redacted": red,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+def doc_bigram_repetition(sf_dir: str, max_top_frac: float = 0.125) -> Dataset:
+    """Gopher-style top-2-gram repetition: per document, the fraction of
+    all word bigrams taken by the single most frequent one (boilerplate /
+    template detector — natural text stays low, generated spam spikes).
+    Emits (doc_id, n_bigrams, top_n, top_bigram_frac, keep). Only counts
+    are emitted (not the winning bigram) so ties cannot affect the output.
+    Per-row map over in-batch polars group_bys — no exchange."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..util import polars_safe
+
+        pl = polars_safe()
+        df = pl.from_arrow(t.select(["doc_id", "text"]))
+        ex = (
+            df.select(
+                "doc_id",
+                pl.col("text")
+                .str.to_lowercase()
+                .str.replace_all("[^a-z0-9]+", " ")
+                .str.split(" ")
+                .alias("w"),
+            )
+            .explode("w")
+            .filter(pl.col("w") != "")
+        )
+        ex = ex.with_columns(pl.col("w").shift(-1).over("doc_id").alias("w2")).drop_nulls("w2")
+        per = (
+            ex.group_by("doc_id", pl.col("w") + " " + pl.col("w2"))
+            .len(name="c")
+            .group_by("doc_id")
+            .agg(pl.col("c").sum().alias("n_bigrams"), pl.col("c").max().alias("top_n"))
+        )
+        out = (
+            df.select("doc_id")
+            .join(per, on="doc_id", how="left")
+            .with_columns(pl.col("n_bigrams").fill_null(0), pl.col("top_n").fill_null(0))
+        ).to_arrow()
+        n = out["n_bigrams"].to_numpy().astype(np.float64)
+        top = out["top_n"].to_numpy().astype(np.float64)
+        # half-away-from-zero rounding to match SQL ROUND
+        frac = np.floor(top / np.maximum(n, 1) * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "doc_id": out["doc_id"].cast(pa.int64()),
+                "n_bigrams": out["n_bigrams"].cast(pa.int64()),
+                "top_n": out["top_n"].cast(pa.int64()),
+                "top_bigram_frac": pa.array(frac, pa.float64()),
+                "keep": pa.array(frac <= max_top_frac),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
 # mixture thresholds by source index (mod 4): hex-string prefix gates — a
 # deterministic stand-in for the per-source sampling weights of a
 # data-mixing recipe (None = keep all, '8000' = 1/2, '4000' = 1/4; fixed

@@ -75,6 +75,67 @@ def cosine_topk(sf_dir: str, vec_id: int = 0, k: int = 10) -> "pa.Table":
     return t.select(["vec_id", "cosine"])
 
 
+def knn_join(sf_dir: str, n_queries: int = 8, k: int = 10) -> "pa.Table":
+    """Batch kNN join: for EACH of a set of query vectors, the k nearest
+    corpus vectors by cosine (self excluded) with a dense rank — the
+    retrieval-eval / hard-negative-mining primitive. Emits (query_id,
+    vec_id, cosine, rank).
+
+    Scale shape: the query matrix broadcasts ONCE (``ray.put``; Q x d —
+    queries are a work-list, tiny vs the corpus); every batch does a single
+    (batch x d) @ (d x Q) matmul and keeps only its per-query top-k, so the
+    driver merge handles #blocks x Q x k rows, never the corpus. Adding
+    queries widens the matmul, not the scan count."""
+    import pyarrow.dataset as pads
+
+    qt = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"], filter=pads.field("vec_id") < n_queries
+    )
+    q_ids = np.asarray(qt["vec_id"].to_pylist(), dtype=np.int64)
+    qm = _normalize(np.asarray(qt["embedding"].to_pylist(), dtype=np.float64))
+    side = ray.put((q_ids, qm.T.copy()))  # d x Q, contiguous for the matmul
+
+    def partial(t: pa.Table) -> pa.Table:
+        from ..util import cached_get
+
+        ids_q, qmT = cached_get(side)
+        vids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        emb = _normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float64))
+        sims = emb @ qmT  # (batch, Q)
+        out_q, out_v, out_c = [], [], []
+        for j in range(sims.shape[1]):
+            col = sims[:, j]
+            mask = vids != ids_q[j]  # exclude self-match
+            cand = np.nonzero(mask)[0]
+            if len(cand) > k:
+                cand = cand[np.argpartition(-col[cand], k)[:k]]
+            out_q.append(np.full(len(cand), ids_q[j], dtype=np.int64))
+            out_v.append(vids[cand])
+            out_c.append(col[cand])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "cosine": pa.array(np.round(np.concatenate(out_c), 6), pa.float64()),
+            }
+        )
+
+    rows = (
+        _emb(sf_dir)
+        .map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .take_all()
+    )
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    # rank over the ROUNDED cosine (both engines round before ranking, so
+    # float-noise below 1e-6 cannot flip an order), ties by vec_id
+    df = df.sort_values(["query_id", "cosine", "vec_id"], ascending=[True, False, True])
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= k]
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
 # ---------------------------------------------------------------------------
 # IVF: train-once persistent index (reference load-once module-global index
 # pattern, src/chunksilo/search.py:950-971), then n_probe-cell queries that

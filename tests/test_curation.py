@@ -142,6 +142,74 @@ def test_mix_sources_rates_and_determinism(ray_session, tmp_path):
     assert set(got[got["source"] == "src1"]["doc_id"]) == kept1
 
 
+def test_redact_pii_positive(ray_session, tmp_path):
+    """Planted emails and phone numbers must be counted and masked; parity
+    with the shipped RE2 SQL on the same corpus (corpus testdata carries no
+    PII, so this is the op's only positive-branch gate)."""
+    from chunksilo_ray.ops import curation
+
+    rows = [
+        (1, "contact alice.smith+ml@example.co.uk or bob@x.io today", "en", "src0"),
+        (2, "call 555-123-4567 or 800.555.0199 for support", "en", "src1"),
+        (3, "mixed: eve@corp.net and 212-555-7788 in one line", "en", "src2"),
+        (4, "no pii here, just words and numbers like 12345", "en", "src3"),
+        (5, "not-an-email @ example .com and 12-34-56 stay", "en", "src0"),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = _compare(curation.redact_pii(sf), sf, "redact_pii")
+    by_id = got.set_index("doc_id")
+    assert by_id.loc[1, "n_emails"] == 2 and by_id.loc[1, "n_phones"] == 0
+    assert "[EMAIL]" in by_id.loc[1, "redacted"] and "alice" not in by_id.loc[1, "redacted"]
+    assert by_id.loc[2, "n_phones"] == 2 and "[PHONE]" in by_id.loc[2, "redacted"]
+    assert by_id.loc[3, "n_emails"] == 1 and by_id.loc[3, "n_phones"] == 1
+    assert bool(by_id.loc[4, "pii_free"]) and by_id.loc[4, "redacted"] == rows[3][1]
+    assert bool(by_id.loc[5, "pii_free"])  # malformed lookalikes untouched
+
+
+def test_bigram_repetition_flags_template_spam(ray_session, tmp_path):
+    from chunksilo_ray.ops import curation
+
+    spam = " ".join(["buy now"] * 10)  # "now buy" x9, "buy now" x10 of 19
+    clean = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, spam, "en", "src0"),
+        (2, clean, "en", "src1"),
+        (3, "word", "en", "src2"),  # single word: zero bigrams
+        (4, "", "en", "src3"),  # empty text
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = _compare(curation.doc_bigram_repetition(sf), sf, "doc_bigram_repetition")
+    by_id = got.set_index("doc_id")
+    assert by_id.loc[1, "n_bigrams"] == 19 and by_id.loc[1, "top_n"] == 10
+    assert not by_id.loc[1, "keep"]  # 10/19 >> 0.125
+    assert by_id.loc[2, "top_n"] == 1 and by_id.loc[2, "keep"]
+    assert by_id.loc[3, "n_bigrams"] == 0 and by_id.loc[3, "keep"]
+    assert by_id.loc[4, "n_bigrams"] == 0 and by_id.loc[4, "keep"]
+
+
+def test_knn_join_matches_shipped_oracle(ray_session):
+    """Batch kNN join parity on the sf0.001 embeddings: same rows, same
+    cosines, same ranks as the shipped DuckDB SQL (self-matches excluded)."""
+    import __ray_entry__ as E
+    from chunksilo_ray.ops import similarity
+
+    sf = "/root/testdata/sf0.001"
+    got = similarity.knn_join(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+    )
+    exp = con.execute(E.oracle_sql()["knn_join"]).fetchdf()
+    cols = sorted(exp.columns)
+    assert sorted(got.columns) == cols
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    e = exp[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, e, rtol=1e-9, check_dtype=False)
+    assert set(g["query_id"]) == set(range(8))
+    assert (g.groupby("query_id").size() == 10).all()
+    assert not (g["query_id"] == g["vec_id"]).any()  # self excluded
+
+
 def test_bloom_semi_join_matches_shipped_oracle(ray_session):
     """Bloom pruning must not change results: exact parity with the shipped
     semi-join SQL on the sf0.001 driver tables (false positives removed by
