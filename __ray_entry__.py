@@ -246,6 +246,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": curation.redact_pii,
         "doc_bigram_repetition": curation.doc_bigram_repetition,
         "knn_join": similarity.knn_join,
+        # persisted-index builders (the reference's index-sink layout as
+        # queryable tables: postings + corpus dictionary)
+        "build_postings": text_search.build_postings,
+        "term_stats": text_search.term_stats,
         # --- intentionally LAST: the genuinely-approximate / non-SQL trio
         # (each carries a named pytest gate instead of a DuckDB oracle; in
         # round 2 the correctness gate evaluated exactly 50 of 51 registered
@@ -1008,6 +1012,29 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(COALESCE(a.top_n, 0) AS DOUBLE)
                          / GREATEST(COALESCE(a.n_bigrams, 0), 1), 6) <= 0.125 AS keep
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "build_postings": """
+            WITH toks AS (SELECT doc_id,
+                                 regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                          FROM documents),
+            ex AS (SELECT doc_id, unnest(w) AS term FROM toks)
+            SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM ex GROUP BY term, doc_id
+        """,
+        "term_stats": """
+            WITH toks AS (SELECT doc_id,
+                                 regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                          FROM documents),
+            ex AS (SELECT doc_id, unnest(w) AS term FROM toks),
+            post AS (SELECT term, doc_id, COUNT(*) AS tf
+                     FROM ex GROUP BY term, doc_id),
+            n AS (SELECT COUNT(*) AS n_docs FROM documents)
+            SELECT term,
+                   CAST(COUNT(*) AS BIGINT) AS df,
+                   CAST(SUM(tf) AS BIGINT) AS cf,
+                   ROUND(ln((n.n_docs - COUNT(*) + 0.5) / (COUNT(*) + 0.5) + 1.0), 6)
+                     AS idf
+            FROM post, n GROUP BY term, n.n_docs
         """,
         "knn_join": """
             WITH q AS (SELECT vec_id AS query_id,

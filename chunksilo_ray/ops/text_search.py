@@ -209,3 +209,78 @@ def bm25_topk(
     return pa.Table.from_pylist(rows) if rows else pa.table(
         {"doc_id": pa.array([], pa.int64()), "bm25": pa.array([], pa.float64())}
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted-index builders: the materialized analog of the reference's index
+# sink (reference index.py builds and persists BM25/vector stores; the query
+# ops above recompute on the fly — these two emit the index TABLES so a
+# repeated-query service can read them instead).
+
+
+def build_postings(sf_dir: str) -> Dataset:
+    """Inverted-index postings rows (term, doc_id, tf) — the BM25 sink's
+    storage layout. ZERO exchange: each document lives wholly inside one
+    input row, so per-(term, doc) term frequencies are computable entirely
+    within the batch (polars explode + group_by); the output streams
+    straight to its sink. At 100 TB this stays embarrassingly parallel —
+    postings are naturally partitioned by the doc ranges of the input."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        from ..util import polars_safe
+
+        pl = polars_safe()
+        df = pl.from_arrow(t.select(["doc_id", "text"]))
+        out = (
+            df.select(
+                "doc_id",
+                pl.col("text")
+                .str.to_lowercase()
+                .str.extract_all("[a-z0-9]+")
+                .alias("term"),
+            )
+            .explode("term")
+            .drop_nulls("term")
+            .group_by("doc_id", "term")
+            .len(name="tf")
+        ).to_arrow()
+        return pa.table(
+            {
+                "term": out["term"].cast(pa.string()),
+                "doc_id": out["doc_id"].cast(pa.int64()),
+                "tf": out["tf"].cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+def term_stats(sf_dir: str) -> Dataset:
+    """Corpus dictionary (term, df, cf, idf): document frequency, collection
+    frequency, and the BM25 idf ln((N - df + 0.5) / (df + 0.5) + 1). One
+    vocabulary-bounded exchange: the postings pass above already reduced
+    each batch to (term, doc_id, tf) partials, so the groupby ships one row
+    per distinct term per block, never O(corpus tokens)."""
+    from ray.data.aggregate import Count, Sum
+
+    n_docs = _docs(sf_dir, ["doc_id"]).count()
+    agg = (
+        build_postings(sf_dir)
+        .groupby("term")
+        .aggregate(Count(alias_name="df"), Sum("tf", alias_name="cf"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        return pa.table(
+            {
+                "term": t["term"],
+                "df": pc.cast(t["df"], pa.int64()),
+                "cf": pc.cast(t["cf"], pa.int64()),
+                "idf": pa.array(np.round(idf, 6), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)

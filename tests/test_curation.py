@@ -187,6 +187,31 @@ def test_bigram_repetition_flags_template_spam(ray_session, tmp_path):
     assert by_id.loc[4, "n_bigrams"] == 0 and by_id.loc[4, "keep"]
 
 
+def test_postings_and_term_stats_match_shipped_oracle(ray_session, tmp_path):
+    """Index-builder parity on a corpus with the tokenizer edge cases:
+    punctuation folding, case folding, repeated terms, and an empty doc."""
+    from chunksilo_ray.ops import text_search
+
+    rows = [
+        (1, "Data DATA data; pipelines!", "en", "src0"),  # tf(data)=3
+        (2, "pipelines process data", "en", "src1"),
+        (3, "", "en", "src2"),  # empty: contributes no postings
+        (4, "42 widgets, 42 answers", "en", "src3"),  # digit terms
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got_p = _compare(text_search.build_postings(sf), sf, "build_postings")
+    tf = {(r.term, r.doc_id): r.tf for r in got_p.itertuples()}
+    assert tf[("data", 1)] == 3 and tf[("42", 4)] == 2
+    assert not any(d == 3 for (_, d) in tf)  # empty doc absent
+
+    got_s = _compare(text_search.term_stats(sf), sf, "term_stats")
+    by_term = got_s.set_index("term")
+    assert by_term.loc["data", "df"] == 2 and by_term.loc["data", "cf"] == 4
+    assert by_term.loc["pipelines", "df"] == 2
+    # idf is monotone decreasing in df
+    assert by_term.loc["process", "idf"] > by_term.loc["data", "idf"]
+
+
 def test_knn_join_matches_shipped_oracle(ray_session):
     """Batch kNN join parity on the sf0.001 embeddings: same rows, same
     cosines, same ranks as the shipped DuckDB SQL (self-matches excluded)."""
