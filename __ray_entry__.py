@@ -250,6 +250,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # queryable tables: postings + corpus dictionary)
         "build_postings": text_search.build_postings,
         "term_stats": text_search.term_stats,
+        # batch 5 (all SQL-oracled + gated in tests/test_round3c.py):
+        # PIVOT, keep-latest CDC compaction, clickstream paths, mergeable
+        # histogram + deterministic binned-quantile sketch, Arrow-kernel
+        # text normalization, per-lang percentile filter
+        "pivot_events_daily": relational.pivot_events_daily,
+        "latest_event_per_user_type": window.latest_event_per_user_type,
+        "event_path_per_user": window.event_path_per_user,
+        "value_histogram": sketches.value_histogram,
+        "approx_quantiles_value": sketches.approx_quantiles_value,
+        "normalize_docs": curation.normalize_docs,
+        "long_docs_per_lang": textstats.long_docs_per_lang,
         # --- intentionally LAST: the genuinely-approximate / non-SQL trio
         # (each carries a named pytest gate instead of a DuckDB oracle; in
         # round 2 the correctness gate evaluated exactly 50 of 51 registered
@@ -1071,5 +1082,76 @@ def oracle_sql() -> dict[str, str]:
               WHERE tf > 0 GROUP BY doc_id)
             SELECT doc_id, ROUND(score, 6) AS bm25 FROM scored
             WHERE score > 0 ORDER BY bm25 DESC, doc_id LIMIT 10
+        """,
+        # --- batch 5 ---
+        "pivot_events_daily": """
+            SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+            FROM events GROUP BY 1
+        """,
+        "latest_event_per_user_type": """
+            SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   event_id, value
+            FROM events
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "event_path_per_user": """
+            WITH r AS (SELECT user_id, event_type,
+                              ROW_NUMBER() OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id) AS rn
+                       FROM events)
+            SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+            FROM r WHERE rn <= 8 GROUP BY user_id
+        """,
+        "value_histogram": """
+            SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,
+                   CAST(FLOOR(value / 25.0) AS BIGINT) * 25.0 AS lo,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "approx_quantiles_value": """
+            WITH cnt AS (SELECT event_type,
+                                CAST(FLOOR(value / 0.25) AS BIGINT) AS bin,
+                                COUNT(*) AS n
+                         FROM events GROUP BY 1, 2),
+            tot AS (SELECT event_type, SUM(n) AS total FROM cnt GROUP BY 1),
+            cum AS (SELECT event_type, bin,
+                           SUM(n) OVER (PARTITION BY event_type
+                                        ORDER BY bin) AS cum
+                    FROM cnt),
+            qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+            SELECT c.event_type, qs.q AS q,
+                   ROUND(MIN((c.bin + 1) * 0.25), 6) AS est
+            FROM cum c JOIN tot t USING (event_type) CROSS JOIN qs
+            WHERE c.cum >= CEIL(qs.q * t.total)
+            GROUP BY 1, 2
+        """,
+        "normalize_docs": """
+            WITH n AS (SELECT doc_id,
+                              trim(regexp_replace(lower(text),
+                                   '[ \t\r\n]+', ' ', 'g'), ' ') AS norm_text
+                       FROM documents)
+            SELECT doc_id, norm_text,
+                   CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+            FROM n
+        """,
+        "long_docs_per_lang": """
+            WITH cnt AS (SELECT lang, n_chars, COUNT(*) AS c
+                         FROM documents GROUP BY 1, 2),
+            tot AS (SELECT lang, SUM(c) AS n FROM cnt GROUP BY 1),
+            cum AS (SELECT lang, n_chars,
+                           SUM(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum
+                    FROM cnt),
+            thr AS (SELECT c.lang, MIN(c.n_chars) AS cut
+                    FROM cum c JOIN tot t USING (lang)
+                    WHERE c.cum >= CEIL(0.9 * t.n) GROUP BY 1)
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN thr ON d.lang = thr.lang
+            WHERE d.n_chars >= thr.cut
         """,
     }

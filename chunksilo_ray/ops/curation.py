@@ -316,3 +316,28 @@ def mix_sources(sf_dir: str) -> Dataset:
         return t.filter(pa.array(keep)).select(["doc_id", "source"])
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+def normalize_docs(sf_dir: str) -> Dataset:
+    """Text normalization (the first stage of every curation pipeline):
+    lowercase, collapse runs of ASCII whitespace to one space, trim. The
+    whole kernel is Arrow compute (utf8_lower + RE2 replace + trim) on
+    zero-copy batches — no Python string ever materializes. The whitespace
+    class is written out explicitly ([ \\t\\r\\n]) because RE2's \\s and
+    Python's unicode \\s disagree; explicit classes keep the Ray kernel and
+    the DuckDB oracle (also RE2) bit-identical."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(t["text"])
+        s = pc.replace_substring_regex(s, pattern="[ \t\r\n]+", replacement=" ")
+        s = pc.utf8_trim(s, characters=" ")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "norm_text": s,
+                "n_chars_norm": pc.cast(pc.utf8_length(s), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)

@@ -892,6 +892,49 @@ def props_key_histogram(sf_dir: str) -> Dataset:
     )
 
 
+# The events table's closed event-type vocabulary. A SQL PIVOT needs the
+# explicit IN (...) list for the same reason this constant exists: pivoted
+# output columns must be known before execution.
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_events_daily(sf_dir: str, types: tuple[str, ...] = EVENT_TYPES) -> Dataset:
+    """PIVOT: one row per day, one count column per event type
+    (`PIVOT ... ON event_type IN (...)` / conditional-aggregation shape).
+
+    100 TB shape: each batch collapses to at most (days-in-batch) rows of
+    fixed width before the exchange — the wide layout IS the partial, so the
+    global combine is len(types) Sums over a days-bounded table and no
+    (day, type) long-format row ever crosses the shuffle twice."""
+    ds = _pq(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.divide(t["ts"].cast(pa.int64()), 86_400_000_000), pa.int64()
+        )
+        cols = {"day": day}
+        for ty in types:
+            cols[f"n_{ty}"] = pc.cast(pc.equal(t["event_type"], ty), pa.int64())
+        g = pa.table(cols).group_by("day", use_threads=False).aggregate(
+            [(f"n_{ty}", "sum") for ty in types]
+        )
+        return g.rename_columns(["day"] + [f"n_{ty}" for ty in types])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby("day")
+        .aggregate(*[Sum(f"n_{ty}", alias_name=f"n_{ty}") for ty in types])
+    )
+
+    def fix_types(t: pa.Table) -> pa.Table:
+        for ty in types:
+            i = t.column_names.index(f"n_{ty}")
+            t = t.set_column(i, f"n_{ty}", pc.cast(t[f"n_{ty}"], pa.int64()))
+        return t
+
+    return agg.map_batches(fix_types, batch_format="pyarrow", batch_size=None)
+
+
 def users_click_and_purchase(sf_dir: str) -> Dataset:
     """Set intersection (INTERSECT): users appearing with BOTH event types.
     Per-batch partial collapses to at most one row per (user, flags-pair)

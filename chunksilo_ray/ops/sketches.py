@@ -392,3 +392,98 @@ def bloom_semi_join_events(sf_dir: str, min_acctbal: float = 7500.0) -> Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def value_histogram(sf_dir: str, width: float = 25.0) -> Dataset:
+    """Fixed-width equi-bin histogram of ``events.value`` — the mergeable
+    distribution summary every profiling pass starts with. Per-batch
+    partial = (bin, count) pairs; the global combine is one Sum over a
+    range/width-bounded table, so the exchange never carries a value."""
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, ["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.floor(v / width).astype(np.int64)
+        g = (
+            pa.table({"bin": b})
+            .group_by("bin", use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["bin", "n"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        b = t["bin"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "bin": t["bin"],
+                "lo": pa.array(b * width, pa.float64()),
+                "n": pc.cast(t["n"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+# binned-quantile sketch configuration: bin width and the quantiles served.
+# The sketch is DETERMINISTIC (unlike t-digest/KLL), so its estimates are
+# SQL-oracle-able bit-for-bit: both sides bin, cumsum, and pick the first
+# bin whose cumulative count reaches ceil(q*n).
+_QSKETCH_WIDTH = 0.25
+_QS = (0.5, 0.9, 0.99)
+
+
+def approx_quantiles_value(
+    sf_dir: str, width: float = _QSKETCH_WIDTH, qs: tuple[float, ...] = _QS
+) -> Dataset:
+    """Grouped approximate quantiles via a mergeable fixed-bin histogram
+    sketch: per (event_type, bin) counts are the partial, the combine is a
+    Sum, and the quantile estimate is the upper edge of the first bin whose
+    cumulative count reaches ceil(q*n). Error is bounded by the bin width
+    (here 0.25 on a 0-500 domain, ~0.05%), the sketch size by domain/width
+    — the holistic sort a true grouped quantile needs never happens.
+    Contrast with p95_value_by_type (exact, co-locates each group's
+    values): this is the shape that still works when one group's values
+    don't fit a node."""
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.floor(v / width).astype(np.int64)
+        g = (
+            pa.table({"event_type": t["event_type"], "bin": b})
+            .group_by(["event_type", "bin"], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["event_type", "bin", "n"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby(["event_type", "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        # one group per event_type: |types| x |bins| rows, trivially small
+        g = g.sort_values("bin", kind="mergesort")
+        cum = g["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        bins = g["bin"].to_numpy()
+        rows = []
+        for q in qs:
+            need = float(np.ceil(q * total))
+            i = int(np.searchsorted(cum, need, side="left"))
+            est = (float(bins[i]) + 1.0) * width
+            rows.append((g["event_type"].iloc[0], q, round(est, 6)))
+        return pd.DataFrame(rows, columns=["event_type", "q", "est"])
+
+    return agg.groupby("event_type").map_groups(finish, batch_format="pandas")

@@ -452,3 +452,57 @@ def pack_sequences(sf_dir: str, budget: int = 512, bucket_width: int = 256) -> D
         )
 
     return toks.groupby("__bucket").map_groups(finish_bucket, batch_format="pyarrow")
+
+
+def long_docs_per_lang(sf_dir: str, q: float = 0.9) -> Dataset:
+    """Per-group percentile filter: keep each language's longest decile
+    (n_chars >= that lang's q-quantile). The threshold comes from a
+    MERGEABLE (lang, n_chars) count histogram — partial counts per batch,
+    one Sum combine, cumsum over the tiny lang x distinct-length table —
+    then broadcasts into a vectorized filter pass. The discrete-quantile
+    rule (smallest length whose cumulative count reaches ceil(q*n)) is
+    deterministic, so the DuckDB oracle reproduces it bit-for-bit; no
+    holistic per-group sort of the corpus ever runs."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    counts = (
+        _docs(sf_dir, ["lang", "n_chars"])
+        .map_batches(
+            lambda t: pa.table({"lang": t["lang"], "n_chars": t["n_chars"]})
+            .group_by(["lang", "n_chars"], use_threads=False)
+            .aggregate([([], "count_all")])
+            .rename_columns(["lang", "n_chars", "n"]),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+        )
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    hist = counts.to_pandas()  # |langs| x |distinct lengths| — tiny
+    thr: dict[str, int] = {}
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("n_chars", kind="mergesort")
+        cum = g["n"].cumsum().to_numpy()
+        need = float(np.ceil(q * float(cum[-1])))
+        i = int(np.searchsorted(cum, need, side="left"))
+        thr[str(lang)] = int(g["n_chars"].to_numpy()[i])
+    thr_ref = ray.put(thr)
+
+    def keep_long(t: pa.Table) -> pa.Table:
+        from ..util import cached_get
+
+        cuts = cached_get(thr_ref)
+        # vectorized threshold lookup: dictionary-encode lang (|langs| codes),
+        # map each code to its cut once, then one numpy compare over the batch
+        enc = t["lang"].combine_chunks().dictionary_encode()
+        cut_per_code = np.array(
+            [cuts.get(v, np.iinfo(np.int64).max) for v in enc.dictionary.to_pylist()],
+            dtype=np.int64,
+        )
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        n = t["n_chars"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(n >= cut_per_code[codes]))
+
+    return _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
+        keep_long, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )

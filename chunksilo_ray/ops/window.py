@@ -158,6 +158,63 @@ def lag_delta_per_user(sf_dir: str) -> Dataset:
     )
 
 
+def latest_event_per_user_type(sf_dir: str) -> Dataset:
+    """Keep-latest compaction (CDC upsert semantics): for every
+    (user_id, event_type) keep the single most recent event, ties on ts
+    broken by the larger event_id — the deterministic "last writer wins"
+    rule a log-compaction sink applies.
+
+    100 TB shape: each batch first compacts LOCALLY to one row per key
+    (sort + keep-last inside the batch), so the exchange moves at most one
+    row per key per batch; the same vectorized keep-last then runs once per
+    coarse user partition — never one Python call per key."""
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def _keep_last(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"], kind="mergesort")
+        g = g.drop_duplicates(["user_id", "event_type"], keep="last")
+        out = g[["user_id", "event_type", "event_id", "value"]].copy()
+        out["ts_us"] = g["ts"].astype("int64")
+        return out[["user_id", "event_type", "ts_us", "event_id", "value"]]
+
+    def batch_compact(g: pd.DataFrame) -> pd.DataFrame:
+        return _keep_last(g)
+
+    compacted = ds.map_batches(batch_compact, batch_format="pandas", batch_size=None)
+
+    def partition_compact(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts_us", "event_id"], kind="mergesort")
+        return g.drop_duplicates(["user_id", "event_type"], keep="last")[
+            ["user_id", "event_type", "ts_us", "event_id", "value"]
+        ]
+
+    return _user_partitioned(compacted).groupby("__part").map_groups(
+        partition_compact, batch_format="pandas"
+    )
+
+
+def event_path_per_user(sf_dir: str, k: int = 8) -> Dataset:
+    """Ordered group-concat: each user's first ``k`` event types in
+    (ts, event_id) order joined with '>' — the classic clickstream-path /
+    journey operator (SQL: string_agg(... ORDER BY ...) over a ROW_NUMBER
+    prefix).
+
+    The coarse user partition co-locates complete users; the k-prefix is
+    taken vectorized (cumcount < k) and only the final join-to-string is
+    per-user work — unavoidable, since the OUTPUT is one string per user."""
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    def paths_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = g[g.groupby("user_id").cumcount() < k]
+        out = g.groupby("user_id", sort=False)["event_type"].agg(">".join)
+        return pd.DataFrame({"user_id": out.index.to_numpy(), "path": out.to_numpy()})
+
+    return _user_partitioned(ds).groupby("__part").map_groups(
+        paths_partition, batch_format="pandas"
+    )
+
+
 def daily_new_users(sf_dir: str) -> pa.Table:
     """User-acquisition curve: first-seen day per user (distributed argmin),
     new-user count per day, cumulative total. The per-batch partial
