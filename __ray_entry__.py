@@ -11,7 +11,9 @@ The driver calls ``ray.init(...)`` BEFORE importing this module; nothing here
   multimodal plumbing). Callables take sf_dir (driver testdata tables).
 - ``oracle_sql()``: matching DuckDB SQL for the SQL-expressible subset
   (column names match exactly; float aggregates ROUND()ed identically on
-  both sides). KG / sketch / ANN ops are rows-only by design.
+  both sides). Only the genuinely-approximate ops (IVF probe search, HLL)
+  and the composite search pipeline are rows-only; KG outputs are value-
+  oracled from their written checkpoints (docs_dir_scan pattern).
 """
 
 from __future__ import annotations
@@ -117,6 +119,38 @@ def _video_frames(sf_dir: str) -> Any:
     return multimodal.video_frames()
 
 
+def _kg_chunks_query(sf_dir: str) -> Any:
+    """kg_chunks with a VALUE-level oracle (docs_dir_scan pattern): the
+    pipeline writes the chunks checkpoint; DuckDB reads it back and the
+    driver compares value-exactly. Columns are flattened to oracle-safe
+    types here (ts -> int64 us, heading_path list -> '|'-join) — the chunk
+    content itself is produced by the pipeline, so this gate checks write
+    fidelity, determinism, and schema stability end to end."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ch = _kg_result(sf_dir)["chunks"]
+
+    def flat(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "chunk_id": t["chunk_id"],
+                "conv_id": t["conv_id"],
+                "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                "chunk_idx": pc.cast(t["chunk_idx"], pa.int64()),
+                "role": t["role"],
+                "tool": t["tool"],
+                "ts_us": t["ts"].cast(pa.int64()),
+                "text": t["text"],
+                "start_char": pc.cast(t["start_char"], pa.int64()),
+                "doc_char_start": pc.cast(t["doc_char_start"], pa.int64()),
+                "heading_path": pc.binary_join(t["heading_path"], "|"),
+            }
+        )
+
+    return ch.map_batches(flat, batch_format="pyarrow", batch_size=None)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from chunksilo_ray.ops import (
         curation,
@@ -202,7 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges": lambda sf_dir: _kg_result(sf_dir)["edges"],
         "kg_edges_agg": lambda sf_dir: _kg_result(sf_dir)["edges_agg"],
         "kg_nodes": lambda sf_dir: _kg_result(sf_dir)["nodes"],
-        "kg_chunks": lambda sf_dir: _kg_result(sf_dir)["chunks"].drop_columns(["embedding"]),
+        "kg_chunks": _kg_chunks_query,
         "video_frames": _video_frames,
         # 51st+: oracled, but past the 50-query prefix a capped driver
         # evaluates — each also carries a DuckDB-parity pytest gate
@@ -842,6 +876,15 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(entity_id, '^[a-z]+:', '') AS canonical,
                    etype AS type, COUNT(*) AS freq
             FROM canon GROUP BY entity_id, surface, etype
+        """,
+        "kg_chunks": f"""
+            SELECT chunk_id, conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   CAST(chunk_idx AS BIGINT) AS chunk_idx, role, tool,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us, text,
+                   CAST(start_char AS BIGINT) AS start_char,
+                   CAST(doc_char_start AS BIGINT) AS doc_char_start,
+                   array_to_string(heading_path, '|') AS heading_path
+            FROM read_parquet('{_KG_OUT01}/chunks/*.parquet')
         """,
         # --- round-3 batch-2 oracles ---------------------------------------
         "q3_top_orders": """
