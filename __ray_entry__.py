@@ -295,6 +295,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles_value": sketches.approx_quantiles_value,
         "normalize_docs": curation.normalize_docs,
         "long_docs_per_lang": textstats.long_docs_per_lang,
+        # batch 6 (SQL-oracled + gated in tests/test_round3c.py): two-level
+        # grouped COUNT(DISTINCT), grouped z-score standardization, exact
+        # CUME_DIST via broadcast distribution (window fn without a sort)
+        "distinct_users_by_type": sketches.distinct_users_by_type,
+        "zscore_values_by_type": sketches.zscore_values_by_type,
+        "cume_dist_value_by_type": sketches.cume_dist_value_by_type,
         # --- intentionally LAST: the genuinely-approximate / non-SQL trio
         # (each carries a named pytest gate instead of a DuckDB oracle; in
         # round 2 the correctness gate evaluated exactly 50 of 51 registered
@@ -1182,6 +1188,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, norm_text,
                    CAST(length(norm_text) AS BIGINT) AS n_chars_norm
             FROM n
+        """,
+        "distinct_users_by_type": """
+            SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1
+        """,
+        "zscore_values_by_type": """
+            WITH s AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+                              SUM(value) AS sx, SUM(value * value) AS sxx
+                       FROM events GROUP BY 1),
+            m AS (SELECT event_type, sx / n AS mean,
+                         sqrt(GREATEST((sxx - n * (sx / n) * (sx / n)) / (n - 1.0),
+                                       0.0)) AS sd
+                  FROM s)
+            SELECT e.event_id, e.event_type,
+                   ROUND((e.value - m.mean) / m.sd, 4) AS z
+            FROM events e JOIN m USING (event_type)
+        """,
+        "cume_dist_value_by_type": """
+            SELECT event_id, event_type,
+                   ROUND(CUME_DIST() OVER (PARTITION BY event_type
+                                           ORDER BY value), 6) AS cd
+            FROM events
         """,
         "long_docs_per_lang": """
             WITH cnt AS (SELECT lang, n_chars, COUNT(*) AS c

@@ -487,3 +487,163 @@ def approx_quantiles_value(
         return pd.DataFrame(rows, columns=["event_type", "q", "est"])
 
     return agg.groupby("event_type").map_groups(finish, batch_format="pandas")
+
+
+def distinct_users_by_type(sf_dir: str) -> Dataset:
+    """Grouped COUNT(DISTINCT) — the two-level distinct shape: per-batch
+    (type, user) distinct partial -> one exchange keyed on BOTH columns
+    collapses global duplicates -> per-block count partial -> |types| Sum.
+    No node ever holds a full distinct set and no user_id reaches the
+    driver; at 100 TB the second exchange carries |types| ints per block."""
+    from ray.data.aggregate import Max, Sum
+
+    ds = _events(sf_dir, ["event_type", "user_id"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"event_type": t["event_type"], "user_id": t["user_id"]})
+            .group_by(["event_type", "user_id"], use_threads=False)
+            .aggregate([])
+        )
+        # dummy agg column: Ray's groupby needs at least one aggregate to
+        # collapse global duplicates of the (type, user) key
+        return g.append_column("one", pa.array(np.ones(g.num_rows, np.int8)))
+
+    distinct_pairs = (
+        ds.map_batches(pair_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby(["event_type", "user_id"])
+        .aggregate(Max("one", alias_name="one"))
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type", use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "n"])
+
+    agg = (
+        distinct_pairs.map_batches(count_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("n_users"), "n_users", pc.cast(t["n_users"], pa.int64())
+        ),
+        batch_format="pyarrow", batch_size=None,
+    )
+
+
+def zscore_values_by_type(sf_dir: str) -> Dataset:
+    """Grouped standardization z = (value - mean_type) / stddev_samp_type —
+    the feature-normalization staple. Two passes: algebraic moment partials
+    (n, sx, sxx) -> a |types|-bounded combine -> broadcast (mean, std) ->
+    vectorized per-row transform via dictionary-coded lookup. The oracle
+    SQL computes mean/std from the SAME raw moments so both sides share
+    the formula bit-for-bit (streaming-variance implementations differ in
+    the last ulps; ROUND(4) then removes summation-order noise)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, ["event_id", "event_type", "value"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        g = (
+            pa.table(
+                {"event_type": t["event_type"], "n": np.ones(len(x)), "sx": x, "sxx": x * x}
+            )
+            .group_by("event_type", use_threads=False)
+            .aggregate([("n", "sum"), ("sx", "sum"), ("sxx", "sum")])
+        )
+        return g.rename_columns(["event_type", "n", "sx", "sxx"])
+
+    stats = (
+        ds.map_batches(moments, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"), Sum("sxx", alias_name="sxx"))
+        .to_pandas()
+    )
+    mean = stats["sx"] / stats["n"]
+    var = (stats["sxx"] - stats["n"] * mean * mean) / (stats["n"] - 1.0)
+    side = {
+        str(t): (float(m), float(np.sqrt(max(v, 0.0))))
+        for t, m, v in zip(stats["event_type"], mean, var)
+    }
+    side_ref = ray.put(side)
+
+    def zscore(t: pa.Table) -> pa.Table:
+        from ..util import cached_get
+
+        st = cached_get(side_ref)
+        enc = t["event_type"].combine_chunks().dictionary_encode()
+        ms = np.array([st[v][0] for v in enc.dictionary.to_pylist()])
+        sd = np.array([st[v][1] for v in enc.dictionary.to_pylist()])
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        x = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        z = (x - ms[codes]) / sd[codes]
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "z": pa.array(np.round(z, 4), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(zscore, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+def cume_dist_value_by_type(sf_dir: str) -> Dataset:
+    """Exact CUME_DIST() OVER (PARTITION BY type ORDER BY value) without a
+    global sort: the (type, value) count histogram is mergeable (values
+    have bounded distinct cardinality), its per-type cumsum is tiny, and
+    each row's rank is then a vectorized searchsorted against the
+    broadcast distribution. The window function becomes two passes + a
+    broadcast — the distribution-as-sketch shape."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, ["event_id", "event_type", "value"])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"event_type": t["event_type"], "value": t["value"]})
+            .group_by(["event_type", "value"], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["event_type", "value", "n"])
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby(["event_type", "value"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    dist: dict[str, tuple[np.ndarray, np.ndarray, float]] = {}
+    for ty, g in hist.groupby("event_type"):
+        g = g.sort_values("value", kind="mergesort")
+        vals = g["value"].to_numpy(dtype=np.float64)
+        cum = g["n"].cumsum().to_numpy(dtype=np.float64)
+        dist[str(ty)] = (vals, cum, float(cum[-1]))
+    dist_ref = ray.put(dist)
+
+    def cd(t: pa.Table) -> pa.Table:
+        from ..util import cached_get
+
+        d = cached_get(dist_ref)
+        enc = t["event_type"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        x = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        out = np.empty(len(x), np.float64)
+        for code, ty in enumerate(enc.dictionary.to_pylist()):
+            vals, cum, total = d[ty]
+            m = codes == code
+            idx = np.searchsorted(vals, x[m], side="right") - 1
+            out[m] = cum[idx] / total
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "cd": pa.array(np.round(out, 6), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(cd, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)

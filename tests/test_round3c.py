@@ -25,6 +25,10 @@ BATCH5 = [
     "approx_quantiles_value",
     "normalize_docs",
     "long_docs_per_lang",
+    # batch 6
+    "distinct_users_by_type",
+    "zscore_values_by_type",
+    "cume_dist_value_by_type",
 ]
 
 
