@@ -200,13 +200,23 @@ def run_scaling() -> dict:
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
     best: dict[int, dict] = {}
+    rep_secs: list[tuple[float, float]] = []
     for _ in range(reps):
+        pair: dict[int, float] = {}
         for ncpu in (lo, hi):
             r = one(ncpu)
+            pair[ncpu] = r["value"]
             if ncpu not in best or r["value"] < best[ncpu]["value"]:
                 best[ncpu] = r
+        rep_secs.append((pair[lo], pair[hi]))
     t_lo, t_hi = best[lo]["value"], best[hi]["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+    # per-rep PAIRED efficiency: each rep's lo and hi runs are adjacent in
+    # time, so they see the same host state — on a host whose ceilings swing
+    # ~25% between windows (BASELINE.md r3-H vs r3-I), the paired ratio is
+    # the honest same-window reading, while cross-window best-of-reps can
+    # pair a lucky lo with an unlucky hi. Both are reported.
+    paired = [round((pl / ph) / (hi / lo), 3) for pl, ph in rep_secs]
     probe = _cpu_ceiling_probe(lo, hi)
     out = {
         "metric": "scaling",
@@ -220,6 +230,9 @@ def run_scaling() -> dict:
         "speedup": round(t_lo / t_hi, 3),
         "reps": reps,
         "sf": float(scaling_sf),
+        "rep_secs": [[round(pl, 1), round(ph, 1)] for pl, ph in rep_secs],
+        "paired_efficiency": paired,
+        "paired_efficiency_best": max(paired) if paired else None,
     }
     out.update(probe)
     # efficiency normalized by what a PERFECTLY parallel job can achieve on
