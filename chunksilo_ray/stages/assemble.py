@@ -220,16 +220,21 @@ def _lengths_batch(t: pa.Table) -> pa.Table:
     )
     out = t.select(["conv_id", "turn_idx"])
     out = out.append_column("contrib_len", pc.cast(contrib, pa.int64()))
-    from ..util import polars_safe
+    # partition hash over the block's UNIQUE conv ids only (O(#convs/block)
+    # Python, fanned back out over dictionary indices). This stage is the
+    # pipeline's FIRST worker touch — round 3 measured its polars-based
+    # predecessor paying the ~1 s/worker polars import inside the stage's
+    # fixed (CPU-count-independent) cost, straight onto the Amdahl floor.
+    from pandas.util import hash_array
 
-    pl = polars_safe()
-    h = (
-        pl.from_arrow(out.select(["conv_id"]))
-        .select(pl.col("conv_id").hash(seed=7).alias("h"))["h"]
-        .to_numpy()
-        .astype(np.uint64)
-    )
-    part = ((h >> np.uint64(33)) % np.uint64(_OFFSET_PARTS)).astype(np.int64)
+    enc = pc.dictionary_encode(out["conv_id"].combine_chunks())
+    uniq = enc.dictionary.to_numpy(zero_copy_only=False)
+    # pandas hash_array: vectorized siphash with a FIXED key — deterministic
+    # across worker processes (required: every block must agree on a conv's
+    # partition), ~2 ms per 12k uniques, no extra import on workers
+    h_u = hash_array(uniq, categorize=False).astype(np.uint64)
+    part_u = ((h_u >> np.uint64(33)) % np.uint64(_OFFSET_PARTS)).astype(np.int64)
+    part = part_u[enc.indices.to_numpy(zero_copy_only=False)]
     return out.append_column("__part", pa.array(part))
 
 
