@@ -53,10 +53,13 @@ DEFAULTS: dict[str, Any] = {
         "max_pairs": 2_000_000,  # driver union-find edge-list cap
     },
     "assembly": {
-        # retained for config/fingerprint compatibility: the round-2 assembly
-        # is a global sort whose range partitioning splits giant conversations
-        # across blocks by construction (stages/assemble.py docstring) — the
-        # salted-groupby skew guard this knob tuned no longer exists.
+        # FINGERPRINT-FROZEN, behaviorally inert: the value feeds the
+        # assembled stage's lineage fingerprint (pipelines/kg.py), so
+        # deleting the key would spuriously invalidate every existing
+        # assembled checkpoint. The salted-groupby skew guard it tuned was
+        # replaced in round 2 by the global sort (range partitioning splits
+        # giant conversations by construction) and in round 3 by the
+        # lengths-only broadcast path; assemble_dialogues discards it.
         "salt_threshold": 512,
     },
     "runtime": {

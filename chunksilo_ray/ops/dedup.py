@@ -481,45 +481,26 @@ def _verified_edges(
     return attached.groupby("__part").map_groups(verify_part, batch_format="pyarrow")
 
 
-def minhash_dup_groups(sf_dir: str, threshold: float = 0.7) -> "pa.Table":
+def minhash_dup_groups(sf_dir: str, threshold: float = 0.7) -> Dataset:
     """MinHash-LSH near-dup clusters: (doc_id, dup_group=min doc_id of the
     connected component) for docs with an exact-jaccard >= threshold
     neighbor. 64 perms x 32 bands (2 rows) -> candidate recall at j=0.7 is
     1-(1-0.7^2)^32 ~ 1-4e-10, and false positives die in the exact verify,
-    so the output equals the all-pairs oracle. Only verified edges (tiny)
-    reach the driver's union-find — candidate pairs and texts never do."""
+    so the output equals the all-pairs oracle. Clustering runs fully in the
+    Ray Data plane via distributed min-label propagation (ops/graph.py) —
+    verified edges never collect to the driver, so a template-spam corpus
+    whose dup graph outgrows one process still clusters. The CC label is
+    the NUMERIC-min reachable doc id (the string union-find in
+    stages/canon.py is lexicographic — "450" < "5" — right for surface
+    norms, wrong for int doc ids / the SQL oracle's MIN)."""
+    from .graph import connected_components
+
     edges_ds = _verified_edges(sf_dir, threshold, shingle_k=3, num_perm=64, bands=32)
-    edges = sorted((r["a"], r["b"]) for r in edges_ds.take_all())
-    if not edges:
-        return pa.table({"doc_id": pa.array([], pa.int64()), "dup_group": pa.array([], pa.int64())})
-    # integer union-find, NUMERIC-min representative (the string union-find in
-    # stages/canon.py is lexicographic — "450" < "5" — which is right for
-    # surface norms but wrong for int doc ids / the SQL oracle's MIN)
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        r = parent.setdefault(x, x)
-        while r != parent[r]:
-            parent[r] = parent[parent[r]]
-            r = parent[r]
-        parent[x] = r
-        return r
-
-    for a, b in edges:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = min(ra, rb), max(ra, rb)
-            parent[hi] = lo
-    groups: dict[int, list[int]] = {}
-    for x in parent:
-        groups.setdefault(find(x), []).append(x)
-    out_id, out_grp = [], []
-    for root in sorted(groups):
-        for d in sorted(groups[root]):
-            out_id.append(d)
-            out_grp.append(root)
-    return pa.table(
-        {"doc_id": pa.array(out_id, pa.int64()), "dup_group": pa.array(out_grp, pa.int64())}
+    comp = connected_components(edges_ds, a="a", b="b")
+    return comp.map_batches(
+        lambda t: t.rename_columns(["doc_id", "dup_group"]),
+        batch_format="pyarrow",
+        batch_size=None,
     )
 
 

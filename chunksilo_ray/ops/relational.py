@@ -872,7 +872,14 @@ def props_key_histogram(sf_dir: str) -> Dataset:
     integer field `k` — the reference's structured-record flattening
     (search.py:536-615 Jira issue -> text/metadata) as a vectorized Arrow
     stage: pc.extract_regex per batch (no json.loads row loop), in-batch
-    partial count, tiny global sum."""
+    partial count, tiny global sum.
+
+    FLAT-JSON assumption (documented contract): `k` is extracted by the RE2
+    pattern '"k"\\s*:\\s*(-?\\d+)' — rows without an integer top-level k
+    (missing key, float k, or '"k":' nested/inside a string value) are
+    dropped, not emitted as a NULL group. The DuckDB oracle mirrors the
+    same regex + filter, so parity does not depend on props being exactly
+    one-key JSON."""
     ds = _pq(sf_dir, "events", ["props"])
 
     def partial(t: pa.Table) -> pa.Table:

@@ -101,14 +101,19 @@ def knn_join(sf_dir: str, n_queries: int = 8, k: int = 10) -> "pa.Table":
         ids_q, qmT = cached_get(side)
         vids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
         emb = _normalize(np.asarray(t["embedding"].to_pylist(), dtype=np.float64))
-        sims = emb @ qmT  # (batch, Q)
+        sims = np.round(emb @ qmT, 6)  # (batch, Q) — round BEFORE pruning:
+        # the per-batch top-k must use the exact global order (rounded
+        # cosine DESC, vec_id ASC), else a boundary tie on the raw float
+        # could keep an arbitrary member and drop the smaller-vec_id row
+        # the driver merge would rank inside top-k
         out_q, out_v, out_c = [], [], []
         for j in range(sims.shape[1]):
             col = sims[:, j]
             mask = vids != ids_q[j]  # exclude self-match
             cand = np.nonzero(mask)[0]
             if len(cand) > k:
-                cand = cand[np.argpartition(-col[cand], k)[:k]]
+                order = np.lexsort((vids[cand], -col[cand]))
+                cand = cand[order[:k]]
             out_q.append(np.full(len(cand), ids_q[j], dtype=np.int64))
             out_v.append(vids[cand])
             out_c.append(col[cand])
@@ -116,7 +121,7 @@ def knn_join(sf_dir: str, n_queries: int = 8, k: int = 10) -> "pa.Table":
             {
                 "query_id": pa.array(np.concatenate(out_q), pa.int64()),
                 "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
-                "cosine": pa.array(np.round(np.concatenate(out_c), 6), pa.float64()),
+                "cosine": pa.array(np.concatenate(out_c), pa.float64()),
             }
         )
 
@@ -386,12 +391,15 @@ def quantize_embeddings(sf_dir: str) -> Dataset:
 
     def quant(t: pa.Table) -> pa.Table:
         col = t["embedding"].combine_chunks()
+        # flatten() already applies the array offset — flat IS exactly the
+        # listed values in order, so reshape directly (slicing by absolute
+        # offsets would double-apply a non-zero array offset)
         flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
         offs = col.offsets.to_numpy(zero_copy_only=False)
         widths = np.diff(offs)
         dim = int(widths[0]) if len(widths) else 0
         assert len(widths) == 0 or (widths == dim).all(), "ragged embedding column"
-        m = flat[offs[0]: offs[-1]].reshape(-1, dim) if dim else flat.reshape(0, 0)
+        m = flat.reshape(-1, dim) if dim else flat.reshape(0, 0)
         scale = np.abs(m).max(axis=1, initial=0.0) / 127.0
         safe = np.where(scale == 0.0, 1.0, scale)
         q = np.trunc(m / safe[:, None])

@@ -591,13 +591,20 @@ def zscore_values_by_type(sf_dir: str) -> Dataset:
     return ds.map_batches(zscore, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
-def cume_dist_value_by_type(sf_dir: str) -> Dataset:
+def cume_dist_value_by_type(sf_dir: str, max_distinct: int = 2_000_000) -> Dataset:
     """Exact CUME_DIST() OVER (PARTITION BY type ORDER BY value) without a
     global sort: the (type, value) count histogram is mergeable (values
     have bounded distinct cardinality), its per-type cumsum is tiny, and
     each row's rank is then a vectorized searchsorted against the
     broadcast distribution. The window function becomes two passes + a
-    broadcast — the distribution-as-sketch shape."""
+    broadcast — the distribution-as-sketch shape.
+
+    The bounded-cardinality assumption is ENFORCED, not implicit: the
+    distinct (type, value) count is measured on the aggregated histogram
+    (still distributed at that point) and past ``max_distinct`` the op
+    raises instead of collecting an unbounded driver table — on a
+    continuous value column at 100 TB "the histogram" is the dataset;
+    ``approx_quantiles_value`` is the continuous-value alternative."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -611,12 +618,21 @@ def cume_dist_value_by_type(sf_dir: str) -> Dataset:
         )
         return g.rename_columns(["event_type", "value", "n"])
 
-    hist = (
+    hist_ds = (
         ds.map_batches(hist_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
         .groupby(["event_type", "value"])
         .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
+        .materialize()
     )
+    n_distinct = hist_ds.count()
+    if n_distinct > max_distinct:
+        raise ValueError(
+            f"cume_dist_value_by_type: {n_distinct} distinct (type, value) "
+            f"pairs exceed max_distinct={max_distinct}; the exact-histogram "
+            "plan only holds for bounded-cardinality values — use "
+            "approx_quantiles_value for continuous columns"
+        )
+    hist = hist_ds.to_pandas()
     dist: dict[str, tuple[np.ndarray, np.ndarray, float]] = {}
     for ty, g in hist.groupby("event_type"):
         g = g.sort_values("value", kind="mergesort")

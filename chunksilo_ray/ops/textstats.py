@@ -92,7 +92,7 @@ class LangIdActor:
         for x in texts:
             toks = self.word.findall(x.lower())
             n = len(toks)
-            counts = [0, 0, 0, 0]
+            counts = [0] * len(order)
             for w in toks:
                 for li in lookup.get(w, ()):
                     counts[li] += 1

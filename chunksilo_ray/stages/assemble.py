@@ -407,8 +407,10 @@ def _assemble_broadcast(turns: Dataset) -> Dataset:
     part_refs = [
         reduce_task.remote(*[s[p] for s in splits]) for p in range(_OFFSET_PARTS)
     ]
-    # surface reduce errors here (attach would hit them later anyway);
-    # ray.wait keeps the payloads in the object store — no driver fetch
+    # completion barrier only (for the timing mark + scheduling): ray.wait
+    # does NOT raise task exceptions — a failed reduce surfaces inside the
+    # attach workers' ray.get of its ref. Payloads stay in the object
+    # store; the driver never fetches them.
     ray.wait(part_refs, num_returns=len(part_refs))
     _mark("offsets exchange (split+reduce tasks)")
     return turns.map_batches(

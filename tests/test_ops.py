@@ -45,10 +45,10 @@ class TestDedup:
             t.select(columns) if columns else t
         )
         try:
-            out = dedup.minhash_dup_groups("ignored", threshold=0.6)
+            rows = dedup.minhash_dup_groups("ignored", threshold=0.6).take_all()
         finally:
             dedup._docs = orig
-        got = dict(zip(out["doc_id"].to_pylist(), out["dup_group"].to_pylist()))
+        got = {r["doc_id"]: r["dup_group"] for r in rows}
         assert got.get(1) == got.get(2) == 1
         assert 3 not in got
 

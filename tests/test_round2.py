@@ -79,7 +79,7 @@ def test_minhash_groups_match_bruteforce_all_pairs():
         (d, root) for root, mem in groups.items() if len(mem) > 1 for d in mem
     )
     got = sorted(
-        zip(*[minhash_dup_groups(SF)[c].to_pylist() for c in ("doc_id", "dup_group")])
+        (r["doc_id"], r["dup_group"]) for r in minhash_dup_groups(SF).take_all()
     )
     assert n_edges > 0, "fixture must contain near-dups for this gate to mean anything"
     assert got == want
