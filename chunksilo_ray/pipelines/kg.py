@@ -182,12 +182,6 @@ def build_kg(
     extracted = ext_ckpt.run(_build_extracted, keep_in_memory=True, write_executor=writer)
     _mark("extracted materialized")
 
-    if with_chunks and not overlap:
-        chunks_future = _Inline.submit(
-            chunks_ckpt.run, _build_chunks, write_executor=writer
-        )
-        _mark("chunks built")
-
     # ONE combined scan over the pinned extracted blocks collects BOTH the
     # dead-letter count (rows the extractor marked failed) and the distinct
     # unknown norms canonicalization needs — the two separate passes of
@@ -221,7 +215,21 @@ def build_kg(
             norms.update(x for x in b["norm"].to_pylist() if x is not None)
         return total, norms
 
-    scan_future = (pool if overlap else _Inline).submit(_scan_extracted)
+    # the scan is SMALL (one pass over pinned blocks + a tiny driver drain)
+    # but a full streaming execution nonetheless — its executor startup and
+    # drain are pure serial time if run inline. Even in serial mode it runs
+    # on a background thread UNDER the chunks build (the one overlap that
+    # measured as a win: the big execution's scheduling slack absorbs the
+    # small one, unlike the round-2 big×big overlap that lost to DRAM
+    # contention). Its result is first needed at canon time below.
+    scan_pool = pool if overlap else ThreadPoolExecutor(max_workers=1)
+    scan_future = scan_pool.submit(_scan_extracted)
+
+    if with_chunks and not overlap:
+        chunks_future = _Inline.submit(
+            chunks_ckpt.run, _build_chunks, write_executor=writer
+        )
+        _mark("chunks built")
 
     # ---- stage 3: canonicalization (shuffle #2 + driver union-find) ---------
     canon_cfg = cfg.section("canon")
@@ -239,6 +247,7 @@ def build_kg(
     cmap_rebuilt = cmap is None
     if cmap is None:
         dead_letters, distinct_norms = scan_future.result()
+        _mark("extracted scan drained")
         cmap = build_canonical_map(
             extracted,  # nested extraction output, pinned blocks
             num_perm=canon_cfg["num_perm"],
@@ -301,6 +310,8 @@ def build_kg(
     chunks = chunks_future.result() if chunks_future is not None else None
     if pool is not None:
         pool.shutdown(wait=True)
+    if scan_pool is not pool:
+        scan_pool.shutdown(wait=True)
 
     # durability barrier: all background checkpoint writes must land before
     # metrics read the manifests / the call returns resumable state
