@@ -414,3 +414,119 @@ def quantize_embeddings(sf_dir: str) -> Dataset:
         )
 
     return ds.map_batches(quant, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+def _emb_matrix(t: pa.Table) -> np.ndarray:
+    """Batch embedding column -> (n, dim) float64 matrix, zero-copy flatten."""
+    col = t["embedding"].combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    widths = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+    dim = int(widths[0]) if len(widths) else 0
+    assert len(widths) == 0 or (widths == dim).all(), "ragged embedding column"
+    return flat.reshape(-1, dim) if dim else flat.reshape(0, 0)
+
+
+def _kmeans_d2(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Squared Euclidean distances (n, k), EXPLICIT difference form — matches
+    the oracle's SUM((val-cval)^2) bit-for-bit closer than the |x|^2-2xC
+    matmul identity (whose cancellation error can flip argmin on near-ties).
+    Chunked so the (chunk, k, dim) intermediate stays small."""
+    out = np.empty((len(m), len(cents)), dtype=np.float64)
+    step = max(1, (1 << 18) // max(1, cents.size))  # ~256k floats per chunk
+    for i in range(0, len(m), step):
+        diff = m[i : i + step, None, :] - cents[None, :, :]
+        out[i : i + step] = np.einsum("nkd,nkd->nk", diff, diff)
+    return out
+
+
+def kmeans_assign(sf_dir: str, k: int = 8, iters: int = 2) -> "pa.Table":
+    """Distributed Lloyd's k-means over the embedding column — the clustering
+    backbone of semantic dedup / topic bucketing on a training corpus.
+
+    Scale shape: each iteration is ONE map_batches pass emitting a k x dim
+    partial (per-cluster vec sums + counts, a mergeable sketch); the driver
+    folds the tiny partials and re-broadcasts centroids — no shuffle ever
+    moves a vector. The final pass emits (vec_id, cluster, dist2). At 100 TB
+    the per-iteration exchange is k*dim*num_blocks floats, independent of
+    row count.
+
+    Determinism contract (shared with the unrolled DuckDB oracle):
+    init = embeddings of the k smallest vec_ids, cluster ids in vec_id
+    order; assignment = argmin over ROUND(d2, 6) with lowest-cluster
+    tie-break; centroid update = ROUND(mean, 6), empty clusters keep their
+    previous centroid; output dist2 = ROUND(d2, 4) vs the post-`iters`
+    centroids."""
+    import pyarrow.dataset as pads
+
+    from ..util import cached_get
+
+    # init: k smallest vec_ids via predicate pushdown (vec_ids are dense
+    # from 0 in this corpus); Dataset sort+limit fallback otherwise
+    init_t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"], filter=pads.field("vec_id") < k
+    )
+    if init_t.num_rows < k:
+        init_t = (
+            _emb(sf_dir).sort("vec_id").limit(k).to_arrow_refs()
+        )  # pragma: no cover - tiny corpus path
+        init_t = pa.concat_tables([ray.get(r) for r in init_t])
+    init_t = init_t.sort_by("vec_id")
+    cents = _emb_matrix(init_t)
+    dim = cents.shape[1]
+
+    ds = _emb(sf_dir)
+
+    def _partial_fn(cent_ref):
+        def partial(t: pa.Table) -> pa.Table:
+            c = cached_get(cent_ref)
+            m = _emb_matrix(t)
+            assign = np.argmin(np.round(_kmeans_d2(m, c), 6), axis=1)
+            sums = np.zeros((k, dim), dtype=np.float64)
+            np.add.at(sums, assign, m)
+            ns = np.bincount(assign, minlength=k).astype(np.int64)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(k, dtype=np.int64)),
+                    "vec_sum": pa.array(sums.tolist(), pa.list_(pa.float64())),
+                    "n": pa.array(ns),
+                }
+            )
+
+        return partial
+
+    for _ in range(iters):
+        cent_ref = ray.put(cents)
+        sums = np.zeros((k, dim), dtype=np.float64)
+        ns = np.zeros(k, dtype=np.int64)
+        for b in ds.map_batches(
+            _partial_fn(cent_ref), batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow"):
+            # one iter_batches batch may CONCATENATE several task partials,
+            # so cluster ids repeat — np.add.at accumulates duplicates
+            # (fancy-index += would silently keep only the last occurrence)
+            cl = b["cluster"].to_numpy(zero_copy_only=False)
+            np.add.at(sums, cl, np.asarray(b["vec_sum"].to_pylist(), dtype=np.float64))
+            np.add.at(ns, cl, b["n"].to_numpy(zero_copy_only=False))
+        nonempty = ns > 0
+        cents = np.where(
+            nonempty[:, None], np.round(sums / np.maximum(ns, 1)[:, None], 6), cents
+        )
+
+    final_ref = ray.put(cents)
+
+    def assign_final(t: pa.Table) -> pa.Table:
+        c = cached_get(final_ref)
+        m = _emb_matrix(t)
+        d2 = _kmeans_d2(m, c)
+        a = np.argmin(np.round(d2, 6), axis=1)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "cluster": pa.array(a.astype(np.int64)),
+                "dist2": pa.array(np.round(d2[np.arange(len(a)), a], 4), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(
+        assign_final, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )

@@ -102,6 +102,75 @@ def test_knn_join_deterministic_under_duplicate_embeddings(tmp_path):
     assert got == list(range(1, 11))
 
 
+def test_kmeans_assign_duckdb_parity():
+    """Distributed Lloyd's k-means vs the unrolled-iteration DuckDB oracle
+    (the tail-query parity pattern): exact value match on (vec_id, cluster,
+    dist2) at sf0.001."""
+    import duckdb
+    import pandas.testing as pdt
+
+    import __ray_entry__ as E
+    from chunksilo_ray.ops.similarity import kmeans_assign
+
+    df = kmeans_assign(SF).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    odf = (
+        con.execute(E.oracle_sql()["kmeans_assign"])
+        .fetchdf()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pdt.assert_frame_equal(df[sorted(df.columns)], odf[sorted(odf.columns)], rtol=1e-9)
+    # every cluster id must be within range and at least one non-trivial
+    assert df["cluster"].between(0, 7).all()
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid():
+    """Constructed input where one init centroid captures nothing after the
+    first update: the empty cluster must keep its previous centroid (not
+    NaN), mirroring the oracle's COALESCE."""
+    import ray.data as rd
+
+    from chunksilo_ray.ops import similarity
+
+    # k=3 with DUPLICATE seeds: vec 0 and vec 1 are both [0,0], so the
+    # lowest-cluster tie-break starves cluster 1 from iteration one — it is
+    # empty at every update and must keep its init centroid (the oracle's
+    # COALESCE path) instead of going NaN.
+    pts = (
+        [[0.0, 0.0], [0.0, 0.0], [10.0, 10.0]]
+        + [[0.1, 0.1]] * 3
+        + [[10.0, 10.0]] * 3
+    )
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(pts)), pa.int64()),
+            "embedding": pa.array([list(map(float, p)) for p in pts], pa.list_(pa.float32())),
+        }
+    )
+    import pathlib
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, pathlib.Path(d) / "embeddings.parquet")
+        out = similarity.kmeans_assign(d, k=3, iters=3).to_pandas()
+    assert not out["dist2"].isna().any()
+    # iteration 1 starves cluster 1 (tie-break → 0); it KEEPS centroid
+    # [0,0] (no NaN), and precisely because it kept it, iteration 2
+    # recaptures the exact-zero points (distance 0 beats the updated
+    # cluster-0 centroid) — the kept-centroid semantics made observable
+    out = out.set_index("vec_id")
+    assert set(out.loc[[0, 1], "cluster"]) == {1}  # recaptured by kept centroid
+    assert set(out.loc[[3, 4, 5], "cluster"]) == {0}
+    assert set(out.loc[[2, 6, 7, 8], "cluster"]) == {2}
+    assert out.loc[[0, 1], "dist2"].eq(0.0).all()
+
+
 def test_minhash_dup_groups_is_distributed(ray_session):
     """The clustering result must come back as a Dataset (no driver
     union-find) and match the ngram CC op's contract shape."""
