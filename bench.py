@@ -81,18 +81,30 @@ def run_bench() -> dict:
 
     queries: dict[str, float] = {}
 
+    # the host shows ~2x good/degraded phases driven by load OUTSIDE this VM
+    # (BASELINE.md round-3 variance evidence; round 3's bench-of-record was
+    # captured in a degraded window and contradicted its own code changes).
+    # Defenses: (a) best-of-REPS for every timed pipeline, (b) an embedded
+    # memcpy-bandwidth probe so each artifact documents its own window.
+    reps = max(1, int(os.environ.get("GRAFT_BENCH_REPS", "2")))
+    bw_probe_before = round(_copy_burn(128), 0)
+
     # headline: full KG construction, fresh output dir (no checkpoint reuse)
-    out_dir = f"/tmp/chunksilo_ray_bench/kg-sf{sf:g}-cpus{num_cpus}"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.perf_counter()
-    res = build_kg(
-        f"{corpus}/transcripts.parquet",
-        f"{corpus}/alias_index.parquet",
-        out_dir,
-        with_chunks=True,
-    )
-    kg_sec = time.perf_counter() - t0
-    n_turns = res["metrics"]["turns"] or 0
+    kg_reps: list[float] = []
+    n_turns = 0
+    for rep in range(reps):
+        out_dir = f"/tmp/chunksilo_ray_bench/kg-sf{sf:g}-cpus{num_cpus}"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        res = build_kg(
+            f"{corpus}/transcripts.parquet",
+            f"{corpus}/alias_index.parquet",
+            out_dir,
+            with_chunks=True,
+        )
+        kg_reps.append(round(time.perf_counter() - t0, 3))
+        n_turns = res["metrics"]["turns"] or 0
+    kg_sec = min(kg_reps)
     queries["kg_e2e"] = round(kg_sec, 3)
 
     # operator suite over the driver's testdata tables (sf_dir); skipped for
@@ -104,12 +116,16 @@ def run_bench() -> dict:
     def timed(name, fn):
         if kg_only:
             return
-        t = time.perf_counter()
-        out = fn(sf_dir)
-        # consume: Datasets are lazy — count() forces full execution
-        if hasattr(out, "count"):
-            out.count()
-        queries[name] = round(time.perf_counter() - t, 3)
+        best = None
+        for _ in range(reps):
+            t = time.perf_counter()
+            out = fn(sf_dir)
+            # consume: Datasets are lazy — count() forces full execution
+            if hasattr(out, "count"):
+                out.count()
+            dt = time.perf_counter() - t
+            best = dt if best is None else min(best, dt)
+        queries[name] = round(best, 3)
 
     timed("q1_pricing_summary", relational.q1_pricing_summary)
     timed("orders_with_customer_segment", relational.orders_with_customer_segment)
@@ -129,6 +145,12 @@ def run_bench() -> dict:
         "num_cpus": num_cpus,
         "turns": int(n_turns),
         "turns_per_sec": round(n_turns / kg_sec, 1) if kg_sec > 0 else None,
+        "reps": reps,
+        "kg_rep_secs": kg_reps,
+        # window-quality evidence: single-process memcpy MB/s before/after
+        # the timed section (host is throttled to ~400 MB/s/process even when
+        # healthy; a big drop between artifacts flags a degraded window).
+        "bw_probe_mb_per_sec": [bw_probe_before, round(_copy_burn(128), 0)],
     }
     ray.shutdown()
     return result
@@ -214,6 +236,9 @@ def run_scaling() -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_SF_DIR=f"/root/testdata/sf{scaling_sf}",
             GRAFT_BENCH_KG_ONLY="1",
+            # run_scaling has its own (interleaved, paired) rep structure;
+            # keep each child to one measured build
+            GRAFT_BENCH_REPS=os.environ.get("GRAFT_SCALING_CHILD_REPS", "1"),
         )
         shutil.rmtree("/tmp/chunksilo_ray_bench", ignore_errors=True)
         proc = subprocess.run(
