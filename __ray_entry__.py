@@ -119,6 +119,14 @@ def _video_frames(sf_dir: str) -> Any:
     return multimodal.video_frames()
 
 
+def _kg_node_degrees(sf_dir: str) -> Any:
+    """Degree profile of the constructed KG; the oracle recomputes it in SQL
+    from the written per-turn edges checkpoint (kg_edges_agg pattern)."""
+    from chunksilo_ray.ops.graph import kg_node_degrees
+
+    return kg_node_degrees(_kg_result(sf_dir)["edges_agg"])
+
+
 def _kg_chunks_query(sf_dir: str) -> Any:
     """kg_chunks with a VALUE-level oracle (docs_dir_scan pattern): the
     pipeline writes the chunks checkpoint; DuckDB reads it back and the
@@ -310,6 +318,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-iteration mergeable k x dim partials, unrolled-iteration SQL
         # oracle; gated in tests/test_round4.py
         "kmeans_assign": similarity.kmeans_assign,
+        # round-4: corpus-global paragraph dedup (Dolma/RefinedWeb staple);
+        # SQL-oracled here, constructed-positive + shuffle-path parity
+        # gates in tests/test_round4.py (this corpus has no blank-line
+        # paragraphs, so the oracle row exercises schema/identity and the
+        # crafted-parquet tests exercise the dedup semantics)
+        "paragraph_dedup": curation.paragraph_dedup,
+        # round-4: degree profile of the constructed KG (in/out degree +
+        # weight per node from the aggregated edge table) — value-oracled
+        # against the written checkpoint like the other kg_* rows
+        "kg_node_degrees": _kg_node_degrees,
         # --- intentionally LAST: the genuinely-approximate / non-SQL trio
         # (each carries a named pytest gate instead of a DuckDB oracle; in
         # round 2 the correctness gate evaluated exactly 50 of 51 registered
@@ -1287,4 +1305,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.n_chars >= thr.cut
         """,
         "kmeans_assign": _kmeans_sql(),
+        # corpus-global paragraph dedup: exact text-equality dup criterion,
+        # rebuild via ordered string_agg (NULL when nothing survives —
+        # matches the op's when/otherwise)
+        "paragraph_dedup": """
+            WITH split AS (SELECT doc_id, string_split(text, chr(10)||chr(10)) AS l
+                           FROM documents),
+            p AS (SELECT doc_id, CAST(i AS BIGINT) AS idx, l[i] AS para
+                  FROM split, UNNEST(range(1, len(l)+1)) AS t(i)),
+            d AS (SELECT para FROM p GROUP BY para HAVING count(*) >= 2),
+            m AS (SELECT p.doc_id, p.idx, p.para, d.para IS NOT NULL AS is_dup
+                  FROM p LEFT JOIN d ON p.para = d.para)
+            SELECT doc_id,
+                   count(*) AS n_paras,
+                   CAST(count(*) FILTER (WHERE NOT is_dup) AS BIGINT) AS n_kept,
+                   string_agg(para, chr(10)||chr(10) ORDER BY idx)
+                     FILTER (WHERE NOT is_dup) AS clean_text
+            FROM m GROUP BY doc_id
+        """,
+        # KG degree profile recomputed from the written per-turn edges
+        # checkpoint (same source the kg_edges_agg oracle aggregates)
+        "kg_node_degrees": f"""
+            WITH agg AS (SELECT subj, pred, obj, CAST(SUM(weight) AS BIGINT) AS weight
+                         FROM read_parquet('{_KG_OUT01}/edges/*.parquet')
+                         GROUP BY subj, pred, obj),
+            u AS (SELECT subj AS node, 1 AS is_out, weight FROM agg
+                  UNION ALL SELECT obj, 0, weight FROM agg)
+            SELECT node,
+                   CAST(SUM(is_out) AS BIGINT) AS out_degree,
+                   CAST(SUM(1 - is_out) AS BIGINT) AS in_degree,
+                   CAST(SUM(CASE WHEN is_out = 1 THEN weight ELSE 0 END) AS BIGINT) AS w_out,
+                   CAST(SUM(CASE WHEN is_out = 0 THEN weight ELSE 0 END) AS BIGINT) AS w_in
+            FROM u GROUP BY node
+        """,
     }

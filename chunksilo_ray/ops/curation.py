@@ -318,6 +318,178 @@ def mix_sources(sf_dir: str) -> Dataset:
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
+def _explode_paras(t: pa.Table):
+    """Polars frame (doc_id, idx, para): a documents batch exploded into
+    paragraphs (split on blank line). idx is the 0-based paragraph position
+    within its document — needed to rebuild text in document order."""
+    from ..util import polars_safe
+
+    pl = polars_safe()
+    df = pl.from_arrow(t.select(["doc_id", "text"]))
+    return (
+        df.with_columns(pl.col("text").str.split(_PARA_SEP).alias("para"))
+        .drop("text")
+        .with_columns(pl.int_ranges(pl.col("para").list.len()).alias("idx"))
+        .explode(["para", "idx"])
+    )
+
+
+_PARA_SEP = "\n\n"
+# dup-paragraph vocabularies beyond this row count stop being broadcastable
+# (8 B/hash -> ~16 MB at the default); past it the op degrades to the
+# shuffle path that never collects anything on the driver.
+_PARA_BROADCAST_LIMIT = 2_000_000
+
+
+def paragraph_dedup(
+    sf_dir: str, min_count: int = 2, broadcast_limit: int = _PARA_BROADCAST_LIMIT
+) -> Dataset:
+    """Corpus-global paragraph dedup (Dolma/RefinedWeb-style): drop every
+    paragraph whose exact text occurs >= min_count times ACROSS the corpus,
+    and rebuild each document from its surviving paragraphs. Emits
+    (doc_id, n_paras, n_kept, clean_text); clean_text is NULL when nothing
+    survives.
+
+    Scale shape, broadcast path (default): pass 1 counts paragraphs with a
+    per-batch partial (one row per distinct paragraph per block) feeding a
+    vocabulary-bounded groupby-sum; only paragraphs that clear min_count —
+    the duplicated vocabulary, small by construction on real corpora — are
+    collected, as 8-byte siphashes, and broadcast once (ray.put +
+    worker-global cache). Pass 2 streams the corpus through one vectorized
+    explode -> searchsorted-membership -> group-rebuild kernel; document
+    text never enters an exchange. Past ``broadcast_limit`` distinct dup
+    paragraphs the op switches to a two-exchange shuffle path (groupby(para)
+    marks dups with exact group sizes, groupby(doc_id) rebuilds) that keeps
+    everything distributed. Membership transport is the 64-bit pandas
+    siphash (fixed key, process-stable); dup DETECTION is exact text
+    equality in both paths and in the DuckDB oracle."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def count_part(t: pa.Table) -> pa.Table:
+        from ..util import polars_safe
+
+        pl = polars_safe()
+        agg = _explode_paras(t).group_by("para").agg(
+            pl.len().cast(pl.Int64).alias("cnt")
+        )
+        return agg.select(["para", "cnt"]).to_arrow()
+
+    counts = (
+        ds.map_batches(count_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby("para")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def dup_hashes(t: pa.Table) -> pa.Table:
+        from pandas.util import hash_array
+
+        sub = t.filter(pc.greater_equal(t["cnt"], min_count))
+        h = hash_array(sub["para"].to_numpy(zero_copy_only=False), categorize=False)
+        return pa.table({"h": pa.array(h.astype(np.uint64), pa.uint64())})
+
+    dups = counts.map_batches(
+        dup_hashes, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).materialize()
+
+    if dups.count() > broadcast_limit:
+        return _paragraph_dedup_shuffle(ds, min_count)
+
+    harr = np.sort(
+        np.concatenate(
+            [b["h"].to_numpy() for b in dups.iter_batches(batch_format="pyarrow")]
+            or [np.empty(0, np.uint64)]
+        )
+    )
+    href = ray.put(harr)
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        from pandas.util import hash_array
+
+        from ..util import cached_get, polars_safe
+
+        pl = polars_safe()
+        arr = cached_get(href)
+        ex = _explode_paras(t)
+        h = hash_array(ex["para"].to_numpy(), categorize=False).astype(np.uint64)
+        if arr.size:
+            pos = np.searchsorted(arr, h)
+            dup = (pos < arr.size) & (arr[np.minimum(pos, arr.size - 1)] == h)
+        else:
+            dup = np.zeros(h.size, bool)
+        keep = pl.col("dup").not_()
+        out = (
+            ex.with_columns(pl.Series("dup", dup))
+            # safe batch-locally: documents is one row per doc, so every
+            # paragraph of a doc lives in the batch that exploded it
+            .group_by("doc_id", maintain_order=True)
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_paras"),
+                keep.sum().cast(pl.Int64).alias("n_kept"),
+                pl.col("para").filter(keep).str.join(_PARA_SEP).alias("clean_text"),
+            )
+            .with_columns(
+                pl.when(pl.col("n_kept") > 0)
+                .then(pl.col("clean_text"))
+                .otherwise(None)
+                .alias("clean_text")
+            )
+        )
+        return out.to_arrow().cast(_PARA_DEDUP_SCHEMA)
+
+    return ds.map_batches(
+        rebuild, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+
+_PARA_DEDUP_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_paras", pa.int64()),
+        ("n_kept", pa.int64()),
+        ("clean_text", pa.string()),
+    ]
+)
+
+
+def _paragraph_dedup_shuffle(ds: Dataset, min_count: int) -> Dataset:
+    """Fully distributed fallback: exact dup marking inside a groupby(para)
+    (group size IS the global count — no second structure needed), then a
+    groupby(doc_id) rebuild. Two all-to-all exchanges of the exploded text,
+    zero driver state; the price of a dup vocabulary too big to broadcast."""
+    import pandas as pd
+
+    exploded = ds.map_batches(
+        lambda t: _explode_paras(t).to_arrow(),
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+    )
+
+    def mark(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g[["doc_id", "idx", "para"]].copy()
+        g["dup"] = len(g) >= min_count
+        return g
+
+    def rebuild(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values("idx")
+        kept = g.loc[~g["dup"], "para"]
+        return pd.DataFrame(
+            {
+                "doc_id": [g["doc_id"].iloc[0]],
+                "n_paras": [len(g)],
+                "n_kept": [int((~g["dup"]).sum())],
+                "clean_text": [_PARA_SEP.join(kept) if len(kept) else None],
+            }
+        )
+
+    return (
+        exploded.groupby("para")
+        .map_groups(mark, batch_format="pandas")
+        .groupby("doc_id")
+        .map_groups(rebuild, batch_format="pandas")
+    )
+
+
 def normalize_docs(sf_dir: str) -> Dataset:
     """Text normalization (the first stage of every curation pipeline):
     lowercase, collapse runs of ASCII whitespace to one space, trim. The

@@ -477,3 +477,50 @@ def ngram_dup_components(sf_dir: str) -> Dataset:
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def kg_node_degrees(edges_agg: Dataset) -> Dataset:
+    """Degree profile of the constructed KG: per node (any entity appearing
+    as subject or object of an aggregated triple), the number of distinct
+    out-edges / in-edges and the summed triple weights on each side. Emits
+    (node, out_degree, in_degree, w_out, w_in).
+
+    Scale shape: one per-batch Arrow group_by partial per side (one row per
+    distinct node per block), then a single node-keyed groupby-sum — the
+    same mergeable-partial shape as the corpus-stats aggregates. Never
+    materializes the edge list anywhere."""
+
+    def part(t: pa.Table) -> pa.Table:
+        outs = []
+        for key, is_out in (("subj", True), ("obj", False)):
+            g = t.group_by(key, use_threads=False).aggregate(
+                [("weight", "sum"), ("weight", "count")]
+            )
+            zeros = pa.array(np.zeros(g.num_rows, np.int64))
+            deg = pc.cast(g["weight_count"], pa.int64())
+            w = pc.cast(g["weight_sum"], pa.int64())
+            outs.append(
+                pa.table(
+                    {
+                        "node": g[key],
+                        "out_degree": deg if is_out else zeros,
+                        "in_degree": zeros if is_out else deg,
+                        "w_out": w if is_out else zeros,
+                        "w_in": zeros if is_out else w,
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    return (
+        edges_agg.map_batches(
+            part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+        .groupby("node")
+        .aggregate(
+            Sum("out_degree", alias_name="out_degree"),
+            Sum("in_degree", alias_name="in_degree"),
+            Sum("w_out", alias_name="w_out"),
+            Sum("w_in", alias_name="w_in"),
+        )
+    )

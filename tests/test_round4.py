@@ -187,3 +187,75 @@ def test_minhash_dup_groups_is_distributed(ray_session):
     for grp, members in by_group.items():
         assert grp == min(members)  # numeric-min representative
         assert len(members) >= 2  # every clustered doc has a neighbor
+
+
+def _write_para_docs(tmp_path):
+    """Crafted documents: P is duplicated across docs 1/2/3, Q twice within
+    doc 2, U* are unique; doc 4 is ALL duplicates (clean_text must be NULL),
+    doc 5 has no blank-line split (single paragraph, unique)."""
+    import pyarrow.parquet as pq
+
+    texts = {
+        1: "P\n\nU1",
+        2: "Q\n\nP\n\nQ\n\nU2",
+        3: "U3\n\nP",
+        4: "P\n\nQ",
+        5: "solo paragraph no split",
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+_PARA_EXPECT = {
+    1: (2, 1, "U1"),
+    2: (4, 1, "U2"),
+    3: (2, 1, "U3"),
+    4: (2, 0, None),
+    5: (1, 1, "solo paragraph no split"),
+}
+
+
+@pytest.mark.parametrize("broadcast_limit", [2_000_000, 0], ids=["broadcast", "shuffle"])
+def test_paragraph_dedup_constructed(tmp_path, broadcast_limit):
+    """Both paths (broadcast membership and the two-exchange shuffle
+    fallback) must produce identical dedup semantics: corpus-global exact
+    dup drop, document-order rebuild, NULL when nothing survives."""
+    from chunksilo_ray.ops.curation import paragraph_dedup
+
+    sf = _write_para_docs(tmp_path)
+    out = paragraph_dedup(sf, broadcast_limit=broadcast_limit).to_pandas()
+    got = {
+        int(r.doc_id): (int(r.n_paras), int(r.n_kept), r.clean_text)
+        for r in out.itertuples()
+    }
+    # pandas renders NULL as NaN; normalize
+    got = {k: (a, b, None if not isinstance(c, str) else c) for k, (a, b, c) in got.items()}
+    assert got == _PARA_EXPECT
+
+
+def test_kg_node_degrees_constructed():
+    """Degree profile over a crafted aggregated-edge table: self-loops count
+    on both sides, weights sum per side independently."""
+    import ray.data as rd
+
+    from chunksilo_ray.ops.graph import kg_node_degrees
+
+    edges = pa.table(
+        {
+            "subj": pa.array(["a", "a", "b", "c"], pa.string()),
+            "pred": pa.array(["p", "q", "p", "p"], pa.string()),
+            "obj": pa.array(["b", "c", "c", "c"], pa.string()),
+            "weight": pa.array([3, 1, 2, 5], pa.int64()),
+        }
+    )
+    out = kg_node_degrees(rd.from_arrow(edges)).to_pandas().set_index("node")
+    assert out.loc["a"].tolist() == [2, 0, 4, 0]  # out_deg, in_deg, w_out, w_in
+    assert out.loc["b"].tolist() == [1, 1, 2, 3]
+    # c: self-loop row (c,p,c) — subj and obj sides both count it
+    assert out.loc["c"].tolist() == [1, 3, 5, 8]
