@@ -17,11 +17,31 @@ This script OWNS its Ray session (the driver contract excludes bench.py).
 from __future__ import annotations
 
 import json
+import logging
 import os
+import re
 import shutil
 import subprocess
 import sys
 import time
+
+
+class _EmptySchemaBundleFilter(logging.Filter):
+    """Drop Ray Data's 'RefBundle with a different schema … new schema: .'
+    warning. Ray's own sort/hash-shuffle emits SCHEMA-LESS empty blocks for
+    empty range/hash partitions (minimal repro in DESIGN.md: sort 50 blocks
+    of a 4-valued key + identity map — two warnings with zero user empties);
+    every empty table this repo's UDFs return is explicitly typed
+    (util.map_partitions), so the residual warning is Ray-internal noise
+    that would otherwise pollute every recorded bench tail."""
+
+    def filter(self, record: logging.LogRecord) -> bool:  # pragma: no cover
+        return "RefBundle with a different schema" not in record.getMessage()
+
+
+logging.getLogger(
+    "ray.data._internal.execution.streaming_executor_state"
+).addFilter(_EmptySchemaBundleFilter())
 
 
 def _mute_sort_empty_partition_warning() -> None:
@@ -249,18 +269,29 @@ def run_scaling() -> dict:
             check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
-        return json.loads(proc.stdout.strip().splitlines()[-1])
+        r = json.loads(proc.stdout.strip().splitlines()[-1])
+        # per-stage completion marks (GRAFT_TIMING=1 children): [offset, name]
+        # pairs — every artifact then attributes its own serial segment
+        r["stage_marks"] = [
+            [float(m.group(1)), m.group(2)]
+            for m in re.finditer(r"\[kg \+\s*([0-9.]+)s\] (.+)", proc.stderr)
+        ]
+        return r
 
     best: dict[int, dict] = {}
     rep_secs: list[tuple[float, float]] = []
+    marks: list[dict] = []
     for _ in range(reps):
         pair: dict[int, float] = {}
+        r_marks: dict[int, list] = {}
         for ncpu in (lo, hi):
             r = one(ncpu)
             pair[ncpu] = r["value"]
+            r_marks[ncpu] = r.pop("stage_marks", [])
             if ncpu not in best or r["value"] < best[ncpu]["value"]:
                 best[ncpu] = r
         rep_secs.append((pair[lo], pair[hi]))
+        marks.append({str(n): r_marks[n] for n in (lo, hi)})
     t_lo, t_hi = best[lo]["value"], best[hi]["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     # per-rep PAIRED efficiency: each rep's lo and hi runs are adjacent in
@@ -285,6 +316,7 @@ def run_scaling() -> dict:
         "rep_secs": [[round(pl, 1), round(ph, 1)] for pl, ph in rep_secs],
         "paired_efficiency": paired,
         "paired_efficiency_best": max(paired) if paired else None,
+        "stage_marks": marks,
     }
     out.update(probe)
     # efficiency normalized by what a PERFECTLY parallel job can achieve on

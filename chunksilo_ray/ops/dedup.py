@@ -38,6 +38,8 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data import Dataset
 
+from ..util import map_partitions
+
 from ..stages.canon import _hash_params, _minhash_sig_exact
 
 logger = logging.getLogger(__name__)
@@ -97,11 +99,15 @@ def exact_dedup_docs(sf_dir: str) -> Dataset:
         g = t.group_by("text_hash", use_threads=False).aggregate([("doc_id", "min")])
         return pa.table({"doc_id": g.column("doc_id_min"), "text_hash": g.column("text_hash")})
 
-    return (
+    combined = (
         ds.map_batches(add_hash, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
         .map_batches(partial_min, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-        .groupby("__part")
-        .map_groups(final_min, batch_format="pyarrow")
+    )
+    return map_partitions(
+        combined,
+        "__part",
+        final_min,
+        pa.schema([("doc_id", pa.int64()), ("text_hash", pa.string())]),
     )
 
 
@@ -256,6 +262,9 @@ def _pairs_in_partition(max_group: int):
     return fn
 
 
+_EMPTY_PAIRS = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+
 def _add_pair_part(t: pa.Table) -> pa.Table:
     """Coarse pair-hash partition column over (a, b) int64 pair rows."""
     a = t["a"].to_numpy(zero_copy_only=False)
@@ -318,19 +327,20 @@ def _verified_edges(
             }
         )
 
-    raw_pairs = (
+    raw_pairs = map_partitions(
         sig.map_batches(explode_bands, batch_format="pyarrow", batch_size=None,
-                        zero_copy_batch=True)
-        .groupby("__part")
-        .map_groups(_pairs_in_partition(max_group), batch_format="pyarrow")
+                        zero_copy_batch=True),
+        "__part",
+        _pairs_in_partition(max_group),
+        _EMPTY_PAIRS,
     )
 
-    cands = (
-        raw_pairs.map_batches(_add_pair_part, batch_format="pyarrow", batch_size=None)
-        .groupby("__part")
-        .map_groups(_dedup_pairs_part, batch_format="pyarrow")
-        .materialize()  # tiny: deduped candidate pairs (int ids only)
-    )
+    cands = map_partitions(
+        raw_pairs.map_batches(_add_pair_part, batch_format="pyarrow", batch_size=None),
+        "__part",
+        _dedup_pairs_part,
+        _EMPTY_PAIRS,
+    ).materialize()  # tiny: deduped candidate pairs (int ids only)
 
     _EMPTY_EDGES = pa.schema(
         [("a", pa.int64()), ("b", pa.int64()), ("inter", pa.int64()), ("uni", pa.int64())]
@@ -474,11 +484,10 @@ def _verified_edges(
             }
         )
 
-    attached = (
-        tagged.groupby("__part").map_groups(attach_part, batch_format="pyarrow")
-        .map_batches(_add_pair_part, batch_format="pyarrow", batch_size=None)
-    )
-    return attached.groupby("__part").map_groups(verify_part, batch_format="pyarrow")
+    attached = map_partitions(
+        tagged, "__part", attach_part, _EMPTY_ATTACHED
+    ).map_batches(_add_pair_part, batch_format="pyarrow", batch_size=None)
+    return map_partitions(attached, "__part", verify_part, _EMPTY_EDGES)
 
 
 def minhash_dup_groups(sf_dir: str, threshold: float = 0.7) -> Dataset:
@@ -634,12 +643,16 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3, max_group: int = 512) -
     16-bit chunk explode -> coarse chunk-hash partitions -> in-bucket hamming
     -> pair-key dedup. The signature table never materializes on the driver."""
     sh = simhash_docs(sf_dir)
-    pairs = (
+    _empty_ham = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int64())]
+    )
+    pairs = map_partitions(
         sh.map_batches(
             _simhash_explode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-        )
-        .groupby("__part")
-        .map_groups(_simhash_pairs_partition(max_hamming, max_group), batch_format="pyarrow")
+        ),
+        "__part",
+        _simhash_pairs_partition(max_hamming, max_group),
+        _empty_ham,
     )
 
     # a pair can match in up to 4 chunks (and in 2 partitions): global dedup
@@ -668,10 +681,11 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3, max_group: int = 512) -
             }
         )
 
-    return (
-        pairs.map_batches(add_part, batch_format="pyarrow", batch_size=None)
-        .groupby("__part")
-        .map_groups(dedup_part, batch_format="pyarrow")
+    return map_partitions(
+        pairs.map_batches(add_part, batch_format="pyarrow", batch_size=None),
+        "__part",
+        dedup_part,
+        _empty_ham,
     )
 
 
@@ -778,15 +792,15 @@ def embedding_near_dups(
         batch_size=None,
         zero_copy_batch=True,
     )
-    raw_pairs = bucketed.groupby("__part").map_groups(
-        _pairs_in_partition(max_group), batch_format="pyarrow"
+    raw_pairs = map_partitions(
+        bucketed, "__part", _pairs_in_partition(max_group), _EMPTY_PAIRS
     )
-    cands = (
-        raw_pairs.map_batches(_add_pair_part, batch_format="pyarrow", batch_size=None)
-        .groupby("__part")
-        .map_groups(_dedup_pairs_part, batch_format="pyarrow")
-        .materialize()  # tiny: deduped candidate id pairs
-    )
+    cands = map_partitions(
+        raw_pairs.map_batches(_add_pair_part, batch_format="pyarrow", batch_size=None),
+        "__part",
+        _dedup_pairs_part,
+        _EMPTY_PAIRS,
+    ).materialize()  # tiny: deduped candidate id pairs
     if cands.count() == 0:
         return _EMPTY_NEAR_DUPS.empty_table()
 
@@ -908,11 +922,13 @@ def embedding_near_dups(
             }
         )
 
-    verified = (
-        tagged.groupby("__part").map_groups(attach_part, batch_format="pyarrow")
-        .map_batches(_add_pair_part, batch_format="pyarrow", batch_size=None)
-        .groupby("__part")
-        .map_groups(verify_part, batch_format="pyarrow")
+    verified = map_partitions(
+        map_partitions(tagged, "__part", attach_part, _EMPTY_ATTACHED).map_batches(
+            _add_pair_part, batch_format="pyarrow", batch_size=None
+        ),
+        "__part",
+        verify_part,
+        _EMPTY_NEAR_DUPS,
     )
     # verified near-dup pairs are tiny by construction: collect into an Arrow
     # table with an EXPLICIT schema (an empty Dataset loses its schema, which

@@ -25,6 +25,8 @@ import ray.data as rd
 from ray.data import Dataset
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from ..util import map_partitions
+
 # coarse partition count for the co-group exchange (see memory: groupby on
 # raw node ids pays ~1 Python call per node; a fixed modulus keeps the
 # map_groups call count constant and the per-call work vectorized)
@@ -141,8 +143,12 @@ def connected_components(
             )
         )
         labels = (
-            u.groupby("__part")
-            .map_groups(propagate, batch_format="pyarrow")
+            map_partitions(
+                u,
+                "__part",
+                propagate,
+                pa.schema([("node", pa.int64()), ("label", pa.int64())]),
+            )
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
             .materialize()
@@ -336,8 +342,14 @@ def _pagerank_exchange(sym: Dataset, n_iter: int, damping: float) -> Dataset:
             )
         )
         ranks = (
-            u.groupby("__part")
-            .map_groups(propagate, batch_format="pyarrow")
+            map_partitions(
+                u,
+                "__part",
+                propagate,
+                pa.schema(
+                    [("node", pa.int64()), ("contrib", pa.float64()), ("deg", pa.float64())]
+                ),
+            )
             .groupby("node")
             .aggregate(Sum("contrib", alias_name="s"), Max("deg", alias_name="deg"))
             .map_batches(
@@ -414,16 +426,28 @@ def entity_pagerank(ea: Dataset, n_iter: int = 5, damping: float = 0.85) -> Data
 
     from ..util import cached_get
 
-    def to_pairs(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.invert(pc.equal(t["subj"], t["obj"])))
-        return pa.table({"s": t["subj"], "o": t["obj"]})
+    from ..stages.materialize import _string_key_part
 
-    pairs = (
-        ea.map_batches(to_pairs, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-        .groupby(["s", "o"])
-        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
-        .materialize()
-    )
+    def to_pairs(t: pa.Table) -> pa.Table:
+        # per-block distinct partial (Arrow hash group_by), tagged with a
+        # coarse string-hash partition so the exchange moves one int column
+        t = t.filter(pc.invert(pc.equal(t["subj"], t["obj"])))
+        g = (
+            pa.table({"s": t["subj"], "o": t["obj"]})
+            .group_by(["s", "o"], use_threads=False)
+            .aggregate([])
+        )
+        return g.append_column("__part", _string_key_part(g, ["s", "o"]))
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        return t.group_by(["s", "o"], use_threads=False).aggregate([])
+
+    pairs = map_partitions(
+        ea.map_batches(to_pairs, batch_format="pyarrow", batch_size=None, zero_copy_batch=True),
+        "__part",
+        distinct_pairs,
+        pa.schema([("s", pa.string()), ("o", pa.string())]),
+    ).materialize()
 
     def explode_ents(t: pa.Table) -> pa.Table:
         ents = pa.concat_arrays(

@@ -296,12 +296,18 @@ def build_kg(
             keep_in_memory=True,
             write_executor=writer,
         )
-        ea = edges_agg_ckpt.run(lambda: materialize_edges_agg(e))
+        _mark("edges built")
+        ea = edges_agg_ckpt.run(
+            lambda: materialize_edges_agg(e), write_executor=writer
+        )
+        _mark("edges_agg built")
         return e, ea
 
     # edges(+agg) and nodes are independent — overlapped only when configured
     edges_future = (pool if overlap else _Inline).submit(_edges_chain)
-    nodes = nodes_ckpt.run(lambda: materialize_nodes(extracted, cmap))
+    nodes = nodes_ckpt.run(
+        lambda: materialize_nodes(extracted, cmap), write_executor=writer
+    )
     _mark("nodes done")
     edges, edges_agg = edges_future.result()
     _mark("edges+agg done")
@@ -315,7 +321,7 @@ def build_kg(
 
     # durability barrier: all background checkpoint writes must land before
     # metrics read the manifests / the call returns resumable state
-    barrier = [asm_ckpt, ext_ckpt, edges_ckpt]
+    barrier = [asm_ckpt, ext_ckpt, edges_ckpt, edges_agg_ckpt, nodes_ckpt]
     if chunks_ckpt is not None:
         barrier.append(chunks_ckpt)
     for ck in barrier:

@@ -62,6 +62,10 @@ def scaling_run(i: int) -> dict | None:
         GRAFT_SCALING_CPUS="2,8",
         GRAFT_SCALING_SF="0.3",
         GRAFT_SCALING_REPS="3",
+        # per-stage completion marks land in the children's stderr (the
+        # .err artifact): every attempt doubles as a SAME-WINDOW per-stage
+        # lo/hi attribution of the non-scaling serial segment
+        GRAFT_TIMING="1",
     )
     out_path = f"/tmp/scaling_r4_auto_{i}.json"
     p = subprocess.run(
