@@ -127,6 +127,24 @@ def _kg_node_degrees(sf_dir: str) -> Any:
     return kg_node_degrees(_kg_result(sf_dir)["edges_agg"])
 
 
+def _kg_triangle_count(sf_dir: str) -> Any:
+    """Exact triangle count of the KG co-occurrence graph (distributed
+    compact-forward); oracle is the 3-way self-join over the written edges
+    checkpoint."""
+    from chunksilo_ray.ops.graph import kg_triangle_count
+
+    return kg_triangle_count(_kg_result(sf_dir)["edges_agg"])
+
+
+def _kg_common_neighbors(sf_dir: str) -> Any:
+    """Top-k non-adjacent entity pairs by neighbor-set Jaccard (link
+    prediction); deterministic (jaccard DESC, a, b) order shared with the
+    SQL oracle."""
+    from chunksilo_ray.ops.graph import kg_common_neighbors
+
+    return kg_common_neighbors(_kg_result(sf_dir)["edges_agg"], k=50)
+
+
 def _kg_chunks_query(sf_dir: str) -> Any:
     """kg_chunks with a VALUE-level oracle (docs_dir_scan pattern): the
     pipeline writes the chunks checkpoint; DuckDB reads it back and the
@@ -328,6 +346,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # weight per node from the aggregated edge table) — value-oracled
         # against the written checkpoint like the other kg_* rows
         "kg_node_degrees": _kg_node_degrees,
+        # round-4: exact distributed triangle count (compact-forward
+        # orientation — every triangle counted at its unique two-out-edge
+        # node) and Jaccard common-neighbor link prediction over the same
+        # coded undirected pair set; both value-oracled against the written
+        # edges checkpoint and gated in tests/test_round4.py
+        "kg_triangle_count": _kg_triangle_count,
+        "kg_common_neighbors": _kg_common_neighbors,
         # --- intentionally LAST: the genuinely-approximate / non-SQL trio
         # (each carries a named pytest gate instead of a DuckDB oracle; in
         # round 2 the correctness gate evaluated exactly 50 of 51 registered
@@ -1325,6 +1350,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         # KG degree profile recomputed from the written per-turn edges
         # checkpoint (same source the kg_edges_agg oracle aggregates)
+        # exact triangle count over the undirected distinct-pair graph of
+        # the written edge checkpoint (a<b<c via the ordered 3-way join)
+        "kg_triangle_count": f"""
+            WITH agg AS (SELECT DISTINCT subj, obj
+                         FROM read_parquet('{_KG_OUT01}/edges/*.parquet')
+                         WHERE subj <> obj),
+            p AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+                  FROM agg)
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM p e1
+            JOIN p e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN p e3 ON e3.a = e1.b AND e3.b = e2.b
+        """,
+        # top-k non-adjacent pairs by neighbor-set Jaccard; raw IEEE double
+        # ratios rank identically in both engines (same ints in, one
+        # division), ROUND applies to output only
+        "kg_common_neighbors": f"""
+            WITH agg AS (SELECT DISTINCT subj, obj
+                         FROM read_parquet('{_KG_OUT01}/edges/*.parquet')
+                         WHERE subj <> obj),
+            p AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+                  FROM agg),
+            n AS (SELECT a AS node, b AS nb FROM p
+                  UNION ALL SELECT b AS node, a AS nb FROM p),
+            deg AS (SELECT node, count(*) AS d FROM n GROUP BY node),
+            w AS (SELECT n1.nb AS u, n2.nb AS v
+                  FROM n n1 JOIN n n2 ON n1.node = n2.node AND n1.nb < n2.nb),
+            cnt AS (SELECT u, v, count(*) AS c FROM w GROUP BY u, v),
+            nonadj AS (SELECT cnt.u, cnt.v, cnt.c FROM cnt
+                       LEFT JOIN p ON p.a = cnt.u AND p.b = cnt.v
+                       WHERE p.a IS NULL)
+            SELECT u AS node_a, v AS node_b,
+                   CAST(c AS BIGINT) AS common_n,
+                   ROUND(CAST(c AS DOUBLE) / (da.d + db.d - c), 6) AS jaccard
+            FROM nonadj
+            JOIN deg da ON da.node = u
+            JOIN deg db ON db.node = v
+            ORDER BY CAST(c AS DOUBLE) / (da.d + db.d - c) DESC, node_a, node_b
+            LIMIT 50
+        """,
         "kg_node_degrees": f"""
             WITH agg AS (SELECT subj, pred, obj, CAST(SUM(weight) AS BIGINT) AS weight
                          FROM read_parquet('{_KG_OUT01}/edges/*.parquet')

@@ -548,3 +548,391 @@ def kg_node_degrees(edges_agg: Dataset) -> Dataset:
             Sum("w_in", alias_name="w_in"),
         )
     )
+
+
+def _coded_undirected_pairs(ea: Dataset):
+    """(coded_pairs, vocab_ref): distinct undirected entity pairs of the
+    aggregated KG edge table, int64-coded through a sorted entity vocabulary
+    (vocabulary-bounded — the same driver-budget argument as the canonical
+    map / entity_pagerank). Output rows have a < b; self-loops dropped."""
+    import ray
+
+    from ..stages.materialize import _string_key_part
+    from ..util import cached_get
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.equal(t["subj"], t["obj"])))
+        lo = pc.min_element_wise(t["subj"], t["obj"])
+        hi = pc.max_element_wise(t["subj"], t["obj"])
+        g = pa.table({"s": lo, "o": hi}).group_by(["s", "o"], use_threads=False).aggregate([])
+        return g.append_column("__part", _string_key_part(g, ["s", "o"]))
+
+    from ..util import map_partitions
+
+    pairs = map_partitions(
+        ea.map_batches(to_pairs, batch_format="pyarrow", batch_size=None, zero_copy_batch=True),
+        "__part",
+        lambda t: t.group_by(["s", "o"], use_threads=False).aggregate([]),
+        pa.schema([("s", pa.string()), ("o", pa.string())]),
+    ).materialize()
+
+    vocab = np.sort(
+        pairs.map_batches(
+            lambda t: pa.table(
+                {
+                    "entity": pa.concat_arrays(
+                        [
+                            t["s"].combine_chunks().cast(pa.string()),
+                            t["o"].combine_chunks().cast(pa.string()),
+                        ]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        ).unique("entity")
+    )
+    vocab_ref = ray.put(vocab)
+
+    def code(t: pa.Table) -> pa.Table:
+        v = cached_get(vocab_ref)
+        a = np.searchsorted(v, t["s"].to_numpy(zero_copy_only=False).astype(str))
+        b = np.searchsorted(v, t["o"].to_numpy(zero_copy_only=False).astype(str))
+        return pa.table(
+            {"a": pa.array(a.astype(np.int64)), "b": pa.array(b.astype(np.int64))}
+        )
+
+    return pairs.map_batches(code, batch_format="pyarrow", batch_size=None).materialize(), vocab_ref
+
+
+def _pack_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """One int64 join key per (a, b) pair; ids are vocabulary indices < 2^31."""
+    return (a.astype(np.int64) << np.int64(32)) | b.astype(np.int64)
+
+
+def kg_triangle_count(ea: Dataset) -> "pa.Table":
+    """Exact triangle count of the undirected entity co-occurrence graph
+    (distinct subj-obj pairs of the aggregated KG edge table). Returns a
+    one-row table {n_triangles}.
+
+    Distributed compact-forward: orient every edge from lower (degree, id)
+    rank to higher; each node emits the C(out_deg, 2) wedges over its
+    out-neighbors; a tagged pair-hash exchange counts wedges whose endpoint
+    pair IS an edge. Every triangle has exactly one node with two out-edges
+    under this orientation, so each is counted once. Wedge volume is the
+    O(m^1.5) compact-forward bound — the orientation, not a cap, is what
+    tames hubs, so the count stays EXACT at any skew. Degrees ride a
+    vocabulary-bounded broadcast (8 B/entity)."""
+    import ray
+
+    from ..util import cached_get, map_partitions
+
+    pairs, vocab_ref = _coded_undirected_pairs(ea)
+
+    # degree vector (dense, vocab-aligned): per-block bincount partials
+    # summed on the driver — vocabulary-bounded, same budget as the vocab
+    n_ent = len(ray.get(vocab_ref))
+    deg = np.zeros(n_ent, np.int64)
+    for blk in pairs.map_batches(
+        lambda t, n=n_ent: pa.table(
+            {
+                "d": pa.array(
+                    np.bincount(
+                        np.concatenate(
+                            [
+                                t["a"].to_numpy(zero_copy_only=False),
+                                t["b"].to_numpy(zero_copy_only=False),
+                            ]
+                        ),
+                        minlength=n,
+                    )
+                )
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        deg += blk["d"].to_numpy(zero_copy_only=False)
+    deg_ref = ray.put(deg)
+
+    def orient(t: pa.Table) -> pa.Table:
+        d = cached_get(deg_ref)
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        # a -> b iff rank(a) < rank(b), rank = (deg, id); a < b already
+        fwd = (d[a] < d[b]) | (d[a] == d[b])  # ties break by id, a < b holds
+        src = np.where(fwd, a, b)
+        dst = np.where(fwd, b, a)
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "__part": pa.array(src % _N_PARTS, pa.int64()),
+            }
+        )
+
+    oriented = pairs.map_batches(orient, batch_format="pyarrow", batch_size=None)
+
+    def wedges(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        change = np.flatnonzero(src[1:] != src[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(src)]))
+        pa_, pb_ = [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            if e - s < 2:
+                continue
+            nb = dst[s:e]  # sorted, unique (distinct pairs upstream)
+            ii, jj = np.triu_indices(len(nb), k=1)
+            pa_.append(nb[ii])
+            pb_.append(nb[jj])
+        if not pa_:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(pa_), pa.int64()),
+                "b": pa.array(np.concatenate(pb_), pa.int64()),
+            }
+        )
+
+    wedge_ds = map_partitions(
+        oriented,
+        "__part",
+        wedges,
+        pa.schema([("a", pa.int64()), ("b", pa.int64())]),
+    )
+
+    def tag(is_edge: int):
+        def fn(t: pa.Table) -> pa.Table:
+            a = t["a"].to_numpy(zero_copy_only=False)
+            b = t["b"].to_numpy(zero_copy_only=False)
+            key = _pack_pairs(a, b)
+            return pa.table(
+                {
+                    "key": pa.array(key, pa.int64()),
+                    "is_edge": pa.array(np.full(len(a), is_edge), pa.int64()),
+                    "__part": pa.array(key % _N_PARTS, pa.int64()),
+                }
+            )
+
+        return fn
+
+    tagged = pairs.map_batches(tag(1), batch_format="pyarrow", batch_size=None).union(
+        wedge_ds.map_batches(tag(0), batch_format="pyarrow", batch_size=None)
+    )
+
+    def count_part(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy(zero_copy_only=False)
+        is_edge = t["is_edge"].to_numpy(zero_copy_only=False).astype(bool)
+        edge_keys = np.sort(key[is_edge])
+        hits = np.isin(key[~is_edge], edge_keys, assume_unique=False)
+        return pa.table({"n": pa.array([int(hits.sum())], pa.int64())})
+
+    parts = map_partitions(
+        tagged, "__part", count_part, pa.schema([("n", pa.int64())])
+    )
+    total = parts.sum("n") or 0
+    return pa.table({"n_triangles": pa.array([int(total)], pa.int64())})
+
+
+def kg_common_neighbors(ea: Dataset, k: int = 50, max_degree: int = 4096) -> "pa.Table":
+    """Link prediction over the KG's undirected co-occurrence graph: the
+    top-k NON-adjacent entity pairs by Jaccard similarity of their neighbor
+    sets. Returns (node_a, node_b, common_n, jaccard) with a deterministic
+    (jaccard DESC, node_a, node_b) order — raw IEEE doubles rank identically
+    in Ray and the SQL oracle, rounding applies to output only.
+
+    Distributed shape: every middle node emits the C(deg, 2) unordered
+    pairs of its neighbors (wedge counts = common-neighbor counts), one
+    pair-hash exchange both aggregates wedge counts and drops adjacent
+    pairs (tagged union with the edge set), per-partition partial top-k,
+    driver merges k rows. Degrees ride the vocabulary-bounded broadcast.
+    Wedge volume is sum(deg^2) — unlike the triangle count there is no
+    orienting away a hub's quadratic blowup, so degrees past ``max_degree``
+    raise (exact-or-error, the cume_dist contract); real 100 TB corpora
+    drop hubs first (the standard practice this guard makes explicit)."""
+    import ray
+
+    from ..util import cached_get, map_partitions
+
+    pairs, vocab_ref = _coded_undirected_pairs(ea)
+
+    n_ent = len(ray.get(vocab_ref))
+    deg = np.zeros(n_ent, np.int64)
+    for blk in pairs.map_batches(
+        lambda t, n=n_ent: pa.table(
+            {
+                "d": pa.array(
+                    np.bincount(
+                        np.concatenate(
+                            [
+                                t["a"].to_numpy(zero_copy_only=False),
+                                t["b"].to_numpy(zero_copy_only=False),
+                            ]
+                        ),
+                        minlength=n,
+                    )
+                )
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        deg += blk["d"].to_numpy(zero_copy_only=False)
+    dmax = int(deg.max()) if n_ent else 0
+    if dmax > max_degree:
+        raise ValueError(
+            f"kg_common_neighbors: max degree {dmax} > max_degree={max_degree}; "
+            "the wedge exchange is O(sum deg^2) — drop hub entities first or "
+            "raise max_degree explicitly"
+        )
+    deg_ref = ray.put(deg)
+
+    # symmetrize: (node, neighbor) both ways, partitioned by the middle node
+    def sym(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        mid = np.concatenate([a, b])
+        nb = np.concatenate([b, a])
+        return pa.table(
+            {
+                "mid": pa.array(mid, pa.int64()),
+                "nb": pa.array(nb, pa.int64()),
+                "__part": pa.array(mid % _N_PARTS, pa.int64()),
+            }
+        )
+
+    def wedges(t: pa.Table) -> pa.Table:
+        mid = t["mid"].to_numpy(zero_copy_only=False)
+        nb = t["nb"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nb, mid))
+        mid, nb = mid[order], nb[order]
+        change = np.flatnonzero(mid[1:] != mid[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(mid)]))
+        pa_, pb_ = [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            if e - s < 2:
+                continue
+            nbs = nb[s:e]
+            ii, jj = np.triu_indices(len(nbs), k=1)
+            pa_.append(nbs[ii])
+            pb_.append(nbs[jj])
+        if not pa_:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(pa_), pa.int64()),
+                "b": pa.array(np.concatenate(pb_), pa.int64()),
+            }
+        )
+
+    wedge_ds = map_partitions(
+        pairs.map_batches(sym, batch_format="pyarrow", batch_size=None),
+        "__part",
+        wedges,
+        pa.schema([("a", pa.int64()), ("b", pa.int64())]),
+    )
+
+    # tagged pair-key exchange: wedge counts (cnt>=1) + edge markers (cnt=-1);
+    # a single per-partition kernel sums counts and drops any pair that also
+    # carries an edge marker
+    def tag(cnt_val: int):
+        def fn(t: pa.Table) -> pa.Table:
+            a = t["a"].to_numpy(zero_copy_only=False)
+            b = t["b"].to_numpy(zero_copy_only=False)
+            key = _pack_pairs(a, b)
+            return pa.table(
+                {
+                    "key": pa.array(key, pa.int64()),
+                    "cnt": pa.array(np.full(len(a), cnt_val), pa.int64()),
+                    "__part": pa.array(key % _N_PARTS, pa.int64()),
+                }
+            )
+
+        return fn
+
+    # pre-combine wedge counts per block before the exchange (partial agg)
+    def wedge_partial(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        key = _pack_pairs(a, b)
+        uniq, counts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(uniq, pa.int64()),
+                "cnt": pa.array(counts.astype(np.int64), pa.int64()),
+                "__part": pa.array(uniq % _N_PARTS, pa.int64()),
+            }
+        )
+
+    big = np.int64(1) << np.int64(40)  # edge marker: poisons the pair's sum
+
+    def edge_mark(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        key = _pack_pairs(a, b)
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "cnt": pa.array(np.full(len(a), -big), pa.int64()),
+                "__part": pa.array(key % _N_PARTS, pa.int64()),
+            }
+        )
+
+    tagged = wedge_ds.map_batches(wedge_partial, batch_format="pyarrow", batch_size=None).union(
+        pairs.map_batches(edge_mark, batch_format="pyarrow", batch_size=None)
+    )
+
+    def topk_part(t: pa.Table) -> pa.Table:
+        d = cached_get(deg_ref)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        order = np.argsort(key, kind="stable")
+        key, cnt = key[order], cnt[order]
+        change = np.flatnonzero(key[1:] != key[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        sums = np.add.reduceat(cnt, starts)
+        keys_u = key[starts]
+        keep = sums > 0  # edge-marked pairs went hugely negative
+        keys_u, sums = keys_u[keep], sums[keep]
+        a = (keys_u >> np.int64(32)).astype(np.int64)
+        b = (keys_u & np.int64(0xFFFFFFFF)).astype(np.int64)
+        jac = sums / (d[a] + d[b] - sums)
+        if len(jac) > k:
+            # deterministic partial top-k: (jaccard DESC, a, b)
+            sel = np.lexsort((b, a, -jac))[:k]
+            a, b, sums, jac = a[sel], b[sel], sums[sel], jac[sel]
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "common_n": pa.array(sums, pa.int64()),
+                "jac": pa.array(jac, pa.float64()),
+            }
+        )
+
+    partials = map_partitions(
+        tagged,
+        "__part",
+        topk_part,
+        pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("common_n", pa.int64()), ("jac", pa.float64())]
+        ),
+    )
+    # driver merge: at most k rows per partition
+    rows = partials.take_all()
+    vocab = ray.get(vocab_ref)
+    rows.sort(key=lambda r: (-r["jac"], r["a"], r["b"]))
+    rows = rows[:k]
+    return pa.table(
+        {
+            "node_a": pa.array([str(vocab[r["a"]]) for r in rows], pa.string()),
+            "node_b": pa.array([str(vocab[r["b"]]) for r in rows], pa.string()),
+            "common_n": pa.array([r["common_n"] for r in rows], pa.int64()),
+            "jaccard": pa.array([round(float(r["jac"]), 6) for r in rows], pa.float64()),
+        }
+    )

@@ -259,3 +259,50 @@ def test_kg_node_degrees_constructed():
     assert out.loc["b"].tolist() == [1, 1, 2, 3]
     # c: self-loop row (c,p,c) — subj and obj sides both count it
     assert out.loc["c"].tolist() == [1, 3, 5, 8]
+
+
+def _edges_agg_table(pairs):
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "subj": pa.array([p[0] for p in pairs], pa.string()),
+            "pred": pa.array(["rel"] * len(pairs), pa.string()),
+            "obj": pa.array([p[1] for p in pairs], pa.string()),
+            "weight": pa.array([1] * len(pairs), pa.int64()),
+        }
+    )
+
+
+def test_kg_triangle_count_constructed():
+    """a-b-c triangle plus a c-d tail = exactly 1 triangle; duplicate and
+    reversed edges must not double-count (distinct undirected pairs)."""
+    import ray.data as rd
+
+    from chunksilo_ray.ops.graph import kg_triangle_count
+
+    t = _edges_agg_table(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("b", "a"), ("a", "b")]
+    )
+    out = kg_triangle_count(rd.from_arrow(t))
+    assert out["n_triangles"].to_pylist() == [1]
+
+
+def test_kg_common_neighbors_constructed_and_guard():
+    """(a,d) and (b,d) share middle node c: jaccard = 1/(2+1-1) = 0.5 each;
+    adjacent pairs are excluded. A hub past max_degree must raise."""
+    import pytest as _pytest
+    import ray.data as rd
+
+    from chunksilo_ray.ops.graph import kg_common_neighbors
+
+    t = _edges_agg_table([("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")])
+    out = kg_common_neighbors(rd.from_arrow(t), k=10)
+    rows = list(
+        zip(out["node_a"].to_pylist(), out["node_b"].to_pylist(),
+            out["common_n"].to_pylist(), out["jaccard"].to_pylist())
+    )
+    assert rows == [("a", "d", 1, 0.5), ("b", "d", 1, 0.5)]
+
+    with _pytest.raises(ValueError, match="max_degree"):
+        kg_common_neighbors(rd.from_arrow(t), k=10, max_degree=2)
