@@ -306,3 +306,28 @@ def test_kg_common_neighbors_constructed_and_guard():
 
     with _pytest.raises(ValueError, match="max_degree"):
         kg_common_neighbors(rd.from_arrow(t), k=10, max_degree=2)
+
+
+def test_cc_driver_vs_distributed_parity():
+    """The budgeted driver union-find and the distributed min-label
+    iteration must produce identical (node, component) tables — including
+    numeric-min representatives — on a graph with a chain, a cycle, and
+    isolated pairs."""
+    import ray.data as rd
+
+    from chunksilo_ray.ops.graph import connected_components
+
+    edges = pa.table(
+        {
+            "a": pa.array([10, 11, 12, 50, 51, 90, 7, 3], pa.int64()),
+            "b": pa.array([11, 12, 13, 51, 50, 91, 3, 5], pa.int64()),
+        }
+    )
+    fast = connected_components(rd.from_arrow(edges)).to_pandas()
+    dist = connected_components(rd.from_arrow(edges), driver_budget=0).to_pandas()
+    fast = fast.sort_values("node").reset_index(drop=True)
+    dist = dist.sort_values("node").reset_index(drop=True)
+    assert fast.equals(dist)
+    got = dict(zip(fast["node"], fast["component"]))
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 50: 50, 51: 50,
+                   90: 90, 91: 90, 3: 3, 5: 3, 7: 3}
