@@ -342,6 +342,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # paragraphs, so the oracle row exercises schema/identity and the
         # crafted-parquet tests exercise the dedup semantics)
         "paragraph_dedup": curation.paragraph_dedup,
+        # round-4: exact-substring dedup signal at k-token window
+        # granularity (Lee et al. window approximation); SQL-oracled,
+        # constructed-positive gate in tests/test_round4.py
+        "substring_dup_fraction": curation.substring_dup_fraction,
         # round-4: degree profile of the constructed KG (in/out degree +
         # weight per node from the aggregated edge table) — value-oracled
         # against the written checkpoint like the other kg_* rows
@@ -1333,6 +1337,33 @@ def oracle_sql() -> dict[str, str]:
         # corpus-global paragraph dedup: exact text-equality dup criterion,
         # rebuild via ordered string_agg (NULL when nothing survives —
         # matches the op's when/otherwise)
+        # k-token sliding windows via list slicing; dup = exact window-text
+        # equality corpus-wide; tokenization is the SAME explicit RE2 class
+        # [ \t\r\n]+ the Ray op uses
+        "substring_dup_fraction": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           trim(text, ' ' || chr(9) || chr(13) || chr(10)),
+                           '[ ' || chr(9) || chr(13) || chr(10) || ']+'
+                       ) AS t
+                FROM documents),
+            win AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS w
+                    FROM toks, UNNEST(range(1, len(t) - 8 + 2)) AS u(i)),
+            d AS (SELECT w FROM win GROUP BY w HAVING count(*) >= 2),
+            per AS (SELECT win.doc_id,
+                           CAST(count(*) AS BIGINT) AS n_windows,
+                           CAST(count(d.w) AS BIGINT) AS n_dup_windows
+                    FROM win LEFT JOIN d ON win.w = d.w
+                    GROUP BY win.doc_id)
+            SELECT toks.doc_id,
+                   COALESCE(per.n_windows, 0) AS n_windows,
+                   COALESCE(per.n_dup_windows, 0) AS n_dup_windows,
+                   CASE WHEN per.n_windows > 0
+                        THEN ROUND(CAST(per.n_dup_windows AS DOUBLE) / per.n_windows, 6)
+                   END AS dup_fraction
+            FROM toks LEFT JOIN per ON per.doc_id = toks.doc_id
+        """,
         "paragraph_dedup": """
             WITH split AS (SELECT doc_id, string_split(text, chr(10)||chr(10)) AS l
                            FROM documents),

@@ -513,3 +513,151 @@ def normalize_docs(sf_dir: str) -> Dataset:
         )
 
     return ds.map_batches(norm, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+_WIN_K = 8
+# same budget/fallback reasoning as paragraph_dedup: the duplicated-window
+# vocabulary is broadcast as 8-byte siphashes (internal transport only; dup
+# DETECTION is exact window-string equality in both engines)
+_WIN_BROADCAST_LIMIT = 2_000_000
+
+
+def _doc_windows(t: pa.Table, k: int):
+    """(doc_id, n_windows, windows) per doc: whitespace-tokenized k-token
+    sliding windows rebuilt as ' '-joined strings. Tokenization is the
+    explicit class [ \\t\\r\\n]+ after trim — RE2 on the Ray side and in the
+    DuckDB oracle, so the two agree byte-for-byte (memory: never lean on \\s
+    parity). Vectorized: one Arrow split per batch, one numpy object-array
+    join pass per k."""
+    import numpy as np_
+
+    trimmed = pc.utf8_trim(t["text"], " \t\r\n")
+    toks = pc.split_pattern_regex(trimmed, "[ \t\r\n]+")
+    lengths = toks.combine_chunks().value_lengths().to_numpy(zero_copy_only=False)
+    flat = np_.asarray(toks.combine_chunks().flatten().to_pylist(), dtype=object)
+    offs = np_.concatenate(([0], np_.cumsum(lengths)))
+    doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    out_doc, out_win, n_windows = [], [], np_.maximum(lengths - k + 1, 0)
+    for d in range(t.num_rows):
+        s, e = offs[d], offs[d + 1]
+        n = e - s - k + 1
+        if n <= 0:
+            continue
+        toks_d = flat[s:e]
+        win = toks_d[:n].copy()
+        for j in range(1, k):
+            win = np_.char.add(np_.char.add(win.astype(str), " "), toks_d[j : j + n].astype(str))
+        out_doc.append(np_.full(n, doc_ids[d]))
+        out_win.append(win)
+    if not out_doc:
+        return (
+            np_.empty(0, np_.int64),
+            np_.empty(0, object),
+            doc_ids,
+            n_windows.astype(np_.int64),
+        )
+    return (
+        np_.concatenate(out_doc),
+        np_.concatenate(out_win),
+        doc_ids,
+        n_windows.astype(np_.int64),
+    )
+
+
+def substring_dup_fraction(
+    sf_dir: str, k: int = _WIN_K, min_count: int = 2,
+    broadcast_limit: int = _WIN_BROADCAST_LIMIT,
+) -> Dataset:
+    """Exact-substring dedup signal at k-token window granularity (the
+    Dolma/Lee-et-al. staple, window-approximated): for every document, the
+    fraction of its k-token sliding windows whose exact text occurs >=
+    min_count times ACROSS the corpus. Emits (doc_id, n_windows,
+    n_dup_windows, dup_fraction); docs shorter than k tokens have
+    n_windows=0 and a NULL fraction.
+
+    Scale shape: pass 1 counts windows with a per-batch DISTINCT partial
+    (one row per distinct window per block) -> window-keyed groupby Sum;
+    only windows clearing min_count — the duplicated vocabulary — are
+    collected as 8-byte siphashes and broadcast once. Pass 2 re-derives
+    each doc's windows locally (documents are row-per-doc, so no window
+    ever crosses an exchange in this pass) and counts membership via
+    searchsorted. The honest cost is pass 1's distinct-window exchange
+    (~k x text bytes upper bound, block-distinct in practice); true suffix
+    arrays beat it asymptotically but need a global index this engine
+    would build as a side artifact, not a streaming pass."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def count_part(t: pa.Table) -> pa.Table:
+        import numpy as np_
+
+        _, wins, _, _ = _doc_windows(t, k)
+        uniq, counts = np_.unique(wins.astype(str), return_counts=True) if len(wins) else (
+            np_.empty(0, object), np_.empty(0, np_.int64))
+        return pa.table(
+            {"w": pa.array(uniq.tolist(), pa.string()),
+             "cnt": pa.array(counts.astype("int64"), pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(count_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby("w")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def dup_hashes(t: pa.Table) -> pa.Table:
+        from pandas.util import hash_array
+
+        sub = t.filter(pc.greater_equal(t["cnt"], min_count))
+        h = hash_array(sub["w"].to_numpy(zero_copy_only=False), categorize=False)
+        return pa.table({"h": pa.array(h.astype(np.uint64), pa.uint64())})
+
+    dups = counts.map_batches(
+        dup_hashes, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).materialize()
+    if dups.count() > broadcast_limit:
+        raise ValueError(
+            f"substring_dup_fraction: duplicated-window vocabulary exceeds "
+            f"broadcast_limit={broadcast_limit}; raise the limit or pre-filter "
+            "(the paragraph_dedup shuffle-path pattern applies if this trips in practice)"
+        )
+    harr = np.sort(
+        np.concatenate(
+            [b["h"].to_numpy() for b in dups.iter_batches(batch_format="pyarrow", batch_size=None)]
+            or [np.empty(0, np.uint64)]
+        )
+    )
+    href = ray.put(harr)
+
+    def score(t: pa.Table) -> pa.Table:
+        from pandas.util import hash_array
+
+        from ..util import cached_get
+
+        win_doc, wins, doc_ids, n_windows = _doc_windows(t, k)
+        arr = cached_get(href)
+        if len(wins) and arr.size:
+            h = hash_array(wins.astype(object), categorize=False).astype(np.uint64)
+            pos = np.searchsorted(arr, h)
+            dup = (pos < arr.size) & (arr[np.minimum(pos, arr.size - 1)] == h)
+        else:
+            dup = np.zeros(len(wins), bool)
+        n_dup = np.zeros(t.num_rows, np.int64)
+        if len(wins):
+            # win_doc holds the actual doc_id per window; map back to row idx
+            order = {int(d): i for i, d in enumerate(t["doc_id"].to_numpy(zero_copy_only=False))}
+            idx = np.fromiter((order[int(d)] for d in win_doc), np.int64, len(win_doc))
+            np.add.at(n_dup, idx, dup.astype(np.int64))
+        frac = np.where(n_windows > 0, n_dup / np.maximum(n_windows, 1), np.nan)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_windows": pa.array(n_windows, pa.int64()),
+                "n_dup_windows": pa.array(n_dup, pa.int64()),
+                "dup_fraction": pa.array(
+                    [None if n == 0 else round(float(f), 6) for n, f in zip(n_windows, frac)],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)

@@ -331,3 +331,36 @@ def test_cc_driver_vs_distributed_parity():
     got = dict(zip(fast["node"], fast["component"]))
     assert got == {10: 10, 11: 10, 12: 10, 13: 10, 50: 50, 51: 50,
                    90: 90, 91: 90, 3: 3, 5: 3, 7: 3}
+
+
+def test_substring_dup_fraction_constructed(tmp_path):
+    """Window 'a b c' repeats across docs 1 and 2 (k=3): per-doc window
+    counts, dup counts, fraction rounding, and the NULL short-doc case."""
+    import pyarrow.parquet as pq
+
+    from chunksilo_ray.ops.curation import substring_dup_fraction
+
+    texts = {
+        1: "a b c d",
+        2: "x a b c y",
+        3: "no dup here at all",
+        4: "tiny doc",
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[i] for i in sorted(texts)], pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = substring_dup_fraction(str(tmp_path), k=3).to_pandas().set_index("doc_id")
+    assert out.loc[1].tolist()[:2] == [2, 1] and out.loc[1, "dup_fraction"] == 0.5
+    assert out.loc[2].tolist()[:2] == [3, 1] and out.loc[2, "dup_fraction"] == 0.333333
+    assert out.loc[3].tolist()[:2] == [3, 0] and out.loc[3, "dup_fraction"] == 0.0
+    assert out.loc[4, "n_windows"] == 0 and pd_isna(out.loc[4, "dup_fraction"])
+
+
+def pd_isna(x):
+    import pandas as pd
+
+    return pd.isna(x)
