@@ -346,6 +346,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # granularity (Lee et al. window approximation); SQL-oracled,
         # constructed-positive gate in tests/test_round4.py
         "substring_dup_fraction": curation.substring_dup_fraction,
+        # round-4: quality-aware representative selection per near-dup
+        # group (keep max n_alnum, doc_id tiebreak) — the policy layer on
+        # the minhash clusters; SQL-oracled via the same recursive-CTE CC
+        "dedup_keep_best": curation.dedup_keep_best,
         # round-4: degree profile of the constructed KG (in/out degree +
         # weight per node from the aggregated edge table) — value-oracled
         # against the written checkpoint like the other kg_* rows
@@ -823,6 +827,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         # distributed CC over the verified bigram-jaccard pair graph: the
         # oracle recomputes the pairs in SQL and closes them transitively
+        # minhash groups + integer quality rank: kept = row 1 of each
+        # group ordered by (n_alnum DESC, doc_id)
+        "dedup_keep_best": f"""
+            WITH RECURSIVE {_SHINGLE3},
+            edges AS (SELECT da AS a, db AS b FROM jpairs
+                      UNION SELECT db, da FROM jpairs),
+            reach(a, b) AS (SELECT a, b FROM edges
+                            UNION
+                            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+            grp AS (SELECT a AS doc_id, CAST(LEAST(MIN(b), a) AS BIGINT) AS dup_group
+                    FROM reach GROUP BY a),
+            q AS (SELECT d.doc_id,
+                         CAST(COALESCE((SELECT SUM(length(w))
+                                        FROM UNNEST(regexp_extract_all(d.text, '[A-Za-z0-9]+')) AS t(w)),
+                                       0) AS BIGINT) AS n_alnum
+                  FROM documents d JOIN grp ON grp.doc_id = d.doc_id)
+            SELECT grp.dup_group, grp.doc_id, q.n_alnum,
+                   row_number() OVER (PARTITION BY grp.dup_group
+                                      ORDER BY q.n_alnum DESC, grp.doc_id) = 1 AS kept
+            FROM grp JOIN q ON q.doc_id = grp.doc_id
+        """,
         "ngram_dup_components": f"""
             WITH RECURSIVE {_SHINGLE2},
             edges AS (SELECT da AS a, db AS b FROM jpairs

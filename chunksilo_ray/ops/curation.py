@@ -661,3 +661,73 @@ def substring_dup_fraction(
         )
 
     return ds.map_batches(score, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+def dedup_keep_best(sf_dir: str, threshold: float = 0.7) -> "pa.Table":
+    """Representative selection for near-dup groups — the policy layer on
+    top of MinHash-LSH clustering: within every dup group keep the doc with
+    the MOST alphanumeric content (n_alnum, the quality_scores component;
+    integer, so the ranking never hinges on float rounding), doc_id
+    ascending as the tie-break. Emits (dup_group, doc_id, n_alnum, kept)
+    for every clustered doc.
+
+    Scale shape: the group table is dup-vocabulary-bounded (it exists only
+    for docs with a verified near-dup), so it broadcasts; ONE streaming
+    pass over documents scores just the grouped docs (membership via
+    searchsorted on a broadcast id array) and returns a group-sized result;
+    the argmax-per-group fold runs on that bounded table. Document text
+    never enters an exchange."""
+    import re as _re
+
+    from ..util import cached_get
+    from .dedup import minhash_dup_groups
+
+    groups = minhash_dup_groups(sf_dir, threshold=threshold)
+    # dup-vocabulary-bounded collect (same budget argument as the canonical
+    # map): one row per clustered doc
+    grp_rows = groups.take_all()
+    if not grp_rows:
+        return pa.schema(
+            [("dup_group", pa.int64()), ("doc_id", pa.int64()),
+             ("n_alnum", pa.int64()), ("kept", pa.bool_())]
+        ).empty_table()
+    gmap = {int(r["doc_id"]): int(r["dup_group"]) for r in grp_rows}
+    ids = np.sort(np.fromiter(gmap, np.int64, len(gmap)))
+    ids_ref = ray.put(ids)
+
+    word_re = _re.compile(r"[A-Za-z0-9]+")
+
+    def score_members(t: pa.Table) -> pa.Table:
+        arr = cached_get(ids_ref)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(arr, doc)
+        hit = (pos < arr.size) & (arr[np.minimum(pos, arr.size - 1)] == doc)
+        sub = t.filter(pa.array(hit))
+        texts = sub["text"].to_pylist()
+        n_alnum = pa.array(
+            [sum(len(w) for w in word_re.findall(x)) for x in texts], pa.int64()
+        )
+        return pa.table({"doc_id": sub["doc_id"], "n_alnum": n_alnum})
+
+    scored = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score_members, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    rows = scored.take_all()  # group-sized, bounded with the group table
+    rows.sort(key=lambda r: (gmap[int(r["doc_id"])], -int(r["n_alnum"]), int(r["doc_id"])))
+    out_g, out_d, out_n, out_k = [], [], [], []
+    prev = None
+    for r in rows:
+        g = gmap[int(r["doc_id"])]
+        out_g.append(g)
+        out_d.append(int(r["doc_id"]))
+        out_n.append(int(r["n_alnum"]))
+        out_k.append(g != prev)
+        prev = g
+    return pa.table(
+        {
+            "dup_group": pa.array(out_g, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "n_alnum": pa.array(out_n, pa.int64()),
+            "kept": pa.array(out_k, pa.bool_()),
+        }
+    )

@@ -364,3 +364,33 @@ def pd_isna(x):
     import pandas as pd
 
     return pd.isna(x)
+
+
+def test_dedup_keep_best_constructed(tmp_path):
+    """Exact near-dups with different lengths: the longest (max n_alnum)
+    member of each group is kept, doc_id breaks ties, singletons absent."""
+    import pyarrow.parquet as pq
+
+    from chunksilo_ray.ops.curation import dedup_keep_best
+
+    dup = ("the quick brown fox jumps over the lazy dog and then naps "
+           "quietly under a warm tree near the river bank every afternoon")
+    texts = {
+        1: dup,
+        2: dup + " extended with more unique alphanumeric content here",
+        3: dup,  # ties with 1 on text; doc 2 wins on n_alnum
+        4: "a completely different document with no duplicate at all",
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[i] for i in sorted(texts)], pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = dedup_keep_best(str(tmp_path)).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 3]          # singleton 4 absent
+    assert set(out["dup_group"]) == {1}
+    kept = out.loc[out["kept"], "doc_id"].tolist()
+    assert kept == [2]                                  # max n_alnum wins
+    assert out.sort_values("doc_id")["kept"].tolist() == [False, True, False]
