@@ -350,6 +350,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # group (keep max n_alnum, doc_id tiebreak) — the policy layer on
         # the minhash clusters; SQL-oracled via the same recursive-CTE CC
         "dedup_keep_best": curation.dedup_keep_best,
+        # round-4: DSIR-style importance weights (bigram log-ratio vs the
+        # deterministic target slice); SQL-oracled, constructed gate in
+        # tests/test_round4.py
+        "dsir_importance": curation.dsir_importance,
         # round-4: degree profile of the constructed KG (in/out degree +
         # weight per node from the aggregated edge table) — value-oracled
         # against the written checkpoint like the other kg_* rows
@@ -1362,6 +1366,34 @@ def oracle_sql() -> dict[str, str]:
         # corpus-global paragraph dedup: exact text-equality dup criterion,
         # rebuild via ordered string_agg (NULL when nothing survives —
         # matches the op's when/otherwise)
+        # DSIR importance: literal-bigram top-V vocabulary (count DESC,
+        # bigram ASC), Laplace +1 over vocab-restricted totals, ln ratio
+        # summed per doc; ROUND 4 coarse vs float-association noise
+        "dsir_importance": """
+            WITH toks AS (SELECT doc_id,
+                                 regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                          FROM documents),
+            bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+                   FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+            tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM bg
+                    WHERE doc_id % 100 = 7 GROUP BY b),
+            vocab AS (SELECT b, c FROM tgt ORDER BY c DESC, b LIMIT 1000),
+            corp AS (SELECT bg.b, CAST(count(*) AS BIGINT) AS c
+                     FROM bg JOIN vocab ON vocab.b = bg.b GROUP BY bg.b),
+            tot AS (SELECT (SELECT SUM(c) FROM vocab) + (SELECT count(*) FROM vocab) AS tt,
+                           (SELECT SUM(c) FROM corp) + (SELECT count(*) FROM vocab) AS tc),
+            lr AS (SELECT vocab.b,
+                          ln(((vocab.c + 1.0) / tot.tt) /
+                             ((COALESCE(corp.c, 0) + 1.0) / tot.tc)) AS r
+                   FROM vocab LEFT JOIN corp ON corp.b = vocab.b, tot),
+            scored AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+                              SUM(lr.r) AS imp
+                       FROM bg JOIN lr ON lr.b = bg.b GROUP BY bg.doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.n_feat, 0) AS BIGINT) AS n_feat,
+                   ROUND(COALESCE(s.imp, 0.0), 4) AS importance
+            FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+        """,
         # k-token sliding windows via list slicing; dup = exact window-text
         # equality corpus-wide; tokenization is the SAME explicit RE2 class
         # [ \t\r\n]+ the Ray op uses

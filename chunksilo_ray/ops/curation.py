@@ -731,3 +731,142 @@ def dedup_keep_best(sf_dir: str, threshold: float = 0.7) -> "pa.Table":
             "kept": pa.array(out_k, pa.bool_()),
         }
     )
+
+
+_DSIR_VOCAB = 1000
+_DSIR_ROUND = 4
+
+
+def _lower_bigrams(t: pa.Table):
+    """(bigram_doc_idx, bigrams) per batch: lowercase [a-z0-9]+ word bigrams
+    as 'w1 w2' strings. polars extract_all does the vectorized tokenize; the
+    window join reuses the numpy offsets kernel."""
+    from ..util import polars_safe
+
+    pl = polars_safe()
+    toks = (
+        pl.from_arrow(t.select(["text"]))
+        .select(pl.col("text").str.to_lowercase().str.extract_all(r"[a-z0-9]+"))
+        .to_series()
+    )
+    lengths = toks.list.len().to_numpy().astype(np.int64)
+    flat = np.asarray(toks.explode().to_list(), dtype=object) if int(lengths.sum()) else np.empty(0, object)
+    offs = np.concatenate(([0], np.cumsum(lengths)))
+    out_idx, out_bg = [], []
+    for d in range(t.num_rows):
+        s, e = offs[d], offs[d + 1]
+        n = e - s - 1
+        if n <= 0:
+            continue
+        td = flat[s:e]
+        bg = np.char.add(np.char.add(td[:n].astype(str), " "), td[1 : n + 1].astype(str))
+        out_idx.append(np.full(n, d))
+        out_bg.append(bg)
+    if not out_idx:
+        return np.empty(0, np.int64), np.empty(0, object)
+    return np.concatenate(out_idx), np.concatenate(out_bg).astype(object)
+
+
+def dsir_importance(
+    sf_dir: str, vocab_size: int = _DSIR_VOCAB, ndigits: int = _DSIR_ROUND
+) -> Dataset:
+    """DSIR-style importance weights for data selection (hashed-ngram
+    importance resampling, public method — Xie et al.): score every document
+    by how much its bigram distribution resembles a TARGET slice (the
+    deterministic doc_id % 100 == 7 stand-in shared with decontaminate_docs)
+    relative to the whole corpus. importance = sum over the doc's
+    vocab-restricted bigram occurrences of ln(p_target / p_corpus), Laplace
+    +1 smoothing over the top-``vocab_size`` target bigrams (count DESC,
+    bigram ASC tie-break — fully deterministic). Emits (doc_id, n_feat,
+    importance); docs with zero vocab bigrams score 0.0.
+
+    Scale shape (3 streaming passes, every exchange bounded): pass 1 counts
+    TARGET bigrams only (the target slice is a small fraction by
+    construction) via per-batch partial -> groupby Sum; the top-V vocabulary
+    collects (V-bounded) and broadcasts. Pass 2 counts CORPUS occurrences of
+    vocabulary bigrams only (membership searchsorted before the exchange —
+    the exchange is V-bounded, never corpus-bigram-sized). The per-bigram
+    log-ratio table folds on the driver (V rows) and broadcasts. Pass 3
+    scores each doc locally. The literal-bigram vocabulary (vs DSIR's hash
+    buckets) is what makes the DuckDB oracle byte-reproducible; a 100 TB
+    deployment would raise vocab_size, not change the shape."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def target_partial(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(doc % _PROBE_MOD == _PROBE_RESIDUE))
+        _, bg = _lower_bigrams(t)
+        uniq, counts = (np.unique(bg, return_counts=True) if len(bg)
+                        else (np.empty(0, object), np.empty(0, np.int64)))
+        return pa.table({"b": pa.array(uniq.tolist(), pa.string()),
+                         "cnt": pa.array(counts.astype("int64"), pa.int64())})
+
+    tcounts = (
+        ds.map_batches(target_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby("b")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()
+    )
+    # V-bounded driver fold: deterministic top-V by (count DESC, bigram ASC)
+    rows = tcounts.take_all()
+    rows.sort(key=lambda r: (-int(r["cnt"]), r["b"]))
+    rows = rows[:vocab_size]
+    vocab = np.array(sorted(r["b"] for r in rows), dtype=object)
+    tgt_cnt = {r["b"]: int(r["cnt"]) for r in rows}
+    vocab_ref = ray.put(vocab)
+
+    def corpus_partial(t: pa.Table) -> pa.Table:
+        from ..util import cached_get
+
+        v = cached_get(vocab_ref)
+        _, bg = _lower_bigrams(t)
+        if len(bg) and v.size:
+            pos = np.searchsorted(v, bg)
+            hit = (pos < v.size) & (v[np.minimum(pos, v.size - 1)] == bg)
+            bg = bg[hit]
+        uniq, counts = (np.unique(bg, return_counts=True) if len(bg)
+                        else (np.empty(0, object), np.empty(0, np.int64)))
+        return pa.table({"b": pa.array(uniq.tolist(), pa.string()),
+                         "cnt": pa.array(counts.astype("int64"), pa.int64())})
+
+    ccounts = (
+        ds.map_batches(corpus_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby("b")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    crows = ccounts.take_all()  # V-bounded
+    c_cnt = {r["b"]: int(r["cnt"]) for r in crows}
+    v_n = len(vocab)
+    tot_t = sum(tgt_cnt.values()) + v_n
+    tot_c = sum(c_cnt.get(b, 0) for b in vocab) + v_n
+    ratio = np.array(
+        [
+            np.log(((tgt_cnt.get(b, 0) + 1) / tot_t) / ((c_cnt.get(b, 0) + 1) / tot_c))
+            for b in vocab
+        ],
+        np.float64,
+    )
+    ratio_ref = ray.put(ratio)
+
+    def score(t: pa.Table) -> pa.Table:
+        from ..util import cached_get
+
+        v = cached_get(vocab_ref)
+        lr = cached_get(ratio_ref)
+        idx, bg = _lower_bigrams(t)
+        n_feat = np.zeros(t.num_rows, np.int64)
+        imp = np.zeros(t.num_rows, np.float64)
+        if len(bg) and v.size:
+            pos = np.searchsorted(v, bg)
+            hit = (pos < v.size) & (v[np.minimum(pos, v.size - 1)] == bg)
+            np.add.at(n_feat, idx[hit], 1)
+            np.add.at(imp, idx[hit], lr[pos[hit]])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_feat": pa.array(n_feat, pa.int64()),
+                "importance": pa.array(np.round(imp, ndigits), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)

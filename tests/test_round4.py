@@ -394,3 +394,49 @@ def test_dedup_keep_best_constructed(tmp_path):
     kept = out.loc[out["kept"], "doc_id"].tolist()
     assert kept == [2]                                  # max n_alnum wins
     assert out.sort_values("doc_id")["kept"].tolist() == [False, True, False]
+
+
+def test_dsir_importance_constructed(tmp_path):
+    """Docs matching the target slice's bigrams must outscore docs that
+    share none; n_feat counts vocab-bigram OCCURRENCES (repeats included)."""
+    import pyarrow.parquet as pq
+
+    from chunksilo_ray.ops.curation import dsir_importance
+
+    target = "alpha beta gamma alpha beta"     # doc 7: the target slice
+    texts = {
+        7: target,                              # 7 % 100 == 7 -> target
+        1: "alpha beta gamma",                  # shares target bigrams
+        2: "delta epsilon zeta",                # disjoint -> n_feat 0
+        3: "alpha beta alpha beta",             # repeated target bigram
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[i] for i in sorted(texts)], pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = dsir_importance(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert out.loc[2, "n_feat"] == 0 and out.loc[2, "importance"] == 0.0
+    # target bigrams: "alpha beta" x2, "beta gamma", "gamma alpha"
+    assert out.loc[1, "n_feat"] == 2          # alpha beta, beta gamma
+    assert out.loc[3, "n_feat"] == 2          # "alpha beta" x2 ("beta alpha" not a target bigram)
+
+    # pure-Python reference of the published formula over the same fixture
+    import math
+    from collections import Counter
+
+    def bigrams(x):
+        w = __import__("re").findall(r"[a-z0-9]+", x.lower())
+        return [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+    tgt = Counter(bigrams(texts[7]))
+    vocab = sorted(tgt, key=lambda b: (-tgt[b], b))[:1000]
+    corp = Counter(b for x in texts.values() for b in bigrams(x) if b in set(vocab))
+    tt = sum(tgt[b] for b in vocab) + len(vocab)
+    tc = sum(corp[b] for b in vocab) + len(vocab)
+    lr = {b: math.log(((tgt[b] + 1) / tt) / ((corp[b] + 1) / tc)) for b in vocab}
+    for did, text in texts.items():
+        exp = round(sum(lr[b] for b in bigrams(text) if b in lr), 4)
+        assert out.loc[did, "importance"] == exp, (did, exp)
