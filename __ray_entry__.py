@@ -127,6 +127,17 @@ def _kg_node_degrees(sf_dir: str) -> Any:
     return kg_node_degrees(_kg_result(sf_dir)["edges_agg"])
 
 
+def _role_transitions(sf_dir: str) -> Any:
+    """Role-transition matrix over the north-rule transcripts table (the
+    corpus the KG pipeline consumes); oracle = lead() window over the same
+    parquet."""
+    from chunksilo_ray import datagen
+    from chunksilo_ray.ops.window import role_transitions
+
+    corpus = datagen.corpus_dir(datagen.sf_from_dir(sf_dir))
+    return role_transitions(f"{corpus}/transcripts.parquet")
+
+
 def _kg_triangle_count(sf_dir: str) -> Any:
     """Exact triangle count of the KG co-occurrence graph (distributed
     compact-forward); oracle is the 3-way self-join over the written edges
@@ -354,6 +365,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic target slice); SQL-oracled, constructed gate in
         # tests/test_round4.py
         "dsir_importance": curation.dsir_importance,
+        # round-4: conversation-structure profile of the transcripts table
+        # itself (consecutive role pairs per conversation)
+        "role_transitions": _role_transitions,
         # round-4: degree profile of the constructed KG (in/out degree +
         # weight per node from the aggregated edge table) — value-oracled
         # against the written checkpoint like the other kg_* rows
@@ -1440,6 +1454,14 @@ def oracle_sql() -> dict[str, str]:
         # checkpoint (same source the kg_edges_agg oracle aggregates)
         # exact triangle count over the undirected distinct-pair graph of
         # the written edge checkpoint (a<b<c via the ordered 3-way join)
+        "role_transitions": """
+            WITH t AS (SELECT conv_id, turn_idx, role,
+                              lead(role) OVER (PARTITION BY conv_id
+                                               ORDER BY turn_idx) AS nxt
+                       FROM read_parquet('/tmp/chunksilo_ray_testdata/sf0.01-seed42/transcripts.parquet'))
+            SELECT role AS role_from, nxt AS role_to, CAST(count(*) AS BIGINT) AS n
+            FROM t WHERE nxt IS NOT NULL GROUP BY role, nxt
+        """,
         "kg_triangle_count": f"""
             WITH agg AS (SELECT DISTINCT subj, obj
                          FROM read_parquet('{_KG_OUT01}/edges/*.parquet')

@@ -319,3 +319,66 @@ def funnel_stages(sf_dir: str) -> pa.Table:
             "n_users": pa.array(out["n_users"].to_numpy(), pa.int64()),
         }
     )
+
+
+def role_transitions(transcripts_path: str) -> Dataset:
+    """Role-transition matrix of the NORTH-RULE input table itself: for
+    every conversation, count consecutive (role -> next role) pairs across
+    the corpus. Emits (role_from, role_to, n) — the conversation-structure
+    profile a transcript-scale pipeline wants before modeling turn order.
+
+    Scale shape: read only (conv_id, turn_idx, role); coarse conv-hash
+    partitions co-locate each conversation; the per-partition kernel is one
+    factorize + lexsort + vectorized shift emitting per-partition PARTIAL
+    transition counts (at most |roles|^2 rows per partition), and a tiny
+    groupby-sum finishes. Turn text never leaves the scan."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..util import map_partitions
+
+    ds = rd.read_parquet(transcripts_path, columns=["conv_id", "turn_idx", "role"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        from pandas.util import hash_array
+
+        h = hash_array(
+            t["conv_id"].to_numpy(zero_copy_only=False).astype(object), categorize=False
+        ).astype(np.uint64)
+        return t.append_column(
+            "__part", pa.array((h % np.uint64(64)).astype(np.int64))
+        )
+
+    def part_counts(t: pa.Table) -> pa.Table:
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        idx = t["turn_idx"].to_numpy(zero_copy_only=False)
+        role = t["role"].to_numpy(zero_copy_only=False)
+        _, codes = np.unique(conv, return_inverse=True)
+        order = np.lexsort((idx, codes))
+        codes, role = codes[order], role[order]
+        same = codes[1:] == codes[:-1]
+        frm, to = role[:-1][same], role[1:][same]
+        roles, rcodes = np.unique(np.concatenate([frm, to]), return_inverse=True)
+        n = len(roles)
+        fc, tc = rcodes[: len(frm)], rcodes[len(frm):]
+        counts = np.bincount(fc * n + tc, minlength=n * n).reshape(n, n)
+        nz = np.nonzero(counts)
+        return pa.table(
+            {
+                "role_from": pa.array(roles[nz[0]].tolist(), pa.string()),
+                "role_to": pa.array(roles[nz[1]].tolist(), pa.string()),
+                "cnt": pa.array(counts[nz].astype("int64"), pa.int64()),
+            }
+        )
+
+    partials = map_partitions(
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=None, zero_copy_batch=True),
+        "__part",
+        part_counts,
+        pa.schema([("role_from", pa.string()), ("role_to", pa.string()), ("cnt", pa.int64())]),
+    )
+    return (
+        partials.groupby(["role_from", "role_to"]).aggregate(Sum("cnt", alias_name="n"))
+    )

@@ -440,3 +440,26 @@ def test_dsir_importance_constructed(tmp_path):
     for did, text in texts.items():
         exp = round(sum(lr[b] for b in bigrams(text) if b in lr), 4)
         assert out.loc[did, "importance"] == exp, (did, exp)
+
+
+def test_role_transitions_constructed(tmp_path):
+    """Two conversations with a known turn order: transitions count within
+    conversations only, ordered by turn_idx regardless of row order."""
+    import pyarrow.parquet as pq
+
+    from chunksilo_ray.ops.window import role_transitions
+
+    t = pa.table(
+        {
+            "conv_id": pa.array(["c1", "c1", "c2", "c1", "c2"], pa.string()),
+            # rows deliberately out of order: c1 turns 0,2,1 / c2 turns 1,0
+            "turn_idx": pa.array([0, 2, 1, 1, 0], pa.int32()),
+            "role": pa.array(["user", "user", "assistant", "assistant", "user"], pa.string()),
+        }
+    )
+    p = tmp_path / "tr.parquet"
+    pq.write_table(t, p)
+    out = role_transitions(str(p)).to_pandas()
+    got = {(r.role_from, r.role_to): r.n for r in out.itertuples()}
+    # c1 ordered roles: user -> assistant -> user; c2: user -> assistant
+    assert got == {("user", "assistant"): 2, ("assistant", "user"): 1}
