@@ -368,6 +368,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4: conversation-structure profile of the transcripts table
         # itself (consecutive role pairs per conversation)
         "role_transitions": _role_transitions,
+        # round-4: distributed PCA projection (mergeable covariance
+        # partials -> driver eigh -> broadcast matmul). Genuinely
+        # non-SQL-expressible (eigendecomposition): rows-only for the
+        # driver; the full-numpy reference gate is
+        # tests/test_round4.py::test_embedding_pca_matches_numpy_reference
+        "embedding_pca": similarity.embedding_pca,
         # round-4: degree profile of the constructed KG (in/out degree +
         # weight per node from the aggregated edge table) — value-oracled
         # against the written checkpoint like the other kg_* rows

@@ -530,3 +530,85 @@ def kmeans_assign(sf_dir: str, k: int = 8, iters: int = 2) -> "pa.Table":
     return ds.map_batches(
         assign_final, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
+
+
+def embedding_pca(sf_dir: str, n_components: int = 8) -> Dataset:
+    """Distributed PCA over the embedding column: project every vector onto
+    the top principal components of the corpus. Emits (vec_id, proj
+    list<double>, round 6). The eigendecomposition has no SQL analog, so
+    this query is rows-only for the driver; correctness is gated by an
+    in-test full-numpy reference (tests/test_round4.py).
+
+    Scale shape — the textbook mergeable-moment split: pass 1 folds
+    per-block (count, sum x, sum x x^T) partials (d + d^2 doubles per
+    block, independent of rows) into the covariance on the driver; eigh of
+    the d x d matrix is driver-trivial for embedding-sized d; the component
+    matrix broadcasts and pass 2 is one matmul per batch. Component signs
+    are fixed deterministically (largest-|coefficient| entry positive) so
+    reruns and the reference agree exactly."""
+    from ..util import cached_get
+
+    ds = _emb(sf_dir)
+
+    def moments(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t)
+        d = m.shape[1] if m.size else 0
+        s1 = m.sum(axis=0)
+        s2 = m.T @ m
+        return pa.table(
+            {
+                "n": pa.array([m.shape[0]], pa.int64()),
+                "d": pa.array([d], pa.int64()),
+                "s1": pa.array([s1.tolist()], pa.list_(pa.float64())),
+                "s2": pa.array([s2.reshape(-1).tolist()], pa.list_(pa.float64())),
+            }
+        )
+
+    n_tot, dim = 0, 0
+    s1_tot = None
+    s2_tot = None
+    for b in ds.map_batches(
+        moments, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        for i in range(b.num_rows):
+            n = int(b["n"][i].as_py())
+            if n == 0:
+                continue
+            d = int(b["d"][i].as_py())
+            s1 = np.asarray(b["s1"][i].as_py(), np.float64)
+            s2 = np.asarray(b["s2"][i].as_py(), np.float64).reshape(d, d)
+            if s1_tot is None:
+                dim, s1_tot, s2_tot = d, s1, s2
+            else:
+                s1_tot += s1
+                s2_tot += s2
+            n_tot += n
+    if n_tot < 2:
+        return rd.from_arrow(
+            pa.schema([("vec_id", pa.int64()), ("proj", pa.list_(pa.float64()))]).empty_table()
+        )
+    mean = s1_tot / n_tot
+    cov = (s2_tot - n_tot * np.outer(mean, mean)) / (n_tot - 1)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][: min(n_components, dim)]
+    comps = vecs[:, order]  # d x k
+    # deterministic sign: the largest-|coefficient| entry of each component
+    # is made positive (ties impossible at float precision in practice)
+    for j in range(comps.shape[1]):
+        i = int(np.argmax(np.abs(comps[:, j])))
+        if comps[i, j] < 0:
+            comps[:, j] = -comps[:, j]
+    state = ray.put((mean, comps))
+
+    def project(t: pa.Table) -> pa.Table:
+        mu, w = cached_get(state)
+        m = _emb_matrix(t)
+        proj = np.round((m - mu) @ w, 6)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "proj": pa.array([r.tolist() for r in proj], pa.list_(pa.float64())),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)

@@ -463,3 +463,37 @@ def test_role_transitions_constructed(tmp_path):
     got = {(r.role_from, r.role_to): r.n for r in out.itertuples()}
     # c1 ordered roles: user -> assistant -> user; c2: user -> assistant
     assert got == {("user", "assistant"): 2, ("assistant", "user"): 1}
+
+
+def test_embedding_pca_matches_numpy_reference(tmp_path):
+    """The distributed moment fold + projection must equal a straight
+    numpy PCA (same covariance normalization, same deterministic signs)."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    from chunksilo_ray.ops.similarity import embedding_pca
+
+    rng = np.random.RandomState(7)
+    X = rng.randn(64, 6) * np.array([5.0, 3.0, 1.0, 0.5, 0.2, 0.1]) + rng.randn(6)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(64), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in X], pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(t, pathlib.Path(tmp_path) / "embeddings.parquet")
+    out = embedding_pca(str(tmp_path), n_components=3).to_pandas().set_index("vec_id")
+
+    Xd = X.astype(np.float32).astype(np.float64)  # the parquet round-trip
+    mean = Xd.mean(axis=0)
+    cov = np.cov(Xd, rowvar=False)
+    vals, vecs = np.linalg.eigh(cov)
+    comps = vecs[:, np.argsort(vals)[::-1][:3]]
+    for j in range(3):
+        i = int(np.argmax(np.abs(comps[:, j])))
+        if comps[i, j] < 0:
+            comps[:, j] = -comps[:, j]
+    exp = np.round((Xd - mean) @ comps, 6)
+    got = np.array([out.loc[i, "proj"] for i in range(64)])
+    assert np.allclose(got, exp, atol=2e-6)
