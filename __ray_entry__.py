@@ -127,6 +127,15 @@ def _kg_node_degrees(sf_dir: str) -> Any:
     return kg_node_degrees(_kg_result(sf_dir)["edges_agg"])
 
 
+def _tool_usage(sf_dir: str) -> Any:
+    """Tool-usage profile over the north-rule transcripts table."""
+    from chunksilo_ray import datagen
+    from chunksilo_ray.ops.window import tool_usage
+
+    corpus = datagen.corpus_dir(datagen.sf_from_dir(sf_dir))
+    return tool_usage(f"{corpus}/transcripts.parquet")
+
+
 def _role_transitions(sf_dir: str) -> Any:
     """Role-transition matrix over the north-rule transcripts table (the
     corpus the KG pipeline consumes); oracle = lead() window over the same
@@ -368,6 +377,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4: conversation-structure profile of the transcripts table
         # itself (consecutive role pairs per conversation)
         "role_transitions": _role_transitions,
+        # round-4: per-(role, tool) turn + distinct-conversation counts
+        "tool_usage": _tool_usage,
+        # round-4: deterministic content-hash train/val/test split (dups
+        # land in one split — no eval leakage); md5 on both sides
+        "split_assign": textstats.split_assign,
         # round-4: distributed PCA projection (mergeable covariance
         # partials -> driver eigh -> broadcast matmul). Genuinely
         # non-SQL-expressible (eigendecomposition): rows-only for the
@@ -1460,6 +1474,20 @@ def oracle_sql() -> dict[str, str]:
         # checkpoint (same source the kg_edges_agg oracle aggregates)
         # exact triangle count over the undirected distinct-pair graph of
         # the written edge checkpoint (a<b<c via the ordered 3-way join)
+        "tool_usage": """
+            SELECT role, tool, CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+            FROM read_parquet('/tmp/chunksilo_ray_testdata/sf0.01-seed42/transcripts.parquet')
+            GROUP BY role, tool
+        """,
+        "split_assign": """
+            SELECT doc_id,
+                   CASE substr(md5(text), 1, 1)
+                        WHEN 'e' THEN 'val'
+                        WHEN 'f' THEN 'test'
+                        ELSE 'train' END AS split
+            FROM documents
+        """,
         "role_transitions": """
             WITH t AS (SELECT conv_id, turn_idx, role,
                               lead(role) OVER (PARTITION BY conv_id

@@ -506,3 +506,29 @@ def long_docs_per_lang(sf_dir: str, q: float = 0.9) -> Dataset:
     return _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
         keep_long, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
+
+
+def split_assign(sf_dir: str) -> Dataset:
+    """Deterministic train/val/test assignment by content hash — the
+    rerun-stable split a training pipeline freezes before any shuffling:
+    first hex digit of md5(text) routes ~14/16 to train, 1/16 to val
+    ('e'), 1/16 to test ('f'). Content-keyed (not id-keyed) so exact dups
+    land in the SAME split and never leak across train/eval. One stateless
+    pass; SQL-matchable (DuckDB md5)."""
+    import hashlib
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        split = [
+            "val" if h == "e" else "test" if h == "f" else "train"
+            for h in (
+                hashlib.md5(x.encode("utf-8")).hexdigest()[0]
+                for x in t["text"].to_pylist()
+            )
+        ]
+        return pa.table(
+            {"doc_id": t["doc_id"], "split": pa.array(split, pa.string())}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)

@@ -382,3 +382,56 @@ def role_transitions(transcripts_path: str) -> Dataset:
     return (
         partials.groupby(["role_from", "role_to"]).aggregate(Sum("cnt", alias_name="n"))
     )
+
+
+def tool_usage(transcripts_path: str) -> Dataset:
+    """Tool-usage profile of the transcripts table: per (role, tool) the
+    turn count and distinct conversations touched. Partial pre-agg per
+    block (distinct (role, tool, conv) rows), one small exchange."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(transcripts_path, columns=["conv_id", "role", "tool"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["role", "tool", "conv_id"], use_threads=False).aggregate(
+            [("conv_id", "count")]
+        )
+        return pa.table(
+            {
+                "role": g["role"],
+                "tool": g["tool"],
+                "conv_id": g["conv_id"],
+                "n": g["conv_id_count"].cast(pa.int64()),
+            }
+        )
+
+    # second level: collapse per (role, tool, conv) across blocks, then the
+    # final (role, tool) rollup counts conversations exactly
+    per_conv = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby(["role", "tool", "conv_id"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by(["role", "tool"], use_threads=False).aggregate(
+            [("n", "sum"), ("conv_id", "count")]
+        )
+        return pa.table(
+            {
+                "role": g["role"],
+                "tool": g["tool"],
+                "n_turns": g["n_sum"].cast(pa.int64()),
+                "n_convs": g["conv_id_count"].cast(pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Max
+
+    return (
+        per_conv.map_batches(finish, batch_format="pyarrow", batch_size=None)
+        .groupby(["role", "tool"])
+        .aggregate(Sum("n_turns", alias_name="n_turns"), Sum("n_convs", alias_name="n_convs"))
+    )
