@@ -156,6 +156,15 @@ def _kg_triangle_count(sf_dir: str) -> Any:
     return kg_triangle_count(_kg_result(sf_dir)["edges_agg"])
 
 
+def _kg_kcore(sf_dir: str) -> Any:
+    """2-core of the KG co-occurrence graph (distributed peel; rows-only —
+    iterate-to-fixpoint has no SQL analog; constructed gate in
+    tests/test_round4.py)."""
+    from chunksilo_ray.ops.graph import kg_kcore
+
+    return kg_kcore(_kg_result(sf_dir)["edges_agg"], k=2)
+
+
 def _kg_common_neighbors(sf_dir: str) -> Any:
     """Top-k non-adjacent entity pairs by neighbor-set Jaccard (link
     prediction); deterministic (jaccard DESC, a, b) order shared with the
@@ -399,6 +408,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # edges checkpoint and gated in tests/test_round4.py
         "kg_triangle_count": _kg_triangle_count,
         "kg_common_neighbors": _kg_common_neighbors,
+        # round-4: k-core peel (rows-only; constructed gate)
+        "kg_kcore": _kg_kcore,
         # --- intentionally LAST: the genuinely-approximate / non-SQL trio
         # (each carries a named pytest gate instead of a DuckDB oracle; in
         # round 2 the correctness gate evaluated exactly 50 of 51 registered

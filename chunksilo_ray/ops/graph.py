@@ -999,3 +999,72 @@ def kg_common_neighbors(ea: Dataset, k: int = 50, max_degree: int = 4096) -> "pa
             "jaccard": pa.array([round(float(r["jac"]), 6) for r in rows], pa.float64()),
         }
     )
+
+
+def kg_kcore(ea: Dataset, k: int = 2, max_rounds: int = 50) -> "pa.Table":
+    """k-core of the KG's undirected co-occurrence graph: iteratively peel
+    nodes with degree < k until fixpoint; emit every surviving node with its
+    in-core degree. Classic peel (public literature) in the engine's
+    bounded-driver shape: EDGES stay a distributed Dataset throughout (one
+    degree-partial pass + one endpoint-filter pass per round); the driver
+    holds only node-sized vectors (entity vocabulary is bounded — the
+    entity_pagerank budget argument). No SQL analog (iterate-to-fixpoint
+    with re-aggregation), so the driver row is rows-only; the constructed
+    peel gate is tests/test_round4.py."""
+    import ray
+
+    from ..util import cached_get
+
+    pairs, vocab_ref = _coded_undirected_pairs(ea)
+    vocab = ray.get(vocab_ref)
+    n_ent = len(vocab)
+    if n_ent == 0:
+        return pa.table({"node": pa.array([], pa.string()),
+                         "core_degree": pa.array([], pa.int64())})
+    alive = np.ones(n_ent, bool)
+    edges_ds = pairs
+    deg = np.zeros(n_ent, np.int64)
+    for _ in range(max_rounds):
+        deg = np.zeros(n_ent, np.int64)
+        for blk in edges_ds.map_batches(
+            lambda t, n=n_ent: pa.table(
+                {
+                    "d": pa.array(
+                        np.bincount(
+                            np.concatenate(
+                                [
+                                    t["a"].to_numpy(zero_copy_only=False),
+                                    t["b"].to_numpy(zero_copy_only=False),
+                                ]
+                            ),
+                            minlength=n,
+                        )
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        ).iter_batches(batch_format="pyarrow", batch_size=None):
+            deg += blk["d"].to_numpy(zero_copy_only=False)
+        drop = alive & (deg < k)
+        if not drop.any():
+            break
+        alive &= ~drop
+        aref = ray.put(alive)
+
+        def keep_edges(t: pa.Table, _aref=aref) -> pa.Table:
+            al = cached_get(_aref)
+            a = t["a"].to_numpy(zero_copy_only=False)
+            b = t["b"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(al[a] & al[b]))
+
+        edges_ds = edges_ds.map_batches(
+            keep_edges, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        ).materialize()
+    idx = np.flatnonzero(alive & (deg >= k))
+    return pa.table(
+        {
+            "node": pa.array(np.asarray(vocab, object)[idx].tolist(), pa.string()),
+            "core_degree": pa.array(deg[idx], pa.int64()),
+        }
+    )

@@ -497,3 +497,18 @@ def test_embedding_pca_matches_numpy_reference(tmp_path):
     exp = np.round((Xd - mean) @ comps, 6)
     got = np.array([out.loc[i, "proj"] for i in range(64)])
     assert np.allclose(got, exp, atol=2e-6)
+
+
+def test_kg_kcore_constructed():
+    """Triangle a-b-c (2-core) with pendant d and chain e-f: the peel must
+    drop d, e, f and report in-core degrees of exactly 2."""
+    import ray.data as rd
+
+    from chunksilo_ray.ops.graph import kg_kcore
+
+    t = _edges_agg_table(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("e", "f")]
+    )
+    out = kg_kcore(rd.from_arrow(t), k=2)
+    got = dict(zip(out["node"].to_pylist(), out["core_degree"].to_pylist()))
+    assert got == {"a": 2, "b": 2, "c": 2}
