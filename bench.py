@@ -292,8 +292,8 @@ def run_scaling() -> dict:
         # per-stage completion marks (GRAFT_TIMING=1 children): [offset, name]
         # pairs — every artifact then attributes its own serial segment
         r["stage_marks"] = [
-            [float(m.group(1)), m.group(2)]
-            for m in re.finditer(r"\[kg \+\s*([0-9.]+)s\] (.+)", proc.stderr)
+            [f"{m.group(1)}+{float(m.group(2)):g}", m.group(3)]
+            for m in re.finditer(r"\[(kg|asm) \+\s*([0-9.]+)s\] (.+)", proc.stderr)
         ]
         return r
 
