@@ -391,6 +391,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4: deterministic content-hash train/val/test split (dups
         # land in one split — no eval leakage); md5 on both sides
         "split_assign": textstats.split_assign,
+        # round-4: positional proximity retrieval (terms within w tokens)
+        "proximity_search": text_search.proximity_search,
         # round-4: distributed PCA projection (mergeable covariance
         # partials -> driver eigh -> broadcast matmul). Genuinely
         # non-SQL-expressible (eigendecomposition): rows-only for the
@@ -1490,6 +1492,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
             FROM read_parquet('/tmp/chunksilo_ray_testdata/sf0.01-seed42/transcripts.parquet')
             GROUP BY role, tool
+        """,
+        "proximity_search": """
+            WITH toks AS (SELECT doc_id,
+                                 regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                          FROM documents),
+            pos AS (SELECT doc_id, i, t[i] AS tok
+                    FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)),
+            a AS (SELECT doc_id, i FROM pos WHERE tok = 'hash'),
+            b AS (SELECT doc_id, i FROM pos WHERE tok = 'join')
+            SELECT a.doc_id, CAST(MIN(ABS(a.i - b.i)) AS BIGINT) AS min_dist
+            FROM a JOIN b ON a.doc_id = b.doc_id
+            GROUP BY a.doc_id
+            HAVING MIN(ABS(a.i - b.i)) <= 5
         """,
         "split_assign": """
             SELECT doc_id,

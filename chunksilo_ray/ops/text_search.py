@@ -284,3 +284,52 @@ def term_stats(sf_dir: str) -> Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def proximity_search(
+    sf_dir: str, term_a: str = "hash", term_b: str = "join", window: int = 5
+) -> Dataset:
+    """Proximity retrieval: documents where ``term_a`` and ``term_b`` occur
+    within ``window`` tokens of each other; emits (doc_id, min_dist) — the
+    positional-index query BM25 can't answer. Token positions are the
+    [a-z0-9]+ lowercase stream both engines compute identically.
+
+    Scale shape: stateless per-batch kernel — per doc, the two (tiny)
+    position lists meet in a classic sorted-merge min-gap scan (vectorized
+    searchsorted instead of the positional-index walk); nothing but
+    (doc_id, min_dist) survivors leave the scan. A persisted positional
+    postings index (build_postings pattern) is the repeated-query path."""
+    import re as _re
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    tok_re = _re.compile(r"[a-z0-9]+")
+
+    def f(t: pa.Table) -> pa.Table:
+        out_id, out_d = [], []
+        for doc_id, text in zip(
+            t["doc_id"].to_numpy(zero_copy_only=False), t["text"].to_pylist()
+        ):
+            pa_pos, pb_pos = [], []
+            for i, m in enumerate(tok_re.finditer(text.lower())):
+                w = m.group(0)
+                if w == term_a:
+                    pa_pos.append(i)
+                elif w == term_b:
+                    pb_pos.append(i)
+            if not pa_pos or not pb_pos:
+                continue
+            a = np.asarray(pa_pos, np.int64)
+            b = np.asarray(pb_pos, np.int64)
+            # min |a_i - b_j| via searchsorted of a into b (sorted merge)
+            pos = np.searchsorted(b, a)
+            lo = np.abs(a - b[np.clip(pos - 1, 0, len(b) - 1)])
+            hi = np.abs(a - b[np.clip(pos, 0, len(b) - 1)])
+            d = int(min(lo.min(), hi.min()))
+            if d <= window:
+                out_id.append(int(doc_id))
+                out_d.append(d)
+        return pa.table(
+            {"doc_id": pa.array(out_id, pa.int64()), "min_dist": pa.array(out_d, pa.int64())}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)

@@ -512,3 +512,28 @@ def test_kg_kcore_constructed():
     out = kg_kcore(rd.from_arrow(t), k=2)
     got = dict(zip(out["node"].to_pylist(), out["core_degree"].to_pylist()))
     assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_proximity_search_constructed(tmp_path):
+    """min-gap across multiple occurrences, window boundary inclusive,
+    single-term docs excluded."""
+    import pyarrow.parquet as pq
+
+    from chunksilo_ray.ops.text_search import proximity_search
+
+    texts = {
+        1: "hash x x x x join",        # dist 5 — exactly at the window
+        2: "hash x x x x x join",      # dist 6 — excluded
+        3: "join y hash y y y y join", # best pair dist 2 (join@0, hash@2)
+        4: "hash only here",           # no join — excluded
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[i] for i in sorted(texts)], pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = proximity_search(str(tmp_path), "hash", "join", window=5).to_pandas()
+    got = dict(zip(out["doc_id"], out["min_dist"]))
+    assert got == {1: 5, 3: 2}
