@@ -383,6 +383,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic target slice); SQL-oracled, constructed gate in
         # tests/test_round4.py
         "dsir_importance": curation.dsir_importance,
+        # round-4: CCNet-style perplexity filter signal (corpus-trained
+        # char-bigram LM, bounded vocabulary, mean NLL per doc)
+        "lm_perplexity_scores": curation.lm_perplexity_scores,
         # round-4: conversation-structure profile of the transcripts table
         # itself (consecutive role pairs per conversation)
         "role_transitions": _role_transitions,
@@ -393,6 +396,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign": textstats.split_assign,
         # round-4: positional proximity retrieval (terms within w tokens)
         "proximity_search": text_search.proximity_search,
+        # round-4: market-basket pair mining (Apriori k=2) over lineitem
+        "frequent_part_pairs": relational.frequent_part_pairs,
         # round-4: distributed PCA projection (mergeable covariance
         # partials -> driver eigh -> broadcast matmul). Genuinely
         # non-SQL-expressible (eigendecomposition): rows-only for the
@@ -1413,6 +1418,27 @@ def oracle_sql() -> dict[str, str]:
         # corpus-global paragraph dedup: exact text-equality dup criterion,
         # rebuild via ordered string_agg (NULL when nothing survives —
         # matches the op's when/otherwise)
+        # char-bigram LM trained on the corpus itself (bounded <=37^2
+        # vocabulary); every scored bigram is in the training counts, so
+        # both engines evaluate the same Laplace logprobs
+        "lm_perplexity_scores": """
+            WITH norm AS (SELECT doc_id,
+                                 trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ') AS x
+                          FROM documents),
+            bg AS (SELECT doc_id, substr(x, i, 2) AS b
+                   FROM norm, UNNEST(range(1, length(x))) AS u(i)),
+            cnt AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY b),
+            tot AS (SELECT SUM(c) AS t FROM cnt),
+            scored AS (SELECT bg.doc_id,
+                              CAST(count(*) AS BIGINT) AS n_bigrams,
+                              SUM(-ln((cnt.c + 1.0) / (tot.t + 1369))) AS nll
+                       FROM bg JOIN cnt ON cnt.b = bg.b, tot
+                       GROUP BY bg.doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   ROUND(s.nll / s.n_bigrams, 4) AS mean_nll
+            FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+        """,
         # DSIR importance: literal-bigram top-V vocabulary (count DESC,
         # bigram ASC), Laplace +1 over vocab-restricted totals, ln ratio
         # summed per doc; ROUND 4 coarse vs float-association noise
@@ -1492,6 +1518,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
             FROM read_parquet('/tmp/chunksilo_ray_testdata/sf0.01-seed42/transcripts.parquet')
             GROUP BY role, tool
+        """,
+        "frequent_part_pairs": """
+            WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         "proximity_search": """
             WITH toks AS (SELECT doc_id,

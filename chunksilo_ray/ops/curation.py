@@ -870,3 +870,77 @@ def dsir_importance(
         )
 
     return ds.map_batches(score, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+def lm_perplexity_scores(sf_dir: str, ndigits: int = 4) -> Dataset:
+    """CCNet-style LM quality scoring with a deterministic stand-in model:
+    train a char-bigram language model on the WHOLE corpus (one pass of
+    mergeable count partials — the vocabulary is the bounded [a-z0-9 ]
+    char-pair space, <= 37^2 rows, so the exchange is trivially small),
+    then score every document by its mean negative log-likelihood under
+    that model (Laplace +1). Low mean_nll = looks like the corpus; high =
+    outlier/noise — the perplexity-filter signal CCNet computes with KenLM,
+    reproduced here with a model simple enough for the DuckDB oracle to
+    train identically. Emits (doc_id, n_bigrams, mean_nll); docs with <2
+    usable chars get NULL mean_nll. Text is lowercased and every char
+    outside [a-z0-9] maps to a single space (runs collapsed) — the explicit
+    normalization both engines share."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _norm_chars(t: pa.Table):
+        x = pc.utf8_lower(t["text"])
+        x = pc.replace_substring_regex(x, pattern="[^a-z0-9]+", replacement=" ")
+        return pc.utf8_trim(x, " ")
+
+    def count_part(t: pa.Table) -> pa.Table:
+        norm = _norm_chars(t).to_pylist()
+        from collections import Counter
+
+        c: Counter = Counter()
+        for x in norm:
+            c.update(x[i : i + 2] for i in range(len(x) - 1))
+        if not c:
+            return pa.table({"bg": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        ks = list(c)
+        return pa.table({"bg": pa.array(ks, pa.string()),
+                         "cnt": pa.array([c[k] for k in ks], pa.int64())})
+
+    counts = (
+        ds.map_batches(count_part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby("bg")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    rows = counts.take_all()  # bounded: <= 37^2 char pairs
+    total = sum(int(r["cnt"]) for r in rows)
+    vsize = 37 * 37
+    logp = {r["bg"]: np.log((int(r["cnt"]) + 1) / (total + vsize)) for r in rows}
+    unseen = float(np.log(1.0 / (total + vsize)))
+    lp_ref = ray.put((logp, unseen))
+
+    def score(t: pa.Table) -> pa.Table:
+        from ..util import cached_get
+
+        lp, uns = cached_get(lp_ref)
+        norm = _norm_chars(t).to_pylist()
+        n_bg = np.zeros(t.num_rows, np.int64)
+        nll = np.zeros(t.num_rows, np.float64)
+        for i, x in enumerate(norm):
+            n = len(x) - 1
+            if n <= 0:
+                continue
+            n_bg[i] = n
+            nll[i] = -sum(lp.get(x[j : j + 2], uns) for j in range(n))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bigrams": pa.array(n_bg, pa.int64()),
+                "mean_nll": pa.array(
+                    [None if n == 0 else round(float(v / n), ndigits)
+                     for n, v in zip(n_bg, nll)],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)

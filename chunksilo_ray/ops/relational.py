@@ -971,3 +971,88 @@ def users_click_and_purchase(sf_dir: str) -> Dataset:
         return t.filter(keep).select(["user_id"])
 
     return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def frequent_part_pairs(sf_dir: str, min_support: int = 2) -> Dataset:
+    """Market-basket pair mining over lineitem: part pairs co-occurring in
+    >= min_support orders. Emits (part_a, part_b, n_orders), part_a <
+    part_b. The frequent-itemset primitive (Apriori's k=2 stage) a
+    curation pipeline uses for co-occurrence stats.
+
+    Scale shape: per-block distinct (order, part) partial shrinks the
+    exchange; a coarse order-hash partition co-locates each order; the
+    in-partition kernel is the same vectorized segment + triu pair explode
+    as the LSH bucket pair-gen (baskets are SMALL — pairs per order are
+    C(items,2) with single-digit items, so no orientation/cap is needed);
+    one pair groupby-sum + filter finishes."""
+    from ..util import map_partitions
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def distinct_part(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_orderkey", "l_partkey"], use_threads=False).aggregate([])
+        ok = g["l_orderkey"].to_numpy(zero_copy_only=False)
+        return g.append_column("__part", pa.array((ok % 64).astype(np.int64)))
+
+    def pairs_in_part(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        # re-distinct across blocks (the per-block partial may repeat a row)
+        keep = np.concatenate(([True], (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])))
+        ok, pk = ok[keep], pk[keep]
+        change = np.flatnonzero(ok[1:] != ok[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(ok)]))
+        pa_, pb_ = [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            if e - s < 2:
+                continue
+            basket = pk[s:e]
+            ii, jj = np.triu_indices(len(basket), k=1)
+            pa_.append(basket[ii])
+            pb_.append(basket[jj])
+        if not pa_:
+            return pa.table({"part_a": pa.array([], pa.int64()),
+                             "part_b": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "part_a": pa.array(np.concatenate(pa_), pa.int64()),
+                "part_b": pa.array(np.concatenate(pb_), pa.int64()),
+            }
+        )
+
+    pairs = map_partitions(
+        ds.map_batches(distinct_part, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True),
+        "__part",
+        pairs_in_part,
+        pa.schema([("part_a", pa.int64()), ("part_b", pa.int64())]),
+    )
+
+    def pair_count(t: pa.Table) -> pa.Table:
+        a = t["part_a"].to_numpy(zero_copy_only=False)
+        b = t["part_b"].to_numpy(zero_copy_only=False)
+        key = a.astype(np.int64) * np.int64(1 << 32) + b
+        uniq, counts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "part_a": pa.array((uniq >> np.int64(32)).astype(np.int64)),
+                "part_b": pa.array((uniq & np.int64(0xFFFFFFFF)).astype(np.int64)),
+                "cnt": pa.array(counts.astype("int64"), pa.int64()),
+            }
+        )
+
+    counted = (
+        pairs.map_batches(pair_count, batch_format="pyarrow", batch_size=None)
+        .groupby(["part_a", "part_b"])
+        .aggregate(Sum("cnt", alias_name="n_orders"))
+    )
+    return counted.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_orders"], min_support)),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

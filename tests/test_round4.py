@@ -537,3 +537,51 @@ def test_proximity_search_constructed(tmp_path):
     out = proximity_search(str(tmp_path), "hash", "join", window=5).to_pandas()
     got = dict(zip(out["doc_id"], out["min_dist"]))
     assert got == {1: 5, 3: 2}
+
+
+def test_lm_perplexity_scores_constructed(tmp_path):
+    """Repetitive in-distribution text must score LOWER mean_nll than a
+    digit-noise outlier; <2-char docs get NULL."""
+    import pyarrow.parquet as pq
+
+    from chunksilo_ray.ops.curation import lm_perplexity_scores
+
+    texts = {
+        1: "the cat sat on the mat " * 20,
+        2: "q7z9 x3v1 j8k2 w5m4 r6t0",   # bigrams rare in the corpus
+        3: "a",                           # 1 char -> 0 bigrams -> NULL
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[i] for i in sorted(texts)], pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = lm_perplexity_scores(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert out.loc[1, "mean_nll"] < out.loc[2, "mean_nll"]
+    assert out.loc[3, "n_bigrams"] == 0 and pd_isna(out.loc[3, "mean_nll"])
+
+
+def test_frequent_part_pairs_constructed(tmp_path):
+    """Pairs count DISTINCT orders (duplicate lineitem rows collapse);
+    support threshold filters singletons."""
+    import pyarrow.parquet as pq
+
+    from chunksilo_ray.ops.relational import frequent_part_pairs
+
+    rows = [  # (order, part)
+        (1, 10), (1, 20), (1, 20),   # dup row: pair (10,20) once for order 1
+        (2, 10), (2, 20), (2, 30),   # pairs (10,20) (10,30) (20,30)
+        (3, 10), (3, 30),            # pair (10,30)
+    ]
+    t = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+    out = frequent_part_pairs(str(tmp_path), min_support=2).to_pandas()
+    got = {(r.part_a, r.part_b): r.n_orders for r in out.itertuples()}
+    assert got == {(10, 20): 2, (10, 30): 2}
