@@ -386,6 +386,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4: CCNet-style perplexity filter signal (corpus-trained
         # char-bigram LM, bounded vocabulary, mean NLL per doc)
         "lm_perplexity_scores": curation.lm_perplexity_scores,
+        # round-4: near-dup pairs straddling the content-hash splits (the
+        # eval-leakage audit); SQL-oracled via the shingle jpairs + md5
+        "split_leakage_audit": curation.split_leakage_audit,
         # round-4: conversation-structure profile of the transcripts table
         # itself (consecutive role pairs per conversation)
         "role_transitions": _role_transitions,
@@ -1418,6 +1421,21 @@ def oracle_sql() -> dict[str, str]:
         # corpus-global paragraph dedup: exact text-equality dup criterion,
         # rebuild via ordered string_agg (NULL when nothing survives —
         # matches the op's when/otherwise)
+        "split_leakage_audit": f"""
+            WITH RECURSIVE {_SHINGLE3},
+            sp AS (SELECT doc_id,
+                          CASE substr(md5(text), 1, 1)
+                               WHEN 'e' THEN 'val'
+                               WHEN 'f' THEN 'test'
+                               ELSE 'train' END AS split
+                   FROM documents)
+            SELECT j.da AS doc_a, j.db AS doc_b,
+                   sa.split AS split_a, sb.split AS split_b
+            FROM jpairs j
+            JOIN sp sa ON sa.doc_id = j.da
+            JOIN sp sb ON sb.doc_id = j.db
+            WHERE sa.split <> sb.split
+        """,
         # char-bigram LM trained on the corpus itself (bounded <=37^2
         # vocabulary); every scored bigram is in the training counts, so
         # both engines evaluate the same Laplace logprobs

@@ -944,3 +944,69 @@ def lm_perplexity_scores(sf_dir: str, ndigits: int = 4) -> Dataset:
         )
 
     return ds.map_batches(score, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+def split_leakage_audit(sf_dir: str, threshold: float = 0.7) -> "pa.Table":
+    """Eval-leakage audit: verified near-dup pairs whose members landed in
+    DIFFERENT splits of the content-hash train/val/test assignment
+    (ops/textstats.split_assign). Exact dups can't straddle splits (same
+    md5), but NEAR dups can — exactly the leakage a pretraining pipeline
+    must catch before trusting held-out numbers. Emits (doc_a, doc_b,
+    split_a, split_b) for straddling pairs, doc_a < doc_b.
+
+    Scale shape: the verified pair table is dup-vocabulary-bounded
+    (collect + broadcast member ids); one streaming pass computes splits
+    for MEMBER docs only; the pair join happens on the bounded table."""
+    import hashlib
+
+    from ..util import cached_get
+    from .dedup import _verified_edges
+
+    edges = _verified_edges(sf_dir, threshold, shingle_k=3, num_perm=64, bands=32)
+    pair_rows = edges.take_all()  # bounded with the dup vocabulary
+    if not pair_rows:
+        return pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+             ("split_a", pa.string()), ("split_b", pa.string())]
+        ).empty_table()
+    member = np.sort(
+        np.unique([int(r[k]) for r in pair_rows for k in ("a", "b")])
+    ).astype(np.int64)
+    mref = ray.put(member)
+
+    def member_splits(t: pa.Table) -> pa.Table:
+        arr = cached_get(mref)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(arr, doc)
+        hit = (pos < arr.size) & (arr[np.minimum(pos, arr.size - 1)] == doc)
+        sub = t.filter(pa.array(hit))
+        split = [
+            "val" if h == "e" else "test" if h == "f" else "train"
+            for h in (
+                hashlib.md5(x.encode("utf-8")).hexdigest()[0]
+                for x in sub["text"].to_pylist()
+            )
+        ]
+        return pa.table({"doc_id": sub["doc_id"], "split": pa.array(split, pa.string())})
+
+    srows = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(member_splits, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .take_all()
+    )
+    smap = {int(r["doc_id"]): r["split"] for r in srows}
+    out = []
+    for r in pair_rows:
+        a, b = sorted((int(r["a"]), int(r["b"])))
+        sa, sb = smap[a], smap[b]
+        if sa != sb:
+            out.append((a, b, sa, sb))
+    out.sort()
+    return pa.table(
+        {
+            "doc_a": pa.array([o[0] for o in out], pa.int64()),
+            "doc_b": pa.array([o[1] for o in out], pa.int64()),
+            "split_a": pa.array([o[2] for o in out], pa.string()),
+            "split_b": pa.array([o[3] for o in out], pa.string()),
+        }
+    )

@@ -110,7 +110,9 @@ def main() -> None:
                         f"lo={r.get('sec_lo')} hi={r.get('sec_hi')} "
                         f"ceil={r.get('ceiling_efficiency')} bw_ceil={r.get('bw_ceiling_efficiency')}"
                     )
-                    if max(raw, pb) >= BAR:
+                    # repro mode: require the RAW best-of pairing (same-
+                    # window paired can overstate when the lo side degrades)
+                    if raw >= BAR:
                         log(f"DONE: artifact /tmp/scaling_r4_auto_{attempt}.json crosses {BAR}")
                         return
         time.sleep(150)

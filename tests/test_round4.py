@@ -585,3 +585,45 @@ def test_frequent_part_pairs_constructed(tmp_path):
     out = frequent_part_pairs(str(tmp_path), min_support=2).to_pandas()
     got = {(r.part_a, r.part_b): r.n_orders for r in out.itertuples()}
     assert got == {(10, 20): 2, (10, 30): 2}
+
+
+def test_split_leakage_audit_constructed(tmp_path):
+    """A near-dup pair engineered to straddle two splits must be reported;
+    same-split dups and singletons must not."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from chunksilo_ray.ops.curation import split_leakage_audit
+
+    def split_of(text):
+        h = hashlib.md5(text.encode()).hexdigest()[0]
+        return "val" if h == "e" else "test" if h == "f" else "train"
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+            "kilo lima mike november oscar papa quebec romeo sierra tango "
+            "uniform victor whiskey xray yankee zulu one two three four")
+    # search a trailing word that flips the split bucket of the variant
+    variant = None
+    for i in range(4000):
+        cand = base + f" word{i}"
+        if split_of(cand) != split_of(base):
+            variant = cand
+            break
+    assert variant is not None
+    texts = {
+        1: base,
+        2: variant,                        # near-dup of 1, different split
+        3: "completely different text about nothing shared with the others at all",
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[i] for i in sorted(texts)], pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = split_leakage_audit(str(tmp_path)).to_pandas()
+    assert out[["doc_a", "doc_b"]].values.tolist() == [[1, 2]]
+    assert out.loc[0, "split_a"] == split_of(base)
+    assert out.loc[0, "split_b"] == split_of(variant)
