@@ -60,7 +60,10 @@ def scaling_run(i: int) -> dict | None:
     env = dict(
         os.environ,
         GRAFT_SCALING_CPUS="2,8",
-        GRAFT_SCALING_SF="0.3",
+        # sf0.5: the fixed serial segment (~11 s) is a smaller fraction of a
+        # bigger job — the honest direction 100 TB moves in; sf0.3 remains
+        # the recorded 0.833 artifact's input
+        GRAFT_SCALING_SF="0.5",
         GRAFT_SCALING_REPS="3",
         # per-stage completion marks land in the children's stderr (the
         # .err artifact): every attempt doubles as a SAME-WINDOW per-stage
