@@ -1036,12 +1036,19 @@ def frequent_part_pairs(sf_dir: str, min_support: int = 2) -> Dataset:
     def pair_count(t: pa.Table) -> pa.Table:
         a = t["part_a"].to_numpy(zero_copy_only=False)
         b = t["part_b"].to_numpy(zero_copy_only=False)
-        key = a.astype(np.int64) * np.int64(1 << 32) + b
-        uniq, counts = np.unique(key, return_counts=True)
+        if len(b) and max(int(a.max()), int(b.max())) < (1 << 31):
+            key = a.astype(np.int64) * np.int64(1 << 32) + b
+            uniq, counts = np.unique(key, return_counts=True)
+            ua = (uniq >> np.int64(32)).astype(np.int64)
+            ub = (uniq & np.int64(0xFFFFFFFF)).astype(np.int64)
+        else:  # ids past 2^31 (100-TB part spaces): 2-column unique, no packing
+            ab = np.stack([a, b], axis=1)
+            uniq2, counts = np.unique(ab, axis=0, return_counts=True)
+            ua, ub = uniq2[:, 0], uniq2[:, 1]
         return pa.table(
             {
-                "part_a": pa.array((uniq >> np.int64(32)).astype(np.int64)),
-                "part_b": pa.array((uniq & np.int64(0xFFFFFFFF)).astype(np.int64)),
+                "part_a": pa.array(ua, pa.int64()),
+                "part_b": pa.array(ub, pa.int64()),
                 "cnt": pa.array(counts.astype("int64"), pa.int64()),
             }
         )
