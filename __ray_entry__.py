@@ -174,6 +174,41 @@ def _kg_common_neighbors(sf_dir: str) -> Any:
     return kg_common_neighbors(_kg_result(sf_dir)["edges_agg"], k=50)
 
 
+def _kg_edge_pmi(sf_dir: str) -> Any:
+    """PMI collocation weighting of the KG's undirected pairs (ln + one
+    division over exact ints — identical doubles both sides, ROUND(6) on
+    output only, the tfidf/bm25 precedent)."""
+    from chunksilo_ray.ops.graph import kg_edge_pmi
+
+    return kg_edge_pmi(_kg_result(sf_dir)["edges_agg"])
+
+
+def _kg_neighbor_agg(sf_dir: str) -> Any:
+    """GNN-style 1-hop neighbor-degree aggregation (sum/max/mean of the
+    neighbor's degree per node) over the undirected pair graph."""
+    from chunksilo_ray.ops.graph import kg_neighbor_agg
+
+    return kg_neighbor_agg(_kg_result(sf_dir)["edges_agg"])
+
+
+def _kg_bfs_reach(sf_dir: str) -> Any:
+    """BFS distance (<=3 hops) from the 5 highest-degree entities (ties by
+    entity asc); oracle is the unrolled 3-level join."""
+    from chunksilo_ray.ops.graph import kg_bfs_reach
+
+    return kg_bfs_reach(_kg_result(sf_dir)["edges_agg"], n_seeds=5, max_depth=3)
+
+
+def _conv_stats(sf_dir: str) -> Any:
+    """Per-conversation structural profile over the north-rule transcripts
+    table (all-mergeable partials; text length only crosses the shuffle)."""
+    from chunksilo_ray import datagen
+    from chunksilo_ray.ops.window import conv_stats
+
+    corpus = datagen.corpus_dir(datagen.sf_from_dir(sf_dir))
+    return conv_stats(f"{corpus}/transcripts.parquet")
+
+
 def _kg_chunks_query(sf_dir: str) -> Any:
     """kg_chunks with a VALUE-level oracle (docs_dir_scan pattern): the
     pipeline writes the chunks checkpoint; DuckDB reads it back and the
@@ -420,6 +455,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_common_neighbors": _kg_common_neighbors,
         # round-4: k-core peel (rows-only; constructed gate)
         "kg_kcore": _kg_kcore,
+        # round-4 batch 4: PMI collocation edge weighting, 1-hop neighbor
+        # feature aggregation (the GNN-sampling primitive), bounded BFS
+        # reach from hub seeds — all value-oracled against the written
+        # edges checkpoint; constructed gates in tests/test_round4b.py
+        "kg_edge_pmi": _kg_edge_pmi,
+        "kg_neighbor_agg": _kg_neighbor_agg,
+        "kg_bfs_reach": _kg_bfs_reach,
+        # round-4 batch 4: per-conversation profile of the north-rule
+        # transcripts table (mergeable partials; exact SQL oracle)
+        "conv_stats": _conv_stats,
         # --- intentionally LAST: the genuinely-approximate / non-SQL trio
         # (each carries a named pytest gate instead of a DuckDB oracle; in
         # round 2 the correctness gate evaluated exactly 50 of 51 registered
@@ -1624,5 +1669,72 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN is_out = 1 THEN weight ELSE 0 END) AS BIGINT) AS w_out,
                    CAST(SUM(CASE WHEN is_out = 0 THEN weight ELSE 0 END) AS BIGINT) AS w_in
             FROM u GROUP BY node
+        """,
+        # PMI over exact ints: ln(w*T/(wa*wb)) is one division + one ln in
+        # both engines (identical IEEE doubles); ROUND(6) on output only —
+        # the tfidf_top_terms / bm25 idf precedent
+        "kg_edge_pmi": f"""
+            WITH p AS (SELECT least(subj, obj) AS a, greatest(subj, obj) AS b,
+                              CAST(SUM(weight) AS BIGINT) AS w
+                       FROM read_parquet('{_KG_OUT01}/edges/*.parquet')
+                       WHERE subj <> obj GROUP BY 1, 2),
+            nw AS (SELECT node, SUM(w) AS wn
+                   FROM (SELECT a AS node, w FROM p
+                         UNION ALL SELECT b, w FROM p)
+                   GROUP BY node),
+            tot AS (SELECT SUM(w) AS tw FROM p)
+            SELECT p.a AS node_a, p.b AS node_b, p.w AS w_pair,
+                   ROUND(ln(CAST(p.w AS DOUBLE) * tot.tw / (wa.wn * wb.wn)), 6) AS pmi
+            FROM p, tot
+            JOIN nw wa ON wa.node = p.a
+            JOIN nw wb ON wb.node = p.b
+        """,
+        "kg_neighbor_agg": f"""
+            WITH e AS (SELECT DISTINCT subj, obj
+                       FROM read_parquet('{_KG_OUT01}/edges/*.parquet')
+                       WHERE subj <> obj),
+            p AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+                  FROM e),
+            n AS (SELECT a AS node, b AS nb FROM p
+                  UNION ALL SELECT b AS node, a AS nb FROM p),
+            deg AS (SELECT node, count(*) AS d FROM n GROUP BY node)
+            SELECT n.node,
+                   CAST(count(*) AS BIGINT) AS degree,
+                   CAST(SUM(dd.d) AS BIGINT) AS nd_sum,
+                   CAST(MAX(dd.d) AS BIGINT) AS nd_max,
+                   ROUND(CAST(SUM(dd.d) AS DOUBLE) / count(*), 6) AS nd_mean
+            FROM n JOIN deg dd ON dd.node = n.nb
+            GROUP BY n.node
+        """,
+        "kg_bfs_reach": f"""
+            WITH e AS (SELECT DISTINCT subj, obj
+                       FROM read_parquet('{_KG_OUT01}/edges/*.parquet')
+                       WHERE subj <> obj),
+            p AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+                  FROM e),
+            n AS (SELECT a AS node, b AS nb FROM p
+                  UNION ALL SELECT b AS node, a AS nb FROM p),
+            deg AS (SELECT node, count(*) AS d FROM n GROUP BY node),
+            seeds AS (SELECT node FROM deg ORDER BY d DESC, node LIMIT 5),
+            d1 AS (SELECT DISTINCT n.nb AS node FROM n JOIN seeds s ON n.node = s.node),
+            d2 AS (SELECT DISTINCT n.nb AS node FROM n JOIN d1 ON n.node = d1.node),
+            d3 AS (SELECT DISTINCT n.nb AS node FROM n JOIN d2 ON n.node = d2.node),
+            al AS (SELECT node, 0 AS dist FROM seeds
+                   UNION ALL SELECT node, 1 FROM d1
+                   UNION ALL SELECT node, 2 FROM d2
+                   UNION ALL SELECT node, 3 FROM d3)
+            SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+            FROM al GROUP BY node
+        """,
+        "conv_stats": """
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(SUM(CASE WHEN tool <> '' THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_tool_turns,
+                   CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+                   CAST(MAX(length(text)) AS BIGINT) AS max_turn_chars,
+                   CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us
+            FROM read_parquet('/tmp/chunksilo_ray_testdata/sf0.01-seed42/transcripts.parquet')
+            GROUP BY conv_id
         """,
     }

@@ -1068,3 +1068,242 @@ def kg_kcore(ea: Dataset, k: int = 2, max_rounds: int = 50) -> "pa.Table":
             "core_degree": pa.array(deg[idx], pa.int64()),
         }
     )
+
+
+def _pair_weights(ea: Dataset) -> Dataset:
+    """Undirected weighted distinct pairs of the aggregated KG edge table:
+    (s, o, w) with s < o, w = summed triple weight across both directions
+    and all predicates; self-loops dropped. Same two-exchange shape as
+    `_coded_undirected_pairs` but weight-preserving."""
+    from ..stages.materialize import _string_key_part
+
+    def part(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.equal(t["subj"], t["obj"])))
+        lo = pc.min_element_wise(t["subj"], t["obj"])
+        hi = pc.max_element_wise(t["subj"], t["obj"])
+        g = (
+            pa.table({"s": lo, "o": hi, "w": pc.cast(t["weight"], pa.int64())})
+            .group_by(["s", "o"], use_threads=False)
+            .aggregate([("w", "sum")])
+        )
+        g = pa.table({"s": g["s"], "o": g["o"], "w": pc.cast(g["w_sum"], pa.int64())})
+        return g.append_column("__part", _string_key_part(g, ["s", "o"]))
+
+    return map_partitions(
+        ea.map_batches(part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True),
+        "__part",
+        lambda t: (
+            lambda g: pa.table(
+                {"s": g["s"], "o": g["o"], "w": pc.cast(g["w_sum"], pa.int64())}
+            )
+        )(t.group_by(["s", "o"], use_threads=False).aggregate([("w", "sum")])),
+        pa.schema([("s", pa.string()), ("o", pa.string()), ("w", pa.int64())]),
+    )
+
+
+def kg_edge_pmi(ea: Dataset) -> Dataset:
+    """Pointwise-mutual-information weighting of the KG's undirected
+    co-occurrence pairs — the standard collocation-strength re-weighting a
+    KG-construction pipeline applies before pruning incidental edges
+    (raw weight favors hub entities; PMI surfaces genuinely associated
+    pairs). For each distinct undirected pair with summed weight w_ab:
+
+        pmi = ln(w_ab * T / (w_a * w_b))
+
+    where w_a = total pair weight incident to a and T = total pair weight.
+    Emits (node_a, node_b, w_pair, pmi) with pmi rounded to 6 (ln + one
+    division on exact ints — both engines compute the identical double).
+
+    Scale shape: one weight-preserving pair exchange (`_pair_weights`);
+    node totals fold to a dense vocabulary-aligned vector on the driver
+    (vocabulary-bounded, the entity-pagerank budget argument) and ride ONE
+    broadcast; the PMI map is a vectorized searchsorted + log per batch.
+    The pair list itself never materializes on the driver."""
+    import ray
+
+    from ..util import cached_get
+
+    pairs = _pair_weights(ea).materialize()
+
+    vocab = np.sort(
+        pairs.map_batches(
+            lambda t: pa.table(
+                {
+                    "entity": pa.concat_arrays(
+                        [
+                            t["s"].combine_chunks().cast(pa.string()),
+                            t["o"].combine_chunks().cast(pa.string()),
+                        ]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        ).unique("entity")
+    )
+    n_ent = len(vocab)
+    w_node = np.zeros(n_ent, np.int64)
+    total = 0
+    for blk in pairs.iter_batches(batch_format="pyarrow", batch_size=None):
+        s = np.searchsorted(vocab, blk["s"].to_numpy(zero_copy_only=False).astype(str))
+        o = np.searchsorted(vocab, blk["o"].to_numpy(zero_copy_only=False).astype(str))
+        w = blk["w"].to_numpy(zero_copy_only=False)
+        w_node += np.bincount(s, weights=w, minlength=n_ent).astype(np.int64)
+        w_node += np.bincount(o, weights=w, minlength=n_ent).astype(np.int64)
+        total += int(w.sum())
+    state_ref = ray.put((vocab, w_node, total))
+
+    def pmi(t: pa.Table) -> pa.Table:
+        v, wn, tot = cached_get(state_ref)
+        s = np.searchsorted(v, t["s"].to_numpy(zero_copy_only=False).astype(str))
+        o = np.searchsorted(v, t["o"].to_numpy(zero_copy_only=False).astype(str))
+        w = t["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+        val = np.log(w * float(tot) / (wn[s].astype(np.float64) * wn[o].astype(np.float64)))
+        return pa.table(
+            {
+                "node_a": t["s"],
+                "node_b": t["o"],
+                "w_pair": t["w"],
+                "pmi": pa.array(np.round(val, 6), pa.float64()),
+            }
+        )
+
+    return pairs.map_batches(pmi, batch_format="pyarrow", batch_size=None)
+
+
+def kg_neighbor_agg(ea: Dataset) -> Dataset:
+    """One-hop neighborhood feature aggregation over the KG's undirected
+    distinct-pair graph — the GNN-sampling primitive (mean/max/sum of a
+    neighbor feature per node; here the feature is the neighbor's degree,
+    so the output is the degree-assortativity profile). Emits
+    (node, degree, nd_sum, nd_max, nd_mean).
+
+    Scale shape: coded pairs (one exchange, reused machinery); the degree
+    vector folds dense on the driver (vocabulary-bounded) and rides one
+    broadcast; each pair block emits per-node PARTIAL (sum, max, count)
+    rows via an in-batch Arrow group_by, and a single node-keyed exchange
+    of Sum/Max/Sum finishes — neighbor lists never materialize."""
+    import ray
+
+    from ..util import cached_get
+
+    pairs, vocab_ref = _coded_undirected_pairs(ea)
+    n_ent = len(ray.get(vocab_ref))
+    deg = np.zeros(n_ent, np.int64)
+    for blk in pairs.iter_batches(batch_format="pyarrow", batch_size=None):
+        both = np.concatenate(
+            [blk["a"].to_numpy(zero_copy_only=False), blk["b"].to_numpy(zero_copy_only=False)]
+        )
+        deg += np.bincount(both, minlength=n_ent)
+    deg_ref = ray.put(deg)
+
+    def part(t: pa.Table) -> pa.Table:
+        d = cached_get(deg_ref)
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        node = np.concatenate([a, b])
+        nd = np.concatenate([d[b], d[a]])
+        g = (
+            pa.table({"node": pa.array(node, pa.int64()), "nd": pa.array(nd, pa.int64())})
+            .group_by("node", use_threads=False)
+            .aggregate([("nd", "sum"), ("nd", "max"), ("nd", "count")])
+        )
+        return pa.table(
+            {
+                "node": g["node"],
+                "nd_sum": pc.cast(g["nd_sum"], pa.int64()),
+                "nd_max": pc.cast(g["nd_max"], pa.int64()),
+                "cnt": pc.cast(g["nd_count"], pa.int64()),
+            }
+        )
+
+    agg = (
+        pairs.map_batches(part, batch_format="pyarrow", batch_size=None)
+        .groupby("node")
+        .aggregate(
+            Sum("nd_sum", alias_name="nd_sum"),
+            Max("nd_max", alias_name="nd_max"),
+            Sum("cnt", alias_name="degree"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        v = cached_get(vocab_ref)
+        idx = t["node"].to_numpy(zero_copy_only=False)
+        s = t["nd_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = t["degree"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "node": pa.array(np.asarray(v, object)[idx].tolist(), pa.string()),
+                "degree": t["degree"],
+                "nd_sum": t["nd_sum"],
+                "nd_max": t["nd_max"],
+                "nd_mean": pa.array(np.round(s / c, 6), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def kg_bfs_reach(ea: Dataset, n_seeds: int = 5, max_depth: int = 3) -> "pa.Table":
+    """Bounded multi-hop reachability from the graph's hub entities: BFS
+    distance (<= max_depth) from the n_seeds highest-degree nodes (ties by
+    entity asc) over the undirected distinct-pair graph — the neighborhood-
+    expansion primitive behind KG context retrieval ("everything within k
+    hops of the seed set"). Returns (node, dist) with dist = min hops.
+
+    Scale shape: per round, ONE vectorized pass over the coded pair blocks
+    marks neighbors of the broadcast frontier bitmap; the visited fold is a
+    dense node-bounded vector on the driver (same budget as kg_kcore's peel
+    state). O(max_depth) passes, edges never leave the cluster."""
+    import ray
+
+    from ..util import cached_get
+
+    pairs, vocab_ref = _coded_undirected_pairs(ea)
+    pairs = pairs.materialize()
+    vocab = ray.get(vocab_ref)
+    n_ent = len(vocab)
+    deg = np.zeros(n_ent, np.int64)
+    for blk in pairs.iter_batches(batch_format="pyarrow", batch_size=None):
+        both = np.concatenate(
+            [blk["a"].to_numpy(zero_copy_only=False), blk["b"].to_numpy(zero_copy_only=False)]
+        )
+        deg += np.bincount(both, minlength=n_ent)
+    # top-n_seeds by (deg DESC, entity asc): coded ids are vocab-sorted, so
+    # a stable sort on -deg gives the entity-asc tie-break for free
+    seeds = np.argsort(-deg, kind="stable")[:n_seeds]
+
+    dist = np.full(n_ent, -1, np.int64)
+    dist[seeds] = 0
+    frontier = np.zeros(n_ent, bool)
+    frontier[seeds] = True
+    for d in range(1, max_depth + 1):
+        fref = ray.put(frontier)
+
+        def touch(t: pa.Table, _fref=fref, _n=n_ent) -> pa.Table:
+            f = cached_get(_fref)
+            a = t["a"].to_numpy(zero_copy_only=False)
+            b = t["b"].to_numpy(zero_copy_only=False)
+            hit = np.zeros(_n, bool)
+            hit[b[f[a]]] = True
+            hit[a[f[b]]] = True
+            return pa.table({"hit": pa.array(hit)})
+
+        reached = np.zeros(n_ent, bool)
+        for blk in pairs.map_batches(
+            touch, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow", batch_size=None):
+            reached |= blk["hit"].to_numpy(zero_copy_only=False)
+        frontier = reached & (dist < 0)
+        if not frontier.any():
+            break
+        dist[frontier] = d
+
+    idx = np.flatnonzero(dist >= 0)
+    return pa.table(
+        {
+            "node": pa.array(np.asarray(vocab, object)[idx].tolist(), pa.string()),
+            "dist": pa.array(dist[idx], pa.int64()),
+        }
+    )

@@ -435,3 +435,89 @@ def tool_usage(transcripts_path: str) -> Dataset:
         .groupby(["role", "tool"])
         .aggregate(Sum("n_turns", alias_name="n_turns"), Sum("n_convs", alias_name="n_convs"))
     )
+
+
+def conv_stats(transcripts_path: str) -> Dataset:
+    """Per-conversation structural profile of the NORTH-RULE transcripts
+    table: turn count, tool-turn count, total / max turn characters, and
+    wall-clock span in microseconds — the first-look statistics a
+    transcript-scale curation pipeline computes before filtering (too-short
+    conversations, tool-only traces, degenerate single-turn rows).
+
+    Emits (conv_id, n_turns, n_tool_turns, total_chars, max_turn_chars,
+    duration_us). Scale shape: every statistic is a mergeable partial
+    (count / sum / max / min), so one in-batch Arrow group_by per block +
+    a single conv-keyed Sum/Max/Min exchange finishes — turn text never
+    crosses the shuffle (only its length does)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = rd.read_parquet(
+        transcripts_path, columns=["conv_id", "text", "tool", "ts"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "conv_id": t["conv_id"],
+                    "one": pa.array(np.ones(t.num_rows, np.int64)),
+                    "is_tool": pc.cast(
+                        pc.invert(pc.equal(t["tool"], "")), pa.int64()
+                    ),
+                    "chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+                    "ts_us": t["ts"].cast(pa.int64()),
+                }
+            )
+            .group_by("conv_id", use_threads=False)
+            .aggregate(
+                [
+                    ("one", "sum"),
+                    ("is_tool", "sum"),
+                    ("chars", "sum"),
+                    ("chars", "max"),
+                    ("ts_us", "min"),
+                    ("ts_us", "max"),
+                ]
+            )
+        )
+        return pa.table(
+            {
+                "conv_id": g["conv_id"],
+                "n_turns": pc.cast(g["one_sum"], pa.int64()),
+                "n_tool_turns": pc.cast(g["is_tool_sum"], pa.int64()),
+                "total_chars": pc.cast(g["chars_sum"], pa.int64()),
+                "max_turn_chars": pc.cast(g["chars_max"], pa.int64()),
+                "ts_min": g["ts_us_min"],
+                "ts_max": g["ts_us_max"],
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby("conv_id")
+        .aggregate(
+            Sum("n_turns", alias_name="n_turns"),
+            Sum("n_tool_turns", alias_name="n_tool_turns"),
+            Sum("total_chars", alias_name="total_chars"),
+            Max("max_turn_chars", alias_name="max_turn_chars"),
+            Min("ts_min", alias_name="ts_min"),
+            Max("ts_max", alias_name="ts_max"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "n_turns": t["n_turns"],
+                "n_tool_turns": t["n_tool_turns"],
+                "total_chars": t["total_chars"],
+                "max_turn_chars": t["max_turn_chars"],
+                "duration_us": pc.subtract(
+                    t["ts_max"].cast(pa.int64()), t["ts_min"].cast(pa.int64())
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)

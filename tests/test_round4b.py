@@ -1,0 +1,133 @@
+"""Round-4 batch-4 gates: constructed-positive tests for the KG analytics
+additions (PMI edge weighting, 1-hop neighbor aggregation, bounded BFS
+reach) and the transcripts conversation profile."""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow as pa
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def _edges(pairs_w):
+    return pa.table(
+        {
+            "subj": pa.array([p[0] for p in pairs_w], pa.string()),
+            "pred": pa.array(["rel"] * len(pairs_w), pa.string()),
+            "obj": pa.array([p[1] for p in pairs_w], pa.string()),
+            "weight": pa.array([p[2] for p in pairs_w], pa.int64()),
+        }
+    )
+
+
+def test_kg_edge_pmi_constructed():
+    """Hand-computed PMI: reversed duplicate edges merge into one undirected
+    pair; self-loops are dropped; a rare exclusive pair (d-e) gets the top
+    PMI while a hub-to-hub pair is penalized."""
+    import ray.data as rd
+
+    from chunksilo_ray.ops.graph import kg_edge_pmi
+
+    t = _edges(
+        [
+            ("a", "b", 3),
+            ("c", "a", 5),  # reversed direction -> same undirected pair a-c
+            ("a", "c", 1),
+            ("b", "c", 2),
+            ("d", "e", 2),
+            ("d", "d", 9),  # self-loop: dropped entirely
+        ]
+    )
+    out = {
+        (r["node_a"], r["node_b"]): (r["w_pair"], r["pmi"])
+        for r in kg_edge_pmi(rd.from_arrow(t)).take_all()
+    }
+    # pair weights: ab=3, ac=6, bc=2, de=2; T=13
+    # node weights: a=9, b=5, c=8, d=2, e=2
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c"), ("d", "e")}
+    assert out[("a", "b")] == (3, round(math.log(3 * 13 / (9 * 5)), 6))
+    assert out[("a", "c")] == (6, round(math.log(6 * 13 / (9 * 8)), 6))
+    assert out[("d", "e")] == (2, round(math.log(2 * 13 / (2 * 2)), 6))
+    # exclusive rare pair outranks everything
+    assert out[("d", "e")][1] == max(v[1] for v in out.values())
+
+
+def test_kg_neighbor_agg_constructed():
+    """Star a-(b,c,d) plus edge b-c: degrees a=3, b=2, c=2, d=1; per-node
+    neighbor-degree sum/max/mean are hand-checked."""
+    import ray.data as rd
+
+    from chunksilo_ray.ops.graph import kg_neighbor_agg
+
+    t = _edges([("a", "b", 1), ("a", "c", 1), ("a", "d", 1), ("b", "c", 1)])
+    out = {
+        r["node"]: (r["degree"], r["nd_sum"], r["nd_max"], r["nd_mean"])
+        for r in kg_neighbor_agg(rd.from_arrow(t)).take_all()
+    }
+    assert out["a"] == (3, 5, 2, round(5 / 3, 6))  # nbrs b,c,d -> 2+2+1
+    assert out["b"] == (2, 5, 3, 2.5)  # nbrs a,c -> 3+2
+    assert out["c"] == (2, 5, 3, 2.5)
+    assert out["d"] == (1, 3, 3, 3.0)  # nbr a
+
+
+def test_kg_bfs_reach_constructed():
+    """Chain hub-x-y-z plus hub-w: the single seed is the highest-degree
+    node ('hub', degree 2 ties with x -> 'hub' < 'x' asc tie-break); depth
+    caps at max_depth and disconnected nodes never appear."""
+    import ray.data as rd
+
+    from chunksilo_ray.ops.graph import kg_bfs_reach
+
+    t = _edges(
+        [("hub", "x", 1), ("x", "y", 1), ("y", "z", 1), ("hub", "w", 1), ("p", "q", 1)]
+    )
+    out = kg_bfs_reach(rd.from_arrow(t), n_seeds=1, max_depth=2)
+    got = dict(zip(out["node"].to_pylist(), out["dist"].to_pylist()))
+    # z is 3 hops out (past max_depth); p/q are a disconnected component
+    assert got == {"hub": 0, "x": 1, "w": 1, "y": 2}
+
+
+def test_conv_stats_constructed(tmp_path):
+    """Two conversations with known turn counts, tool turns, char totals
+    and time spans; turns arrive shuffled across the file (the op never
+    relies on row order)."""
+    import ray.data as rd  # noqa: F401  (ray session)
+
+    from chunksilo_ray.ops.window import conv_stats
+
+    rows = [
+        # (conv_id, turn_idx, role, text, tool, ts_us)
+        ("c2", 0, "user", "hi", "", 5_000_000),
+        ("c1", 1, "assistant", "four", "", 2_000_000),
+        ("c1", 0, "user", "ab", "", 1_000_000),
+        ("c1", 2, "tool", "toolout", "search", 4_000_000),
+        ("c2", 1, "assistant", "yo!", "", 9_000_000),
+    ]
+    t = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+            "tool": pa.array([r[4] for r in rows], pa.string()),
+            "ts": pa.array([r[5] for r in rows], pa.timestamp("us")),
+        }
+    )
+    path = str(tmp_path / "transcripts.parquet")
+    pa.parquet.write_table(t, path)
+
+    out = {
+        r["conv_id"]: (
+            r["n_turns"],
+            r["n_tool_turns"],
+            r["total_chars"],
+            r["max_turn_chars"],
+            r["duration_us"],
+        )
+        for r in conv_stats(path).take_all()
+    }
+    assert out["c1"] == (3, 1, 13, 7, 3_000_000)
+    assert out["c2"] == (2, 0, 5, 3, 4_000_000)
