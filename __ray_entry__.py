@@ -199,6 +199,25 @@ def _kg_bfs_reach(sf_dir: str) -> Any:
     return kg_bfs_reach(_kg_result(sf_dir)["edges_agg"], n_seeds=5, max_depth=3)
 
 
+def _kg_edge_provenance(sf_dir: str) -> Any:
+    """Lineage per aggregated triple: weight, mention count and earliest
+    (conv_id:turn_idx) witness — all mergeable partials over the written
+    per-turn edges checkpoint."""
+    from chunksilo_ray.ops.graph import kg_edge_provenance
+
+    return kg_edge_provenance(_kg_result(sf_dir)["edges"])
+
+
+def _sft_pairs(sf_dir: str) -> Any:
+    """Instruction-tuning pair harvest (user turn -> adjacent assistant
+    reply) over the north-rule transcripts table."""
+    from chunksilo_ray import datagen
+    from chunksilo_ray.ops.window import sft_pairs
+
+    corpus = datagen.corpus_dir(datagen.sf_from_dir(sf_dir))
+    return sft_pairs(f"{corpus}/transcripts.parquet")
+
+
 def _conv_stats(sf_dir: str) -> Any:
     """Per-conversation structural profile over the north-rule transcripts
     table (all-mergeable partials; text length only crosses the shuffle)."""
@@ -465,6 +484,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 batch 4: per-conversation profile of the north-rule
         # transcripts table (mergeable partials; exact SQL oracle)
         "conv_stats": _conv_stats,
+        # round-4 batch 5: SFT (prompt, response) adjacency harvest over
+        # the transcripts table; per-triple provenance (earliest witness)
+        # over the written per-turn edges checkpoint
+        "sft_pairs": _sft_pairs,
+        "kg_edge_provenance": _kg_edge_provenance,
         # --- intentionally LAST: the genuinely-approximate / non-SQL trio
         # (each carries a named pytest gate instead of a DuckDB oracle; in
         # round 2 the correctness gate evaluated exactly 50 of 51 registered
@@ -1725,6 +1749,27 @@ def oracle_sql() -> dict[str, str]:
                    UNION ALL SELECT node, 3 FROM d3)
             SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
             FROM al GROUP BY node
+        """,
+        "kg_edge_provenance": f"""
+            SELECT subj, pred, obj,
+                   CAST(SUM(weight) AS BIGINT) AS weight,
+                   CAST(count(*) AS BIGINT) AS n_mentions,
+                   MIN(conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 6, '0'))
+                       AS first_witness
+            FROM read_parquet('{_KG_OUT01}/edges/*.parquet')
+            GROUP BY subj, pred, obj
+        """,
+        "sft_pairs": """
+            WITH t AS (SELECT conv_id, turn_idx, role, text,
+                              lead(role) OVER w AS nr,
+                              lead(text) OVER w AS nt,
+                              lead(turn_idx) OVER w AS ni
+                       FROM read_parquet('/tmp/chunksilo_ray_testdata/sf0.01-seed42/transcripts.parquet')
+                       WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS prompt_turn,
+                   text AS prompt, nt AS response
+            FROM t
+            WHERE role = 'user' AND nr = 'assistant' AND ni = turn_idx + 1
         """,
         "conv_stats": """
             SELECT conv_id,

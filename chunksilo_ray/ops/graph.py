@@ -1307,3 +1307,53 @@ def kg_bfs_reach(ea: Dataset, n_seeds: int = 5, max_depth: int = 3) -> "pa.Table
             "dist": pa.array(dist[idx], pa.int64()),
         }
     )
+
+
+def kg_edge_provenance(edges: Dataset) -> Dataset:
+    """Lineage profile of every aggregated triple: total weight, mention
+    count, and the EARLIEST witness — the (conv_id, turn_idx) of the first
+    per-turn edge that asserted the triple, the provenance pointer a KG
+    audit trail keeps per fact. Emits (subj, pred, obj, weight, n_mentions,
+    first_witness) with first_witness = 'conv_id:turn_idx' (turn zero-padded
+    to 6 so string MIN is the lexicographic pair minimum).
+
+    Scale shape: the witness key is a plain string whose MIN is a mergeable
+    partial, so the whole op is one in-batch Arrow group_by per block plus a
+    single triple-keyed Sum/Sum/Min exchange over one row per distinct
+    triple per block — identical to the corpus-stats aggregate shape."""
+    from ray.data.aggregate import Min, Sum
+
+    def part(t: pa.Table) -> pa.Table:
+        wit = pc.binary_join_element_wise(
+            t["conv_id"].cast(pa.string()),
+            pc.utf8_lpad(pc.cast(t["turn_idx"], pa.string()), 6, "0"),
+            ":",
+        )
+        g = (
+            t.select(["subj", "pred", "obj"])
+            .append_column("w", pc.cast(t["weight"], pa.int64()))
+            .append_column("wit", wit)
+            .group_by(["subj", "pred", "obj"], use_threads=False)
+            .aggregate([("w", "sum"), ("wit", "count"), ("wit", "min")])
+        )
+        return pa.table(
+            {
+                "subj": g["subj"],
+                "pred": g["pred"],
+                "obj": g["obj"],
+                "w": pc.cast(g["w_sum"], pa.int64()),
+                "n": pc.cast(g["wit_count"], pa.int64()),
+                "wit": g["wit_min"],
+            }
+        )
+
+    agg = (
+        edges.map_batches(part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby(["subj", "pred", "obj"])
+        .aggregate(
+            Sum("w", alias_name="weight"),
+            Sum("n", alias_name="n_mentions"),
+            Min("wit", alias_name="first_witness"),
+        )
+    )
+    return agg

@@ -521,3 +521,75 @@ def conv_stats(transcripts_path: str) -> Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def sft_pairs(transcripts_path: str) -> Dataset:
+    """Supervised-fine-tuning pair extraction over the NORTH-RULE
+    transcripts table: every (user turn, immediately-following assistant
+    turn) adjacency becomes one (prompt, response) training example — the
+    standard instruction-tuning harvest from multi-turn agent transcripts.
+    Emits (conv_id, prompt_turn, prompt, response); adjacency means
+    turn_idx + 1 exactly, so tool interludes break the pair.
+
+    Scale shape: coarse conv-hash partitions co-locate each conversation
+    ONCE (text must travel to meet its reply — that movement IS the
+    operator's output); the per-partition kernel is factorize + lexsort +
+    one vectorized shift, no Python row loop. Order inside a partition is
+    re-derived from turn_idx — global row order is never relied on."""
+
+    ds = rd.read_parquet(
+        transcripts_path, columns=["conv_id", "turn_idx", "role", "text"]
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        from pandas.util import hash_array
+
+        h = hash_array(
+            t["conv_id"].to_numpy(zero_copy_only=False).astype(object), categorize=False
+        ).astype(np.uint64)
+        return t.append_column(
+            "__part", pa.array((h % np.uint64(64)).astype(np.int64))
+        )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        idx = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        role = t["role"].to_numpy(zero_copy_only=False)
+        _, codes = np.unique(conv, return_inverse=True)
+        order = np.lexsort((idx, codes))
+        codes, idx, role = codes[order], idx[order], role[order]
+        adj = (
+            (codes[1:] == codes[:-1])
+            & (idx[1:] == idx[:-1] + 1)
+            & (role[:-1] == "user")
+            & (role[1:] == "assistant")
+        )
+        pi = order[:-1][adj]  # prompt rows (original positions)
+        ri = order[1:][adj]  # response rows
+        text = t["text"]
+        return pa.table(
+            {
+                "conv_id": t["conv_id"].take(pa.array(pi)),
+                "prompt_turn": pa.array(
+                    t["turn_idx"].to_numpy(zero_copy_only=False)[pi].astype(np.int64)
+                ),
+                "prompt": text.take(pa.array(pi)),
+                "response": text.take(pa.array(ri)),
+            }
+        )
+
+    from ..util import map_partitions
+
+    return map_partitions(
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=None, zero_copy_batch=True),
+        "__part",
+        pairs,
+        pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("prompt_turn", pa.int64()),
+                ("prompt", pa.string()),
+                ("response", pa.string()),
+            ]
+        ),
+    )

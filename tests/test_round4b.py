@@ -131,3 +131,73 @@ def test_conv_stats_constructed(tmp_path):
     }
     assert out["c1"] == (3, 1, 13, 7, 3_000_000)
     assert out["c2"] == (2, 0, 5, 3, 4_000_000)
+
+
+def test_sft_pairs_constructed(tmp_path):
+    """Only exact user->assistant adjacencies (turn_idx + 1) become pairs:
+    a tool interlude breaks the pair, assistant->assistant does not count,
+    and rows arrive shuffled across the file."""
+    import ray.data as rd  # noqa: F401  (ray session)
+
+    from chunksilo_ray.ops.window import sft_pairs
+
+    rows = [
+        # c1: user(0) -> assistant(1) pairs; assistant(1) -> user(2) ->
+        # tool(3) -> assistant(4): the tool turn breaks the second pair
+        ("c1", 3, "tool", "lookup", "search", 4),
+        ("c1", 0, "user", "q1", "", 1),
+        ("c1", 4, "assistant", "a2", "", 5),
+        ("c1", 1, "assistant", "a1", "", 2),
+        ("c1", 2, "user", "q2", "", 3),
+        # c2: user turn with NO adjacent assistant (gap in turn_idx)
+        ("c2", 0, "user", "lost", "", 1),
+        ("c2", 2, "assistant", "late", "", 2),
+    ]
+    t = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+            "tool": pa.array([r[4] for r in rows], pa.string()),
+            "ts": pa.array([r[5] * 1_000_000 for r in rows], pa.timestamp("us")),
+        }
+    )
+    path = str(tmp_path / "transcripts.parquet")
+    pa.parquet.write_table(t, path)
+
+    got = sorted(
+        (r["conv_id"], r["prompt_turn"], r["prompt"], r["response"])
+        for r in sft_pairs(path).take_all()
+    )
+    assert got == [("c1", 0, "q1", "a1")]
+
+
+def test_kg_edge_provenance_constructed():
+    """Weight and mention count merge across blocks; the earliest witness
+    is the (conv_id, turn_idx) pair minimum — turn 2 beats turn 10 only
+    under zero-padding (the '000002' < '000010' check)."""
+    import ray.data as rd
+
+    from chunksilo_ray.ops.graph import kg_edge_provenance
+
+    t = pa.table(
+        {
+            "subj": pa.array(["a", "a", "a", "b"], pa.string()),
+            "pred": pa.array(["p", "p", "p", "q"], pa.string()),
+            "obj": pa.array(["b", "b", "b", "c"], pa.string()),
+            "conv_id": pa.array(["c2", "c1", "c1", "c9"], pa.string()),
+            "turn_idx": pa.array([1, 10, 2, 7], pa.int32()),
+            "weight": pa.array([2, 1, 3, 4], pa.int64()),
+        }
+    )
+    out = {
+        (r["subj"], r["pred"], r["obj"]): (
+            r["weight"],
+            r["n_mentions"],
+            r["first_witness"],
+        )
+        for r in kg_edge_provenance(rd.from_arrow(t)).take_all()
+    }
+    assert out[("a", "p", "b")] == (6, 3, "c1:000002")
+    assert out[("b", "q", "c")] == (4, 1, "c9:000007")
