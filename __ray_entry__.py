@@ -218,6 +218,26 @@ def _sft_pairs(sf_dir: str) -> Any:
     return sft_pairs(f"{corpus}/transcripts.parquet")
 
 
+def _conv_dedup(sf_dir: str) -> Any:
+    """Exact conversation-level dedup groups (turn-ordered text digest);
+    oracle = md5(string_agg ORDER BY turn_idx) in DuckDB."""
+    from chunksilo_ray import datagen
+    from chunksilo_ray.ops.window import conv_dedup
+
+    corpus = datagen.corpus_dir(datagen.sf_from_dir(sf_dir))
+    return conv_dedup(f"{corpus}/transcripts.parquet")
+
+
+def _conv_loop_score(sf_dir: str) -> Any:
+    """Repeated-turn (agent loop) fraction per conversation; both sides
+    count distinct md5 digests of the turn text."""
+    from chunksilo_ray import datagen
+    from chunksilo_ray.ops.window import conv_loop_score
+
+    corpus = datagen.corpus_dir(datagen.sf_from_dir(sf_dir))
+    return conv_loop_score(f"{corpus}/transcripts.parquet")
+
+
 def _conv_stats(sf_dir: str) -> Any:
     """Per-conversation structural profile over the north-rule transcripts
     table (all-mergeable partials; text length only crosses the shuffle)."""
@@ -489,6 +509,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # over the written per-turn edges checkpoint
         "sft_pairs": _sft_pairs,
         "kg_edge_provenance": _kg_edge_provenance,
+        # round-4 batch 5: exact conversation-level dedup groups and the
+        # repeated-turn (agent-loop) curation signal over transcripts
+        "conv_dedup": _conv_dedup,
+        "conv_loop_score": _conv_loop_score,
         # --- intentionally LAST: the genuinely-approximate / non-SQL trio
         # (each carries a named pytest gate instead of a DuckDB oracle; in
         # round 2 the correctness gate evaluated exactly 50 of 51 registered
@@ -1770,6 +1794,28 @@ def oracle_sql() -> dict[str, str]:
                    text AS prompt, nt AS response
             FROM t
             WHERE role = 'user' AND nr = 'assistant' AND ni = turn_idx + 1
+        """,
+        "conv_dedup": """
+            WITH h AS (SELECT conv_id,
+                              md5(string_agg(text, chr(31) ORDER BY turn_idx))
+                                  AS conv_sha
+                       FROM read_parquet('/tmp/chunksilo_ray_testdata/sf0.01-seed42/transcripts.parquet')
+                       GROUP BY conv_id),
+            g AS (SELECT conv_sha, MIN(conv_id) AS rep, count(*) AS n
+                  FROM h GROUP BY conv_sha)
+            SELECT h.conv_id, h.conv_sha, g.rep AS rep_conv_id,
+                   CAST(g.n AS BIGINT) AS group_size
+            FROM h JOIN g USING (conv_sha)
+        """,
+        "conv_loop_score": """
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(count(DISTINCT substr(md5(text), 1, 16)) AS BIGINT)
+                       AS n_distinct,
+                   ROUND(1 - CAST(count(DISTINCT substr(md5(text), 1, 16)) AS DOUBLE)
+                             / count(*), 6) AS loop_score
+            FROM read_parquet('/tmp/chunksilo_ray_testdata/sf0.01-seed42/transcripts.parquet')
+            GROUP BY conv_id
         """,
         "conv_stats": """
             SELECT conv_id,

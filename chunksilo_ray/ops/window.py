@@ -593,3 +593,193 @@ def sft_pairs(transcripts_path: str) -> Dataset:
             ]
         ),
     )
+
+
+def conv_dedup(transcripts_path: str) -> Dataset:
+    """EXACT conversation-level deduplication over the north-rule
+    transcripts table: two conversations are duplicates when their full
+    turn-ordered text sequences are byte-identical (the transcript analog
+    of exact_dedup_docs — retries, re-runs and mirrored logs produce them
+    at corpus scale). Emits (conv_id, conv_sha, rep_conv_id, group_size)
+    where conv_sha = md5 of the '\\x1f'-joined turn texts in turn order,
+    rep = lexicographically smallest member.
+
+    Scale shape: conv-hash partitions co-locate each conversation once; the
+    per-partition kernel lexsorts and emits ONE 16-byte digest row per
+    conversation; a second digest-keyed partition groups identical
+    conversations (members of a digest co-locate) and emits each member
+    with its representative. Turn text never crosses the second exchange."""
+    import hashlib
+
+    from ..util import map_partitions
+
+    ds = rd.read_parquet(transcripts_path, columns=["conv_id", "turn_idx", "text"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        from pandas.util import hash_array
+
+        h = hash_array(
+            t["conv_id"].to_numpy(zero_copy_only=False).astype(object), categorize=False
+        ).astype(np.uint64)
+        return t.append_column(
+            "__part", pa.array((h % np.uint64(64)).astype(np.int64))
+        )
+
+    def digest(t: pa.Table) -> pa.Table:
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        idx = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        text = t["text"].to_numpy(zero_copy_only=False)
+        convs, codes = np.unique(conv, return_inverse=True)
+        order = np.lexsort((idx, codes))
+        codes_s, text_s = codes[order], text[order]
+        starts = np.concatenate(([0], np.flatnonzero(codes_s[1:] != codes_s[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [len(codes_s)]))
+        shas = [
+            hashlib.md5("\x1f".join(text_s[s:e]).encode()).hexdigest()
+            for s, e in zip(starts.tolist(), ends.tolist())
+        ]
+        out = pa.table(
+            {
+                "conv_id": pa.array(convs.tolist(), pa.string()),
+                "conv_sha": pa.array(shas, pa.string()),
+            }
+        )
+        return out.append_column(
+            "__part",
+            pa.array(
+                [int(s[:8], 16) % 64 for s in shas], pa.int64()
+            ),
+        )
+
+    # first exchange: conversations co-locate by conv hash; digest() emits
+    # one row per conversation already tagged with its SECOND (digest-keyed)
+    # partition, so duplicates co-locate next
+    per_conv = map_partitions(
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=None, zero_copy_batch=True),
+        "__part",
+        digest,
+        pa.schema(
+            [("conv_id", pa.string()), ("conv_sha", pa.string()), ("__part", pa.int64())]
+        ),
+    )
+
+    def group(t: pa.Table) -> pa.Table:
+        sha = t["conv_sha"].to_numpy(zero_copy_only=False)
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((conv, sha))
+        sha_s, conv_s = sha[order], conv[order]
+        starts = np.concatenate(([0], np.flatnonzero(sha_s[1:] != sha_s[:-1]) + 1))
+        sizes = np.diff(np.concatenate((starts, [len(sha_s)])))
+        rep = np.repeat(conv_s[starts], sizes)  # min conv_id per sha (sorted)
+        return pa.table(
+            {
+                "conv_id": pa.array(conv_s.tolist(), pa.string()),
+                "conv_sha": pa.array(sha_s.tolist(), pa.string()),
+                "rep_conv_id": pa.array(rep.tolist(), pa.string()),
+                "group_size": pa.array(np.repeat(sizes, sizes).astype(np.int64)),
+            }
+        )
+
+    return map_partitions(
+        per_conv,
+        "__part",
+        group,
+        pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("conv_sha", pa.string()),
+                ("rep_conv_id", pa.string()),
+                ("group_size", pa.int64()),
+            ]
+        ),
+    )
+
+
+def conv_loop_score(transcripts_path: str) -> Dataset:
+    """Loop-detection curation signal over agent transcripts: per
+    conversation, the fraction of turns whose text is an exact repeat of
+    an earlier turn in the SAME conversation (an agent stuck re-emitting
+    the same tool call / apology loop scores high). Emits (conv_id,
+    n_turns, n_distinct, loop_score) with
+    loop_score = round(1 - n_distinct / n_turns, 6).
+
+    Scale shape: turn text is md5-hashed in the scan (16 B crosses the
+    wire, never text; the oracle hashes identically); distinct counting is
+    the two-level distinct pattern — per-block distinct (conv, digest)
+    partials, one pair-keyed exchange collapses global distinct, then a
+    tagged union with per-block turn-count partials folds both statistics
+    in ONE final conv-keyed Sum exchange."""
+    import hashlib
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(transcripts_path, columns=["conv_id", "text"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        text = t["text"].to_numpy(zero_copy_only=False)
+        digs = [hashlib.md5(x.encode()).hexdigest()[:16] for x in text]
+        g = (
+            pa.table({"conv_id": t["conv_id"], "h": pa.array(digs, pa.string())})
+            .group_by(["conv_id", "h"], use_threads=False)
+            .aggregate([])
+        )
+        # dummy agg column: Ray's groupby needs at least one aggregate to
+        # collapse duplicates (the distinct_users_by_type pattern)
+        return g.append_column("one", pa.array(np.ones(g.num_rows, np.int64)))
+
+    from ray.data.aggregate import Max
+
+    distinct = (
+        ds.map_batches(pair_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby(["conv_id", "h"])
+        .aggregate(Max("one", alias_name="one"))
+    )
+
+    def tag_distinct(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "n_distinct": pa.array(np.ones(n, np.int64)),
+                "n_turns": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("conv_id", use_threads=False).aggregate([("conv_id", "count")])
+        return pa.table(
+            {
+                "conv_id": g["conv_id"],
+                "n_distinct": pa.array(np.zeros(g.num_rows, np.int64)),
+                "n_turns": pc.cast(g["conv_id_count"], pa.int64()),
+            }
+        )
+
+    u = distinct.map_batches(
+        tag_distinct, batch_format="pyarrow", batch_size=None
+    ).union(
+        ds.map_batches(count_partial, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True)
+    )
+    agg = u.groupby("conv_id").aggregate(
+        Sum("n_distinct", alias_name="n_distinct"),
+        Sum("n_turns", alias_name="n_turns"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nd = t["n_distinct"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nt = t["n_turns"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # half-away-from-zero rounding (SQL ROUND), not numpy's banker's —
+        # the curation.py precedent; loop_score is non-negative
+        score = np.floor((1.0 - nd / nt) * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "n_turns": t["n_turns"],
+                "n_distinct": t["n_distinct"],
+                "loop_score": pa.array(score, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)

@@ -201,3 +201,63 @@ def test_kg_edge_provenance_constructed():
     }
     assert out[("a", "p", "b")] == (6, 3, "c1:000002")
     assert out[("b", "q", "c")] == (4, 1, "c9:000007")
+
+
+def test_conv_dedup_constructed(tmp_path):
+    """Three conversations: c1 and c3 have byte-identical turn-ordered text
+    (different conv ids, timestamps, shuffled row order) -> one group of 2
+    with rep = min conv id; c2 differs only in turn ORDER, so it must NOT
+    join the group (the digest is order-sensitive)."""
+    import ray.data as rd  # noqa: F401
+
+    from chunksilo_ray.ops.window import conv_dedup
+
+    rows = [
+        ("c3", 1, "B"), ("c1", 0, "A"), ("c2", 0, "B"),
+        ("c1", 1, "B"), ("c2", 1, "A"), ("c3", 0, "A"),
+    ]
+    t = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    path = str(tmp_path / "transcripts.parquet")
+    pa.parquet.write_table(t, path)
+
+    out = {
+        r["conv_id"]: (r["rep_conv_id"], r["group_size"])
+        for r in conv_dedup(path).take_all()
+    }
+    assert out["c1"] == ("c1", 2)
+    assert out["c3"] == ("c1", 2)
+    assert out["c2"] == ("c2", 1)
+
+
+def test_conv_loop_score_constructed(tmp_path):
+    """A looping conversation (same text 3 of 4 turns) scores 0.5
+    (n_distinct=2, n_turns=4); an all-distinct one scores 0."""
+    import ray.data as rd  # noqa: F401
+
+    from chunksilo_ray.ops.window import conv_loop_score
+
+    rows = [
+        ("loopy", "retry"), ("loopy", "retry"), ("loopy", "ok"), ("loopy", "retry"),
+        ("fine", "x"), ("fine", "y"),
+    ]
+    t = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    path = str(tmp_path / "transcripts.parquet")
+    pa.parquet.write_table(t, path)
+
+    out = {
+        r["conv_id"]: (r["n_turns"], r["n_distinct"], r["loop_score"])
+        for r in conv_loop_score(path).take_all()
+    }
+    assert out["loopy"] == (4, 2, 0.5)
+    assert out["fine"] == (2, 2, 0.0)
