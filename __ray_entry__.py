@@ -238,6 +238,16 @@ def _conv_loop_score(sf_dir: str) -> Any:
     return conv_loop_score(f"{corpus}/transcripts.parquet")
 
 
+def _turn_length_percentiles(sf_dir: str) -> Any:
+    """Exact per-role p50/p90/p99 turn lengths (mergeable (role, len)
+    histogram; discrete ceil(q*n) rule = SQL quantile_disc)."""
+    from chunksilo_ray import datagen
+    from chunksilo_ray.ops.window import turn_length_percentiles
+
+    corpus = datagen.corpus_dir(datagen.sf_from_dir(sf_dir))
+    return turn_length_percentiles(f"{corpus}/transcripts.parquet")
+
+
 def _conv_stats(sf_dir: str) -> Any:
     """Per-conversation structural profile over the north-rule transcripts
     table (all-mergeable partials; text length only crosses the shuffle)."""
@@ -513,6 +523,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # repeated-turn (agent-loop) curation signal over transcripts
         "conv_dedup": _conv_dedup,
         "conv_loop_score": _conv_loop_score,
+        # round-4 batch 5: exact per-role turn-length percentiles via a
+        # mergeable (role, len) histogram — no sort, no sampling
+        "turn_length_percentiles": _turn_length_percentiles,
         # --- intentionally LAST: the genuinely-approximate / non-SQL trio
         # (each carries a named pytest gate instead of a DuckDB oracle; in
         # round 2 the correctness gate evaluated exactly 50 of 51 registered
@@ -1806,6 +1819,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT h.conv_id, h.conv_sha, g.rep AS rep_conv_id,
                    CAST(g.n AS BIGINT) AS group_size
             FROM h JOIN g USING (conv_sha)
+        """,
+        "turn_length_percentiles": """
+            SELECT role,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(MIN(length(text)) AS BIGINT) AS len_min,
+                   CAST(quantile_disc(length(text), 0.50) AS BIGINT) AS p50,
+                   CAST(quantile_disc(length(text), 0.90) AS BIGINT) AS p90,
+                   CAST(quantile_disc(length(text), 0.99) AS BIGINT) AS p99,
+                   CAST(MAX(length(text)) AS BIGINT) AS len_max
+            FROM read_parquet('/tmp/chunksilo_ray_testdata/sf0.01-seed42/transcripts.parquet')
+            GROUP BY role
         """,
         "conv_loop_score": """
             SELECT conv_id,

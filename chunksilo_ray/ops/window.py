@@ -783,3 +783,104 @@ def conv_loop_score(transcripts_path: str) -> Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def turn_length_percentiles(transcripts_path: str) -> Dataset:
+    """EXACT per-role turn-length distribution over the transcripts table:
+    p50 / p90 / p99 of the turn's character count plus min/max/n — the
+    length profile a curation pipeline reads before choosing truncation
+    budgets per role. Emits (role, n_turns, len_min, p50, p90, p99,
+    len_max), all int64.
+
+    Scale shape: turn length is a SMALL int, so the full distribution is a
+    mergeable (role, len) histogram — one in-batch group_by partial per
+    block, one (role, len)-keyed Sum exchange, then a per-role vectorized
+    cumsum pick. Percentile indices use the discrete ceil(q*n) rule in
+    exact integer arithmetic (matches SQL quantile_disc / percentile_disc);
+    no sort of the data itself, no driver state."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..util import map_partitions
+
+    ds = rd.read_parquet(transcripts_path, columns=["role", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "role": t["role"],
+                    "len": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+                }
+            )
+            .group_by(["role", "len"], use_threads=False)
+            .aggregate([("len", "count")])
+        )
+        return pa.table(
+            {
+                "role": g["role"],
+                "len": g["len"],
+                "n": pc.cast(g["len_count"], pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby(["role", "len"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        role = t["role"].to_numpy(zero_copy_only=False)
+        ln = t["len"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ln, role))
+        role, ln, n = role[order], ln[order], n[order]
+        starts = np.concatenate(([0], np.flatnonzero(role[1:] != role[:-1]) + 1))
+        ends = np.concatenate((starts[1:], [len(role)]))
+        rows = {k: [] for k in ("role", "n_turns", "len_min", "p50", "p90", "p99", "len_max")}
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            lens, cnts = ln[s:e], n[s:e]
+            cum = np.cumsum(cnts)
+            total = int(cum[-1])
+            # discrete percentile: smallest len with cum >= ceil(q * total),
+            # in exact integer arithmetic (q = pct/100)
+            qs = [
+                lens[np.searchsorted(cum, (total * pct + 99) // 100)]
+                for pct in (50, 90, 99)
+            ]
+            rows["role"].append(role[s])
+            rows["n_turns"].append(total)
+            rows["len_min"].append(int(lens[0]))
+            rows["p50"].append(int(qs[0]))
+            rows["p90"].append(int(qs[1]))
+            rows["p99"].append(int(qs[2]))
+            rows["len_max"].append(int(lens[-1]))
+        return pa.table(
+            {
+                "role": pa.array([str(r) for r in rows["role"]], pa.string()),
+                "n_turns": pa.array(rows["n_turns"], pa.int64()),
+                "len_min": pa.array(rows["len_min"], pa.int64()),
+                "p50": pa.array(rows["p50"], pa.int64()),
+                "p90": pa.array(rows["p90"], pa.int64()),
+                "p99": pa.array(rows["p99"], pa.int64()),
+                "len_max": pa.array(rows["len_max"], pa.int64()),
+            }
+        )
+
+    return map_partitions(
+        hist,
+        "role",
+        pick,
+        pa.schema(
+            [
+                ("role", pa.string()),
+                ("n_turns", pa.int64()),
+                ("len_min", pa.int64()),
+                ("p50", pa.int64()),
+                ("p90", pa.int64()),
+                ("p99", pa.int64()),
+                ("len_max", pa.int64()),
+            ]
+        ),
+    )

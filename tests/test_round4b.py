@@ -261,3 +261,31 @@ def test_conv_loop_score_constructed(tmp_path):
     }
     assert out["loopy"] == (4, 2, 0.5)
     assert out["fine"] == (2, 2, 0.0)
+
+
+def test_turn_length_percentiles_constructed(tmp_path):
+    """Discrete percentile rule (smallest value with cum >= ceil(q*n))
+    against hand-placed length histograms, including the n=4 p50 boundary
+    where ceil(2.0)=2 picks the SECOND smallest, not the third."""
+    import ray.data as rd  # noqa: F401
+
+    from chunksilo_ray.ops.window import turn_length_percentiles
+
+    rows = [("u", "a" * k) for k in (1, 2, 3, 4)]  # user: lens 1..4
+    rows += [("a", "x" * k) for k in range(1, 11)]  # assistant: lens 1..10
+    t = pa.table(
+        {
+            "role": pa.array([r[0] for r in rows], pa.string()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    path = str(tmp_path / "transcripts.parquet")
+    pa.parquet.write_table(t, path)
+
+    out = {
+        r["role"]: (r["n_turns"], r["len_min"], r["p50"], r["p90"], r["p99"], r["len_max"])
+        for r in turn_length_percentiles(path).take_all()
+    }
+    # DuckDB quantile_disc parity: n=4 -> p50 = 2; n=10 -> p50=5, p90=9, p99=10
+    assert out["u"] == (4, 1, 2, 4, 4, 4)
+    assert out["a"] == (10, 1, 5, 9, 10, 10)
