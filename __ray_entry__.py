@@ -449,6 +449,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-iteration mergeable k x dim partials, unrolled-iteration SQL
         # oracle; gated in tests/test_round4.py
         "kmeans_assign": similarity.kmeans_assign,
+        # round-4 batch 5: SemDeDup-style semantic dedup — kmeans bucketing
+        # then in-cluster pairwise cosine keep-first (Abbas et al. 2023);
+        # oracle = the kmeans CTE chain + an in-cluster cosine self-join
+        "semdedup": similarity.semdedup,
         # round-4: corpus-global paragraph dedup (Dolma/RefinedWeb staple);
         # SQL-oracled here, constructed-positive + shuffle-path parity
         # gates in tests/test_round4.py (this corpus has no blank-line
@@ -643,12 +647,13 @@ def _kg_pagerank_sql(out_dir: str, n_iter: int = 5, damping: float = 0.85) -> st
 _PAGERANK_SQL = _pagerank_sql()
 
 
-def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
-    """Oracle for ops/similarity.py::kmeans_assign — Lloyd's iterations
-    unrolled as chained CTEs (the PageRank-oracle pattern). Mirrors the Ray
-    op's determinism contract exactly: init = k smallest vec_ids in vec_id
-    order, argmin over ROUND(d2, 6) with lowest-cluster tie-break, centroid
-    update ROUND(AVG, 6) with empty clusters keeping the previous centroid."""
+def _kmeans_ctes(k: int = 8, iters: int = 2) -> list:
+    """Shared CTE chain for the kmeans_assign / semdedup oracles — Lloyd's
+    iterations unrolled (the PageRank-oracle pattern), ending with ``df``
+    (final per-vector, per-cluster d2). Mirrors the Ray op's determinism
+    contract exactly: init = k smallest vec_ids in vec_id order, argmin
+    over ROUND(d2, 6) with lowest-cluster tie-break, centroid update
+    ROUND(AVG, 6) with empty clusters keeping the previous centroid."""
     ctes = [
         "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
         "flat AS (SELECT vec_id, UNNEST(e) AS val, generate_subscripts(e, 1) AS dim FROM emb)",
@@ -681,12 +686,47 @@ def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
         f"              SUM((f.val - c.cval) * (f.val - c.cval)) AS d2\n"
         f"       FROM flat f JOIN c{iters} c ON f.dim = c.dim GROUP BY 1, 2)"
     )
+    return ctes
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2) -> str:
+    """Oracle for ops/similarity.py::kmeans_assign (see _kmeans_ctes)."""
     return (
-        "WITH " + ",\n".join(ctes) + "\n"
+        "WITH " + ",\n".join(_kmeans_ctes(k, iters)) + "\n"
         "SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, ROUND(d2, 4) AS dist2\n"
         "FROM (SELECT vec_id, cluster, d2, ROW_NUMBER() OVER (\n"
         "        PARTITION BY vec_id ORDER BY ROUND(d2, 6), cluster) AS rn FROM df)\n"
         "WHERE rn = 1"
+    )
+
+
+def _semdedup_sql(k: int = 8, iters: int = 2, tau: float = 0.95) -> str:
+    """Oracle for ops/similarity.py::semdedup — the kmeans assignment CTEs
+    plus an in-cluster pairwise cosine dedup: a vector is a duplicate of the
+    SMALLEST earlier (lower vec_id) cluster-mate with raw cosine >= tau
+    (the embedding_near_dups raw-threshold precedent)."""
+    ctes = _kmeans_ctes(k, iters)
+    ctes.append(
+        "af AS (SELECT vec_id, cluster FROM (\n"
+        "         SELECT vec_id, cluster, ROW_NUMBER() OVER (\n"
+        "           PARTITION BY vec_id ORDER BY ROUND(d2, 6), cluster) AS rn\n"
+        "         FROM df) WHERE rn = 1)"
+    )
+    ctes.append(
+        f"dups AS (SELECT a2.vec_id AS i, MIN(a1.vec_id) AS dup_of\n"
+        f"         FROM af a1\n"
+        f"         JOIN af a2 ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id\n"
+        f"         JOIN emb e1 ON e1.vec_id = a1.vec_id\n"
+        f"         JOIN emb e2 ON e2.vec_id = a2.vec_id\n"
+        f"         WHERE list_cosine_similarity(e1.e, e2.e) >= {tau}\n"
+        f"         GROUP BY a2.vec_id)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT af.vec_id, CAST(af.cluster AS BIGINT) AS cluster,\n"
+        "       CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep,\n"
+        "       CAST(COALESCE(d.dup_of, -1) AS BIGINT) AS dup_of\n"
+        "FROM af LEFT JOIN dups d ON d.i = af.vec_id"
     )
 
 
@@ -1524,6 +1564,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.n_chars >= thr.cut
         """,
         "kmeans_assign": _kmeans_sql(),
+        "semdedup": _semdedup_sql(),
         # corpus-global paragraph dedup: exact text-equality dup criterion,
         # rebuild via ordered string_agg (NULL when nothing survives —
         # matches the op's when/otherwise)

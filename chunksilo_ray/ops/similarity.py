@@ -456,6 +456,35 @@ def kmeans_assign(sf_dir: str, k: int = 8, iters: int = 2) -> "pa.Table":
     tie-break; centroid update = ROUND(mean, 6), empty clusters keep their
     previous centroid; output dist2 = ROUND(d2, 4) vs the post-`iters`
     centroids."""
+    from ..util import cached_get
+
+    cents = _lloyd_centroids(sf_dir, k, iters)
+    ds = _emb(sf_dir)
+    final_ref = ray.put(cents)
+
+    def assign_final(t: pa.Table) -> pa.Table:
+        c = cached_get(final_ref)
+        m = _emb_matrix(t)
+        d2 = _kmeans_d2(m, c)
+        a = np.argmin(np.round(d2, 6), axis=1)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "cluster": pa.array(a.astype(np.int64)),
+                "dist2": pa.array(np.round(d2[np.arange(len(a)), a], 4), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(
+        assign_final, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+
+def _lloyd_centroids(sf_dir: str, k: int, iters: int) -> np.ndarray:
+    """The shared Lloyd's loop behind kmeans_assign / semdedup: returns the
+    post-``iters`` centroid matrix under kmeans_assign's determinism
+    contract. Per iteration: ONE map_batches pass emitting a k x dim
+    mergeable partial; no vector crosses a shuffle."""
     import pyarrow.dataset as pads
 
     from ..util import cached_get
@@ -512,23 +541,89 @@ def kmeans_assign(sf_dir: str, k: int = 8, iters: int = 2) -> "pa.Table":
             nonempty[:, None], np.round(sums / np.maximum(ns, 1)[:, None], 6), cents
         )
 
+    return cents
+
+
+def semdedup(sf_dir: str, k: int = 8, iters: int = 2, tau: float = 0.95) -> Dataset:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster the embedding space with k-means, then deduplicate ONLY within
+    each cluster — pairwise cosine >= tau marks the larger vec_id a
+    duplicate of the smallest such earlier vector. Emits (vec_id, cluster,
+    keep, dup_of) with keep in {0,1} and dup_of = -1 for keepers. This is
+    the scale path for embedding near-dup: the O(n^2) comparison collapses
+    to O(sum cluster_size^2), and k is chosen so clusters stay bounded
+    (the paper uses n/160 clusters at corpus scale).
+
+    Scale shape: centroids come from the shared mergeable-partial Lloyd
+    loop (no vector crosses a shuffle); ONE cluster-keyed exchange then
+    co-locates each cluster, and the per-cluster kernel is a single
+    normalized matmul + vectorized first-earlier-duplicate scan. The
+    duplicate DECISION uses the raw cosine (the embedding_near_dups oracle
+    precedent: raw IEEE doubles agree across engines on exact ints)."""
+    from ..util import cached_get, map_partitions
+
+    cents = _lloyd_centroids(sf_dir, k, iters)
     final_ref = ray.put(cents)
 
-    def assign_final(t: pa.Table) -> pa.Table:
+    def assign(t: pa.Table) -> pa.Table:
         c = cached_get(final_ref)
         m = _emb_matrix(t)
-        d2 = _kmeans_d2(m, c)
-        a = np.argmin(np.round(d2, 6), axis=1)
+        a = np.argmin(np.round(_kmeans_d2(m, c), 6), axis=1)
         return pa.table(
             {
                 "vec_id": t["vec_id"],
-                "cluster": pa.array(a.astype(np.int64)),
-                "dist2": pa.array(np.round(d2[np.arange(len(a)), a], 4), pa.float64()),
+                "embedding": t["embedding"],
+                "__part": pa.array(a.astype(np.int64)),
             }
         )
 
-    return ds.map_batches(
-        assign_final, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    assigned = _emb(sf_dir).map_batches(
+        assign, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+    def dedup_cluster(t: pa.Table) -> pa.Table:
+        # one or more COMPLETE clusters per block (map_partitions contract)
+        cl = t["__part"].to_numpy(zero_copy_only=False)
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        m = _emb_matrix(t)
+        norms = np.linalg.norm(m, axis=1)
+        mn = m / np.maximum(norms, 1e-12)[:, None]
+        out_vid, out_cl, out_keep, out_dup = [], [], [], []
+        for c in np.unique(cl):
+            idx = np.flatnonzero(cl == c)
+            order = np.argsort(vid[idx], kind="stable")
+            idx = idx[order]
+            v = vid[idx]
+            sims = mn[idx] @ mn[idx].T  # vec_id-ascending within cluster
+            hit = np.tril(sims >= tau, k=-1)  # earlier (smaller vec_id) dups
+            any_dup = hit.any(axis=1)
+            first = np.argmax(hit, axis=1)  # first True = smallest vec_id
+            dup_of = np.where(any_dup, v[first], -1).astype(np.int64)
+            out_vid.append(v)
+            out_cl.append(np.full(len(v), int(c), np.int64))
+            out_keep.append((~any_dup).astype(np.int64))
+            out_dup.append(dup_of)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.concatenate(out_vid).astype(np.int64)),
+                "cluster": pa.array(np.concatenate(out_cl)),
+                "keep": pa.array(np.concatenate(out_keep)),
+                "dup_of": pa.array(np.concatenate(out_dup)),
+            }
+        )
+
+    return map_partitions(
+        assigned,
+        "__part",
+        dedup_cluster,
+        pa.schema(
+            [
+                ("vec_id", pa.int64()),
+                ("cluster", pa.int64()),
+                ("keep", pa.int64()),
+                ("dup_of", pa.int64()),
+            ]
+        ),
     )
 
 

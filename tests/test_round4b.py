@@ -289,3 +289,41 @@ def test_turn_length_percentiles_constructed(tmp_path):
     # DuckDB quantile_disc parity: n=4 -> p50 = 2; n=10 -> p50=5, p90=9, p99=10
     assert out["u"] == (4, 1, 2, 4, 4, 4)
     assert out["a"] == (10, 1, 5, 9, 10, 10)
+
+
+def test_semdedup_constructed(tmp_path):
+    """Two well-separated k-means clusters; within a cluster, colinear /
+    near-colinear vectors (cosine >= tau) collapse onto the smallest
+    vec_id; an orthogonal-ish vector survives. dup_of is the SMALLEST
+    earlier duplicate, keep is 0/1 int."""
+    import ray.data as rd  # noqa: F401
+
+    from chunksilo_ray.ops.similarity import semdedup
+
+    vecs = [
+        (0, [10.0, 0.0]),   # cluster-0 seed (init centroid 0)
+        (1, [0.0, 10.0]),   # cluster-1 seed (init centroid 1)
+        (2, [20.0, 0.0]),   # colinear with 0 -> dup_of 0
+        (3, [10.0, 0.1]),   # cos ~0.99995 vs 0 -> dup_of 0 (not 2: min rule)
+        (4, [0.0, 30.0]),   # colinear with 1 -> dup_of 1
+        (5, [7.0, 7.0]),    # cos 0.707 vs both axes -> kept
+    ]
+    t = pa.table(
+        {
+            "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+            "embedding": pa.array([v[1] for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    pa.parquet.write_table(t, str(tmp_path / "embeddings.parquet"))
+
+    out = {
+        r["vec_id"]: (r["keep"], r["dup_of"])
+        for r in semdedup(str(tmp_path), k=2, iters=2, tau=0.99).take_all()
+    }
+    assert out[0] == (1, -1)
+    assert out[1] == (1, -1)
+    assert out[2] == (0, 0)
+    assert out[3] == (0, 0)
+    assert out[4] == (0, 1)
+    assert out[5] == (1, -1)
