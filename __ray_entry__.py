@@ -218,6 +218,15 @@ def _sft_pairs(sf_dir: str) -> Any:
     return sft_pairs(f"{corpus}/transcripts.parquet")
 
 
+def _kg_negative_samples(sf_dir: str) -> Any:
+    """Deterministic corrupted-pair negatives for link-prediction training
+    (md5-indexed vocabulary pick, real-edge anti-join); oracle computes the
+    identical digest index in SQL."""
+    from chunksilo_ray.ops.graph import kg_negative_samples
+
+    return kg_negative_samples(_kg_result(sf_dir)["edges_agg"])
+
+
 def _conv_dedup(sf_dir: str) -> Any:
     """Exact conversation-level dedup groups (turn-ordered text digest);
     oracle = md5(string_agg ORDER BY turn_idx) in DuckDB."""
@@ -523,6 +532,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # over the written per-turn edges checkpoint
         "sft_pairs": _sft_pairs,
         "kg_edge_provenance": _kg_edge_provenance,
+        # round-4 batch 5: reproducible negative sampling for KG link
+        # prediction (md5-indexed corruption + tagged pair-hash anti-join)
+        "kg_negative_samples": _kg_negative_samples,
         # round-4 batch 5: exact conversation-level dedup groups and the
         # repeated-turn (agent-loop) curation signal over transcripts
         "conv_dedup": _conv_dedup,
@@ -1848,6 +1860,28 @@ def oracle_sql() -> dict[str, str]:
                    text AS prompt, nt AS response
             FROM t
             WHERE role = 'user' AND nr = 'assistant' AND ni = turn_idx + 1
+        """,
+        "kg_negative_samples": f"""
+            WITH p AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+                       FROM read_parquet('{_KG_OUT01}/edges/*.parquet')
+                       WHERE subj <> obj),
+            v AS (SELECT node, ROW_NUMBER() OVER (ORDER BY node) - 1 AS rn
+                  FROM (SELECT a AS node FROM p UNION SELECT b FROM p)),
+            n AS (SELECT count(*) AS c FROM v),
+            cand AS (SELECT p.a, p.b,
+                            CAST(('0x' || substr(md5(p.a || '|' || p.b), 1, 8)) AS BIGINT)
+                                % n.c AS idx
+                     FROM p, n),
+            neg AS (SELECT cand.a AS seed_a, cand.b AS seed_b, v.node AS corrupt
+                    FROM cand JOIN v ON v.rn = cand.idx
+                    WHERE v.node <> cand.a AND v.node <> cand.b),
+            np AS (SELECT seed_a, seed_b,
+                          least(seed_a, corrupt) AS neg_a,
+                          greatest(seed_a, corrupt) AS neg_b
+                   FROM neg)
+            SELECT np.seed_a, np.seed_b, np.neg_a, np.neg_b
+            FROM np LEFT JOIN p ON p.a = np.neg_a AND p.b = np.neg_b
+            WHERE p.a IS NULL
         """,
         "conv_dedup": """
             WITH h AS (SELECT conv_id,

@@ -1357,3 +1357,122 @@ def kg_edge_provenance(edges: Dataset) -> Dataset:
         )
     )
     return agg
+
+
+def kg_negative_samples(ea: Dataset) -> Dataset:
+    """Deterministic negative sampling for KG link-prediction training:
+    every distinct undirected pair (a, b) proposes ONE corrupted pair —
+    replace b with the entity at index md5(a|b)[:8] %% |vocab| of the
+    sorted vocabulary — and the candidate survives only if it is not a
+    self-pair and not a real edge. Emits (seed_a, seed_b, neg_a, neg_b)
+    with the negative pair ordered. md5-derived indices make the sample
+    reproducible across engines (the split_assign precedent: the oracle
+    computes the identical digest).
+
+    Scale shape: reuses the coded undirected pair set + sorted vocabulary
+    broadcast; candidate generation is one pass over pair blocks; the
+    is-this-a-real-edge filter is the tagged pair-hash anti-join from
+    kg_triangle_count (edges tag 1, candidates tag 0, one exchange,
+    vectorized isin per partition) — no edge set ever sits on the driver."""
+    import hashlib
+
+    import ray
+
+    from ..util import cached_get, map_partitions
+
+    pairs, vocab_ref = _coded_undirected_pairs(ea)
+    n_ent = len(ray.get(vocab_ref))
+
+    def candidates(t: pa.Table) -> pa.Table:
+        v = cached_get(vocab_ref)
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        sa, sb = np.asarray(v, object)[a], np.asarray(v, object)[b]
+        idx = np.fromiter(
+            (
+                int(hashlib.md5(f"{x}|{y}".encode()).hexdigest()[:8], 16) % n_ent
+                for x, y in zip(sa, sb)
+            ),
+            dtype=np.int64,
+            count=len(a),
+        )
+        ok = (idx != a) & (idx != b)
+        a, b, idx = a[ok], b[ok], idx[ok]
+        lo = np.minimum(a, idx)
+        hi = np.maximum(a, idx)
+        key = _pack_pairs(lo, hi)
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "seed_a": pa.array(a, pa.int64()),
+                "seed_b": pa.array(b, pa.int64()),
+                "neg_a": pa.array(lo, pa.int64()),
+                "neg_b": pa.array(hi, pa.int64()),
+                "is_edge": pa.array(np.zeros(len(a), np.int64)),
+                "__part": pa.array(key % _N_PARTS, pa.int64()),
+            }
+        )
+
+    def edges_tagged(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        key = _pack_pairs(a, b)
+        z = np.zeros(len(a), np.int64)
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "seed_a": pa.array(z),
+                "seed_b": pa.array(z),
+                "neg_a": pa.array(z),
+                "neg_b": pa.array(z),
+                "is_edge": pa.array(np.ones(len(a), np.int64)),
+                "__part": pa.array(key % _N_PARTS, pa.int64()),
+            }
+        )
+
+    u = pairs.map_batches(candidates, batch_format="pyarrow", batch_size=None).union(
+        pairs.map_batches(edges_tagged, batch_format="pyarrow", batch_size=None)
+    )
+
+    def anti_join(t: pa.Table) -> pa.Table:
+        v = cached_get(vocab_ref)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        is_edge = t["is_edge"].to_numpy(zero_copy_only=False).astype(bool)
+        edge_keys = np.sort(key[is_edge])
+        cand = ~is_edge
+        keep = cand & ~np.isin(key, edge_keys)
+        names = np.asarray(v, object)
+        return pa.table(
+            {
+                "seed_a": pa.array(
+                    names[t["seed_a"].to_numpy(zero_copy_only=False)[keep]].tolist(),
+                    pa.string(),
+                ),
+                "seed_b": pa.array(
+                    names[t["seed_b"].to_numpy(zero_copy_only=False)[keep]].tolist(),
+                    pa.string(),
+                ),
+                "neg_a": pa.array(
+                    names[t["neg_a"].to_numpy(zero_copy_only=False)[keep]].tolist(),
+                    pa.string(),
+                ),
+                "neg_b": pa.array(
+                    names[t["neg_b"].to_numpy(zero_copy_only=False)[keep]].tolist(),
+                    pa.string(),
+                ),
+            }
+        )
+
+    return map_partitions(
+        u,
+        "__part",
+        anti_join,
+        pa.schema(
+            [
+                ("seed_a", pa.string()),
+                ("seed_b", pa.string()),
+                ("neg_a", pa.string()),
+                ("neg_b", pa.string()),
+            ]
+        ),
+    )

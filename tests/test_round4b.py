@@ -327,3 +327,24 @@ def test_semdedup_constructed(tmp_path):
     assert out[3] == (0, 0)
     assert out[4] == (0, 1)
     assert out[5] == (1, -1)
+
+
+def test_kg_negative_samples_constructed():
+    """Hand-computed md5 corruption indices over vocab [a,b,c,d]:
+    md5('a|c')[:8] % 4 = 3 -> d, so seed (a,c) proposes (a,d); seeds whose
+    digest lands on their own endpoints are dropped. Adding the real edge
+    a-d then kills that one surviving candidate — the real-edge anti-join."""
+    import ray.data as rd
+
+    from chunksilo_ray.ops.graph import kg_negative_samples
+
+    base = [("a", "b", 1), ("a", "c", 1), ("b", "c", 1), ("c", "d", 1)]
+    out = [
+        (r["seed_a"], r["seed_b"], r["neg_a"], r["neg_b"])
+        for r in kg_negative_samples(rd.from_arrow(_edges(base))).take_all()
+    ]
+    assert out == [("a", "c", "a", "d")]
+
+    with_ad = base + [("a", "d", 1)]
+    out2 = kg_negative_samples(rd.from_arrow(_edges(with_ad))).take_all()
+    assert out2 == []
