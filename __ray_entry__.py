@@ -218,6 +218,15 @@ def _sft_pairs(sf_dir: str) -> Any:
     return sft_pairs(f"{corpus}/transcripts.parquet")
 
 
+def _kg_ppr(sf_dir: str) -> Any:
+    """Personalized PageRank from the 5 highest-degree entities (GraphRAG
+    local-search relevance); oracle = unrolled power iteration with a
+    seed-indicator teleport term."""
+    from chunksilo_ray.ops.graph import kg_ppr
+
+    return kg_ppr(_kg_result(sf_dir)["edges_agg"], n_seeds=5, n_iter=5)
+
+
 def _kg_negative_samples(sf_dir: str) -> Any:
     """Deterministic corrupted-pair negatives for link-prediction training
     (md5-indexed vocabulary pick, real-edge anti-join); oracle computes the
@@ -535,6 +544,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 batch 5: reproducible negative sampling for KG link
         # prediction (md5-indexed corruption + tagged pair-hash anti-join)
         "kg_negative_samples": _kg_negative_samples,
+        # round-4 batch 5: personalized PageRank from hub seeds (GraphRAG
+        # local-search relevance; per-iteration broadcast, no shuffle)
+        "kg_ppr": _kg_ppr,
         # round-4 batch 5: exact conversation-level dedup groups and the
         # repeated-turn (agent-loop) curation signal over transcripts
         "conv_dedup": _conv_dedup,
@@ -657,6 +669,41 @@ def _kg_pagerank_sql(out_dir: str, n_iter: int = 5, damping: float = 0.85) -> st
 
 
 _PAGERANK_SQL = _pagerank_sql()
+
+
+def _kg_ppr_sql(
+    out_dir: str, n_seeds: int = 5, n_iter: int = 5, damping: float = 0.85
+) -> str:
+    """Oracle for ops/graph.py::kg_ppr — unrolled power iteration over the
+    UNDIRECTED distinct-pair graph with teleport mass returning to the
+    seed-indicator vector (seeds = top degree, ties by entity asc)."""
+    head = (
+        f"WITH e AS (SELECT DISTINCT subj, obj\n"
+        f"           FROM read_parquet('{out_dir}/edges/*.parquet')\n"
+        f"           WHERE subj <> obj),\n"
+        "p AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b FROM e),\n"
+        "edges AS (SELECT a AS s, b AS t FROM p UNION ALL SELECT b, a FROM p),\n"
+        "deg AS (SELECT s AS node, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY 1),\n"
+        f"seeds AS (SELECT node FROM deg ORDER BY deg DESC, node LIMIT {n_seeds}),\n"
+        "nodes AS (SELECT deg.node, CASE WHEN s.node IS NULL THEN 0.0 ELSE 1.0 END AS ind\n"
+        "          FROM deg LEFT JOIN seeds s ON s.node = deg.node),\n"
+        "p0 AS (SELECT node, ind AS pr FROM nodes),\n"
+    )
+    iters = []
+    for k in range(1, n_iter + 1):
+        iters.append(
+            f"p{k} AS (SELECT n.node, {1 - damping} * n.ind + {damping} * COALESCE(agg.c, 0) AS pr\n"
+            f"          FROM nodes n LEFT JOIN (\n"
+            f"            SELECT e.t AS node, SUM(pp.pr / sd.deg) AS c\n"
+            f"            FROM edges e JOIN p{k - 1} pp ON pp.node = e.s\n"
+            f"            JOIN deg sd ON sd.node = e.s GROUP BY e.t) agg\n"
+            f"          ON agg.node = n.node)"
+        )
+    return (
+        head
+        + ",\n".join(iters)
+        + f"\nSELECT node AS entity, ROUND(pr, 5) AS ppr FROM p{n_iter}"
+    )
 
 
 def _kmeans_ctes(k: int = 8, iters: int = 2) -> list:
@@ -1861,6 +1908,7 @@ def oracle_sql() -> dict[str, str]:
             FROM t
             WHERE role = 'user' AND nr = 'assistant' AND ni = turn_idx + 1
         """,
+        "kg_ppr": _kg_ppr_sql(_KG_OUT01),
         "kg_negative_samples": f"""
             WITH p AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
                        FROM read_parquet('{_KG_OUT01}/edges/*.parquet')

@@ -348,3 +348,18 @@ def test_kg_negative_samples_constructed():
     with_ad = base + [("a", "d", 1)]
     out2 = kg_negative_samples(rd.from_arrow(_edges(with_ad))).take_all()
     assert out2 == []
+
+
+def test_kg_ppr_constructed():
+    """One-iteration hand check on a star a-(b,c) with seed a (highest
+    degree): pr0 = [1,0,0]; pr1(a) = 0.15*1 + 0.85*(pr0(b)/1 + pr0(c)/1)
+    = 0.15; pr1(b) = pr1(c) = 0.85 * pr0(a)/deg(a) = 0.85/2 = 0.425.
+    Disconnected pair d-e gets zero mass (no teleport off-seed)."""
+    import ray.data as rd
+
+    from chunksilo_ray.ops.graph import kg_ppr
+
+    t = _edges([("a", "b", 1), ("a", "c", 1), ("d", "e", 1)])
+    out = kg_ppr(rd.from_arrow(t), n_seeds=1, n_iter=1)
+    got = dict(zip(out["entity"].to_pylist(), out["ppr"].to_pylist()))
+    assert got == {"a": 0.15, "b": 0.425, "c": 0.425, "d": 0.0, "e": 0.0}
