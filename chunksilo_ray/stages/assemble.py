@@ -388,6 +388,18 @@ def _assemble_broadcast(turns: Dataset) -> Dataset:
             print(f"[asm +{_time.perf_counter() - _t0:6.2f}s] {name}",
                   file=_sys.stderr, flush=True)
 
+    # Single-decode mode (default ON): decode the input parquet ONCE and
+    # serve both the lengths scan and the attach scan from the object
+    # store (plasma memcpy) instead of re-decoding the text column in the
+    # attach pass. Clean-window A/B (sf0.3): -12% end-to-end at 8 cpus
+    # (29.8 -> 26.3 s, assembly segment -34%), neutral at 2 cpus — parquet
+    # DECODE is the contended resource once cores share memory channels,
+    # memcpy is not. Costs one extra text copy in plasma for the stage's
+    # lifetime; set GRAFT_ASM_MATERIALIZE_INPUT=0 on memory-tight runs.
+    if _os.environ.get("GRAFT_ASM_MATERIALIZE_INPUT", "1") == "1":
+        turns = turns.materialize()
+        _mark("input materialized (single-decode mode)")
+
     # Targeted two-stage hash exchange with raw Ray tasks — the one spot the
     # Dataset API can't express (Ray 2.49 groupby() is a SORT-based global
     # shuffle; measured 18 s at sf0.3/16 cpus for what is a 45 MB 64-way
