@@ -266,6 +266,53 @@ def _turn_length_percentiles(sf_dir: str) -> Any:
     return turn_length_percentiles(f"{corpus}/transcripts.parquet")
 
 
+def _kg_hits(sf_dir: str) -> Any:
+    """HITS hubs/authorities over the KG's directed distinct-pair graph;
+    oracle = unrolled L1-normalized half-steps over the edges checkpoint."""
+    from chunksilo_ray.ops.graph import kg_hits
+
+    return kg_hits(_kg_result(sf_dir)["edges_agg"], n_iter=5)
+
+
+def _kg_random_walks(sf_dir: str) -> Any:
+    """DeepWalk-style deterministic random walks from hub seeds (md5-indexed
+    next-hop over sorted neighbor lists); the oracle replays every hop with
+    the identical digest index and list(b ORDER BY b) adjacency."""
+    from chunksilo_ray.ops.graph import kg_random_walks
+
+    return kg_random_walks(
+        _kg_result(sf_dir)["edges_agg"], n_seeds=8, walks_per_seed=2, walk_len=4
+    )
+
+
+def _kg_component_sizes(sf_dir: str) -> Any:
+    """Connected-component size histogram of the KG (fragmentation QA);
+    oracle = recursive-CTE min-label components over the edges checkpoint."""
+    from chunksilo_ray.ops.graph import kg_component_sizes
+
+    return kg_component_sizes(_kg_result(sf_dir)["edges_agg"])
+
+
+def _error_turn_fraction(sf_dir: str) -> Any:
+    """Per-conversation flagged-turn fraction (error/failure chatter — the
+    refusal-filter operator shape); both sides run the same RE2 pattern."""
+    from chunksilo_ray import datagen
+    from chunksilo_ray.ops.window import flagged_turn_fraction
+
+    corpus = datagen.corpus_dir(datagen.sf_from_dir(sf_dir))
+    return flagged_turn_fraction(f"{corpus}/transcripts.parquet")
+
+
+def _prompt_prefix_dedup(sf_dir: str) -> Any:
+    """Prompt-level dedup: conversations grouped by md5 of their FIRST user
+    turn (SFT prompt over-representation guard)."""
+    from chunksilo_ray import datagen
+    from chunksilo_ray.ops.window import prompt_prefix_dedup
+
+    corpus = datagen.corpus_dir(datagen.sf_from_dir(sf_dir))
+    return prompt_prefix_dedup(f"{corpus}/transcripts.parquet")
+
+
 def _conv_stats(sf_dir: str) -> Any:
     """Per-conversation structural profile over the north-rule transcripts
     table (all-mergeable partials; text length only crosses the shuffle)."""
@@ -554,6 +601,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 batch 5: exact per-role turn-length percentiles via a
         # mergeable (role, len) histogram — no sort, no sampling
         "turn_length_percentiles": _turn_length_percentiles,
+        # round-4 batch 7: HITS hubs/authorities, DeepWalk walk harvest,
+        # and the component-size fragmentation QA over the constructed KG
+        "kg_hits": _kg_hits,
+        "kg_random_walks": _kg_random_walks,
+        "kg_component_sizes": _kg_component_sizes,
+        # round-4 batch 7: transcripts curation — flagged-turn fraction
+        # (refusal/error-filter shape) and first-user-turn prompt dedup
+        "error_turn_fraction": _error_turn_fraction,
+        "prompt_prefix_dedup": _prompt_prefix_dedup,
         # --- intentionally LAST: the genuinely-approximate / non-SQL trio
         # (each carries a named pytest gate instead of a DuckDB oracle; in
         # round 2 the correctness gate evaluated exactly 50 of 51 registered
@@ -703,6 +759,135 @@ def _kg_ppr_sql(
         head
         + ",\n".join(iters)
         + f"\nSELECT node AS entity, ROUND(pr, 5) AS ppr FROM p{n_iter}"
+    )
+
+
+def _kg_hits_sql(out_dir: str, n_iter: int = 5) -> str:
+    """Oracle for ops/graph.py::kg_hits — unrolled HITS half-steps over the
+    DIRECTED distinct (subj, obj) graph, L1-normalized after each half-step
+    exactly as the Ray op normalizes. Every per-iteration CTE is
+    MATERIALIZED: DuckDB inlines plain CTEs per reference, which makes a
+    multiply-referenced unrolled chain exponential in n_iter (measured as a
+    hang at 5 iterations); normalization is a SUM() OVER () window so each
+    score table is one self-contained CTE."""
+    head = (
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT subj, obj\n"
+        f"           FROM read_parquet('{out_dir}/edges/*.parquet')\n"
+        f"           WHERE subj <> obj),\n"
+        "nodes AS MATERIALIZED (SELECT subj AS node FROM e UNION SELECT obj FROM e),\n"
+        "h0 AS MATERIALIZED (SELECT node, 1.0 AS v FROM nodes),\n"
+    )
+    iters = []
+    for k in range(1, n_iter + 1):
+        iters.append(
+            f"a{k} AS MATERIALIZED (SELECT node, v / (SUM(v) OVER ()) AS v FROM (\n"
+            f"    SELECT n.node, COALESCE(x.s, 0) AS v FROM nodes n\n"
+            f"    LEFT JOIN (SELECT e.obj AS node, SUM(h.v) AS s\n"
+            f"               FROM e JOIN h{k - 1} h ON h.node = e.subj\n"
+            f"               GROUP BY 1) x ON x.node = n.node))"
+        )
+        iters.append(
+            f"h{k} AS MATERIALIZED (SELECT node, v / (SUM(v) OVER ()) AS v FROM (\n"
+            f"    SELECT n.node, COALESCE(x.s, 0) AS v FROM nodes n\n"
+            f"    LEFT JOIN (SELECT e.subj AS node, SUM(a.v) AS s\n"
+            f"               FROM e JOIN a{k} a ON a.node = e.obj\n"
+            f"               GROUP BY 1) x ON x.node = n.node))"
+        )
+    return (
+        head
+        + ",\n".join(iters)
+        + f"\nSELECT h.node AS entity, ROUND(h.v, 6) AS hub, ROUND(a.v, 6) AS authority\n"
+        f"FROM h{n_iter} h JOIN a{n_iter} a USING (node)"
+    )
+
+
+def _kg_walks_sql(
+    out_dir: str, n_seeds: int = 8, walks_per_seed: int = 2, walk_len: int = 4
+) -> str:
+    """Oracle for ops/graph.py::kg_random_walks — replays every hop: sorted
+    neighbor list per node, next index = md5 digest of "cur|walk|step"
+    (first 8 hex chars as int) mod degree, the kg_negative_samples pattern."""
+    wid_rows = ", ".join(f"({w})" for w in range(walks_per_seed))
+    head = (
+        f"WITH e AS (SELECT DISTINCT subj, obj\n"
+        f"           FROM read_parquet('{out_dir}/edges/*.parquet')\n"
+        f"           WHERE subj <> obj),\n"
+        "p AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b FROM e),\n"
+        "edges AS (SELECT a AS s, b AS t FROM p UNION ALL SELECT b, a FROM p),\n"
+        "adj AS (SELECT s AS node, list(t ORDER BY t) AS nbrs FROM edges GROUP BY 1),\n"
+        "deg AS (SELECT s AS node, COUNT(*) AS deg FROM edges GROUP BY 1),\n"
+        f"seeds AS (SELECT node FROM deg ORDER BY deg DESC, node LIMIT {n_seeds}),\n"
+        f"w AS (SELECT * FROM (VALUES {wid_rows}) AS t(walk_id)),\n"
+        "s0 AS (SELECT s.node AS seed, w.walk_id, 0 AS step, s.node AS entity\n"
+        "       FROM seeds s CROSS JOIN w),\n"
+    )
+    steps = []
+    for k in range(1, walk_len + 1):
+        steps.append(
+            f"s{k} AS (SELECT seed, walk_id, {k} AS step,\n"
+            f"           a.nbrs[1 + CAST(CAST(('0x' || substr(md5(\n"
+            f"             s.entity || '|' || CAST(walk_id AS VARCHAR) || '|{k}'\n"
+            f"           ), 1, 8)) AS BIGINT) % len(a.nbrs) AS INT)] AS entity\n"
+            f"         FROM s{k - 1} s JOIN adj a ON a.node = s.entity)"
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT seed, walk_id, step, entity FROM s{k}" for k in range(walk_len + 1)
+    )
+    return head + ",\n".join(steps) + "\n" + union
+
+
+def _kg_csize_sql(out_dir: str) -> str:
+    """Oracle for ops/graph.py::kg_component_sizes — recursive-CTE min-label
+    components over the undirected distinct-pair graph, then the size
+    histogram (the ngram_dup_components oracle pattern)."""
+    return (
+        f"WITH RECURSIVE e AS (SELECT DISTINCT subj, obj\n"
+        f"           FROM read_parquet('{out_dir}/edges/*.parquet')\n"
+        f"           WHERE subj <> obj),\n"
+        "p AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b FROM e),\n"
+        "edges AS (SELECT a AS s, b AS t FROM p UNION ALL SELECT b, a FROM p),\n"
+        "walk(node, lbl) AS (\n"
+        "    SELECT s, s FROM (SELECT DISTINCT s FROM edges)\n"
+        "    UNION\n"
+        "    SELECT e.t, w.lbl FROM walk w JOIN edges e ON e.s = w.node\n"
+        "    WHERE w.lbl < e.t\n"
+        "),\n"
+        "comp AS (SELECT node, MIN(lbl) AS component FROM walk GROUP BY node),\n"
+        "sizes AS (SELECT component, COUNT(*) AS size FROM comp GROUP BY 1)\n"
+        "SELECT CAST(size AS BIGINT) AS size,\n"
+        "       CAST(COUNT(*) AS BIGINT) AS n_components\n"
+        "FROM sizes GROUP BY size"
+    )
+
+
+def _flagged_turns_sql(transcripts_pq: str, pattern: str = "(failing|error)") -> str:
+    """Oracle for ops/window.py::flagged_turn_fraction — same RE2 pattern
+    via regexp_matches; ROUND half-away matches the op's floor(x*1e6+0.5)."""
+    return (
+        "SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,\n"
+        f"       CAST(SUM(CASE WHEN regexp_matches(text, '{pattern}')\n"
+        "                      THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,\n"
+        f"       ROUND(CAST(SUM(CASE WHEN regexp_matches(text, '{pattern}')\n"
+        "                           THEN 1 ELSE 0 END) AS DOUBLE)\n"
+        "             / count(*), 6) AS flag_fraction\n"
+        f"FROM read_parquet('{transcripts_pq}')\n"
+        "GROUP BY conv_id"
+    )
+
+
+def _prompt_dedup_sql(transcripts_pq: str) -> str:
+    """Oracle for ops/window.py::prompt_prefix_dedup — first user turn per
+    conversation by turn_idx, md5 digest, min-conv_id representative."""
+    return (
+        "WITH fu AS (SELECT conv_id, text FROM (\n"
+        "        SELECT conv_id, text,\n"
+        "               ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn\n"
+        f"        FROM read_parquet('{transcripts_pq}') WHERE role = 'user') WHERE rn = 1),\n"
+        "d AS (SELECT conv_id, md5(text) AS prompt_sha FROM fu)\n"
+        "SELECT d.conv_id, d.prompt_sha, m.rep_conv_id, m.group_size\n"
+        "FROM d JOIN (SELECT prompt_sha, MIN(conv_id) AS rep_conv_id,\n"
+        "                    CAST(count(*) AS BIGINT) AS group_size\n"
+        "             FROM d GROUP BY 1) m USING (prompt_sha)"
     )
 
 
@@ -1909,6 +2094,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE role = 'user' AND nr = 'assistant' AND ni = turn_idx + 1
         """,
         "kg_ppr": _kg_ppr_sql(_KG_OUT01),
+        "kg_hits": _kg_hits_sql(_KG_OUT01),
+        "kg_random_walks": _kg_walks_sql(_KG_OUT01),
+        "kg_component_sizes": _kg_csize_sql(_KG_OUT01),
+        "error_turn_fraction": _flagged_turns_sql(
+            "/tmp/chunksilo_ray_testdata/sf0.01-seed42/transcripts.parquet"
+        ),
+        "prompt_prefix_dedup": _prompt_dedup_sql(
+            "/tmp/chunksilo_ray_testdata/sf0.01-seed42/transcripts.parquet"
+        ),
         "kg_negative_samples": f"""
             WITH p AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
                        FROM read_parquet('{_KG_OUT01}/edges/*.parquet')

@@ -1542,3 +1542,254 @@ def kg_ppr(
             "ppr": pa.array(np.round(pr, 5), pa.float64()),
         }
     )
+
+
+def _coded_directed_pairs(ea: Dataset):
+    """(coded_pairs, vocab_ref) over the DISTINCT DIRECTED (subj, obj)
+    edges of the aggregated KG table — the `_coded_undirected_pairs`
+    sibling without the least/greatest fold, for operators where edge
+    direction is the semantics (HITS hubs point AT authorities).
+    Self-loops dropped; vocabulary-bounded by the same driver-budget
+    argument as the canonical map."""
+    import ray
+
+    from ..stages.materialize import _string_key_part
+    from ..util import cached_get
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.equal(t["subj"], t["obj"])))
+        g = (
+            pa.table({"s": t["subj"], "o": t["obj"]})
+            .group_by(["s", "o"], use_threads=False)
+            .aggregate([])
+        )
+        return g.append_column("__part", _string_key_part(g, ["s", "o"]))
+
+    pairs = map_partitions(
+        ea.map_batches(to_pairs, batch_format="pyarrow", batch_size=None, zero_copy_batch=True),
+        "__part",
+        lambda t: t.group_by(["s", "o"], use_threads=False).aggregate([]),
+        pa.schema([("s", pa.string()), ("o", pa.string())]),
+    ).materialize()
+
+    vocab = np.sort(
+        pairs.map_batches(
+            lambda t: pa.table(
+                {
+                    "entity": pa.concat_arrays(
+                        [
+                            t["s"].combine_chunks().cast(pa.string()),
+                            t["o"].combine_chunks().cast(pa.string()),
+                        ]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        ).unique("entity")
+    )
+    vocab_ref = ray.put(vocab)
+
+    def code(t: pa.Table) -> pa.Table:
+        v = cached_get(vocab_ref)
+        a = np.searchsorted(v, t["s"].to_numpy(zero_copy_only=False).astype(str))
+        b = np.searchsorted(v, t["o"].to_numpy(zero_copy_only=False).astype(str))
+        return pa.table(
+            {"a": pa.array(a.astype(np.int64)), "b": pa.array(b.astype(np.int64))}
+        )
+
+    return pairs.map_batches(code, batch_format="pyarrow", batch_size=None).materialize(), vocab_ref
+
+
+def kg_hits(ea: Dataset, n_iter: int = 5) -> "pa.Table":
+    """HITS hubs & authorities (Kleinberg 1999) over the DIRECTED distinct
+    (subj, obj) graph of the constructed KG — the classic complement to
+    PageRank for knowledge graphs: authorities are entities many triples
+    point AT (frequent objects of diverse subjects), hubs are entities
+    whose outgoing triples reach good authorities. Fixed-iteration power
+    method, L1-normalized after every half-step (sum-normalization keeps
+    the SQL oracle a plain SUM ratio). Returns (entity, hub, authority),
+    both ROUND(x, 6), one row per node.
+
+    Scale shape (the kg_ppr contract): both score vectors are node-bounded
+    and ride ONE broadcast per half-step; each half-step is a vectorized
+    bincount fold over the coded directed-pair blocks — edges never leave
+    the cluster, no per-iteration shuffle."""
+    import ray
+
+    from ..util import cached_get
+
+    pairs, vocab_ref = _coded_directed_pairs(ea)
+    vocab = ray.get(vocab_ref)
+    n_ent = len(vocab)
+
+    def fold(vec_ref, src_col: str, dst_col: str) -> np.ndarray:
+        """sum_{(src,dst) in E} vec[src] addressed to dst, folded per block."""
+
+        def contrib(t: pa.Table, _ref=vec_ref, _n=n_ent) -> pa.Table:
+            v = cached_get(_ref)
+            s = t[src_col].to_numpy(zero_copy_only=False)
+            d = t[dst_col].to_numpy(zero_copy_only=False)
+            return pa.table({"c": pa.array(np.bincount(d, weights=v[s], minlength=_n))})
+
+        acc = np.zeros(n_ent, np.float64)
+        for blk in pairs.map_batches(
+            contrib, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow", batch_size=None):
+            acc += blk["c"].to_numpy(zero_copy_only=False)
+        return acc
+
+    h = np.ones(n_ent, np.float64)
+    a = np.zeros(n_ent, np.float64)
+    for _ in range(n_iter):
+        a = fold(ray.put(h), "a", "b")  # authority(d) = sum hub(s) over s->d
+        a /= a.sum()
+        h = fold(ray.put(a), "b", "a")  # hub(s) = sum authority(d) over s->d
+        h /= h.sum()
+
+    return pa.table(
+        {
+            "entity": pa.array(np.asarray(vocab, object).tolist(), pa.string()),
+            "hub": pa.array(np.round(h, 6), pa.float64()),
+            "authority": pa.array(np.round(a, 6), pa.float64()),
+        }
+    )
+
+
+def kg_random_walks(
+    ea: Dataset, n_seeds: int = 8, walks_per_seed: int = 2, walk_len: int = 4
+) -> Dataset:
+    """DeepWalk-style DETERMINISTIC random walks over the KG's undirected
+    distinct-pair graph — the corpus-preparation step for skip-gram node
+    embeddings (Perozzi et al. 2014): emit (seed, walk_id, step, entity)
+    rows, step 0..walk_len, where step t's node is chosen from the sorted
+    neighbor list of step t-1's node by the md5 index
+    ``int(md5(f"{cur}|{walk_id}|{t}")[:8], 16) % degree`` — the
+    kg_negative_samples digest-index trick, so a DuckDB oracle reproduces
+    every hop exactly. Seeds are the n_seeds highest-degree nodes (ties by
+    entity asc — the kg_bfs_reach / kg_ppr seed rule).
+
+    Scale shape: the CSR adjacency is built once from the coded distinct
+    pairs (vocabulary-bounded — the canonical-map driver-budget argument;
+    the KG is the REDUCED output, orders of magnitude smaller than the
+    corpus) and broadcast via ray.put; walks are embarrassingly parallel
+    over a (seed, walk_id) Dataset — each batch advances its walks with
+    CSR lookups, per-walk md5 cost bounded by the REQUESTED walk count,
+    never by corpus size."""
+    import hashlib
+
+    import ray
+
+    from ..util import cached_get
+
+    pairs, vocab_ref = _coded_undirected_pairs(ea)
+    pairs = pairs.materialize()
+    vocab = ray.get(vocab_ref)
+    n_ent = len(vocab)
+
+    # degree + CSR from the coded pair blocks (node-bounded driver state,
+    # edge arrays vocabulary-bounded)
+    a_parts, b_parts = [], []
+    for blk in pairs.iter_batches(batch_format="pyarrow", batch_size=None):
+        a_parts.append(blk["a"].to_numpy(zero_copy_only=False))
+        b_parts.append(blk["b"].to_numpy(zero_copy_only=False))
+    a_all = np.concatenate(a_parts) if a_parts else np.empty(0, np.int64)
+    b_all = np.concatenate(b_parts) if b_parts else np.empty(0, np.int64)
+    src = np.concatenate([a_all, b_all])
+    dst = np.concatenate([b_all, a_all])
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    indptr = np.searchsorted(src, np.arange(n_ent + 1))
+    deg = np.diff(indptr)
+    seeds = np.argsort(-deg, kind="stable")[:n_seeds]
+
+    adj_ref = ray.put((indptr, dst))
+    vocab_list = np.asarray(vocab, object)
+
+    walk_seeds = pa.table(
+        {
+            "seed": pa.array(
+                np.repeat(vocab_list[seeds], walks_per_seed).tolist(), pa.string()
+            ),
+            "walk_id": pa.array(
+                np.tile(np.arange(walks_per_seed, dtype=np.int64), len(seeds))
+            ),
+        }
+    )
+
+    def walk(t: pa.Table, _adj=adj_ref, _voc=vocab_ref) -> pa.Table:
+        indptr_, dst_ = cached_get(_adj)
+        voc = cached_get(_voc)
+        seeds_s = t["seed"].to_numpy(zero_copy_only=False)
+        wids = t["walk_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_seed, out_wid, out_step, out_ent = [], [], [], []
+        for s, w in zip(seeds_s.tolist(), wids.tolist()):
+            cur = int(np.searchsorted(voc, s))
+            out_seed.append(s); out_wid.append(w); out_step.append(0)
+            out_ent.append(s)
+            for step in range(1, walk_len + 1):
+                lo, hi = int(indptr_[cur]), int(indptr_[cur + 1])
+                if hi == lo:  # isolated node: walk ends (cannot happen on
+                    break  # pair-derived vocab; guard for direct callers)
+                key = f"{voc[cur]}|{w}|{step}"
+                idx = int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % (hi - lo)
+                cur = int(dst_[lo + idx])
+                out_seed.append(s); out_wid.append(w); out_step.append(step)
+                out_ent.append(str(voc[cur]))
+        return pa.table(
+            {
+                "seed": pa.array(out_seed, pa.string()),
+                "walk_id": pa.array(out_wid, pa.int64()),
+                "step": pa.array(out_step, pa.int64()),
+                "entity": pa.array(out_ent, pa.string()),
+            }
+        )
+
+    return rd.from_arrow(walk_seeds).map_batches(
+        walk, batch_format="pyarrow", batch_size=None
+    )
+
+
+def kg_component_sizes(ea: Dataset) -> Dataset:
+    """Connected-component size histogram of the KG's undirected
+    distinct-pair graph — the standard KG-construction QA metric (is the
+    graph one connected knowledge base or a spray of fragments?). Returns
+    (size, n_components) — e.g. (5002, 1) for a fully connected KG.
+
+    Scale shape: components come from the budgeted `connected_components`
+    (driver union-find under the edge budget, distributed min-label
+    propagation past it — nothing here changes with graph size); the size
+    histogram is two bounded partial-count exchanges (component-keyed then
+    size-keyed), the value_histogram shape."""
+    pairs, _ = _coded_undirected_pairs(ea)
+    comp = connected_components(pairs, a="a", b="b")
+
+    def size_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("component", use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(["component", "n"])
+
+    sizes = (
+        comp.map_batches(size_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("component")
+        .aggregate(Sum("n", alias_name="size"))
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["size"]).group_by("size", use_threads=False).aggregate([([], "count_all")])
+        return g.rename_columns(["size", "n"])
+
+    agg = (
+        sizes.map_batches(hist_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("size")
+        .aggregate(Sum("n", alias_name="n_components"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "size": pc.cast(t["size"], pa.int64()),
+                "n_components": pc.cast(t["n_components"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

@@ -884,3 +884,157 @@ def turn_length_percentiles(transcripts_path: str) -> Dataset:
             ]
         ),
     )
+
+
+def flagged_turn_fraction(
+    transcripts_path: str, pattern: str = r"(failing|error)"
+) -> Dataset:
+    """Per-conversation incident-density curation signal over the
+    north-rule transcripts table: the fraction of turns whose text matches
+    an RE2 ``pattern`` (default: error/failure chatter). The same operator
+    with a refusal-pattern argument is the standard SFT-harvest refusal
+    filter — conversations above a threshold get dropped or down-weighted
+    before training. Emits (conv_id, n_turns, n_flagged, flag_fraction)
+    with flag_fraction = ROUND(n_flagged / n_turns, 6).
+
+    Scale shape: the regex runs as ONE vectorized Arrow RE2 kernel per
+    block (pc.match_substring_regex — same engine as DuckDB's
+    regexp_matches, so the oracle shares the kernel); each block collapses
+    to (conv_id, n, n_flagged) partial counts before the single conv-keyed
+    Sum exchange — text never crosses the shuffle."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(transcripts_path, columns=["conv_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.cast(pc.match_substring_regex(t["text"], pattern), pa.int64())
+        g = (
+            pa.table({"conv_id": t["conv_id"], "n_flagged": m})
+            .group_by("conv_id", use_threads=False)
+            .aggregate([("n_flagged", "sum"), ([], "count_all")])
+        )
+        return g.rename_columns(["conv_id", "n_flagged", "n_turns"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby("conv_id")
+        .aggregate(Sum("n_turns", alias_name="n_turns"), Sum("n_flagged", alias_name="n_flagged"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nf = t["n_flagged"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nt = t["n_turns"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # half-away-from-zero rounding (SQL ROUND); fraction is non-negative
+        frac = np.floor(nf / nt * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "n_turns": pc.cast(t["n_turns"], pa.int64()),
+                "n_flagged": pc.cast(t["n_flagged"], pa.int64()),
+                "flag_fraction": pa.array(frac, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def prompt_prefix_dedup(transcripts_path: str) -> Dataset:
+    """Prompt-level dedup over the north-rule transcripts table: two
+    conversations are prompt-duplicates when their FIRST user turns are
+    byte-identical — the SFT-harvest guard against one over-represented
+    prompt dominating the (prompt, response) training mix (the
+    conv_dedup sibling at prompt granularity; re-asked FAQs and templated
+    tickets produce these at corpus scale). Emits one row per conversation
+    that has a user turn: (conv_id, prompt_sha, rep_conv_id, group_size),
+    rep = lexicographically smallest member of the digest group.
+
+    Scale shape (the conv_dedup two-exchange contract): conv-hash
+    partitions co-locate each conversation once; the per-partition kernel
+    lexsorts (conv, turn_idx) over the user rows and emits ONE 16-byte
+    md5 digest row per conversation, pre-tagged with its digest-keyed
+    second partition where identical prompts co-locate for grouping.
+    Prompt text never crosses the second exchange."""
+    import hashlib
+
+    from ..util import map_partitions
+
+    ds = rd.read_parquet(transcripts_path, columns=["conv_id", "turn_idx", "role", "text"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        from pandas.util import hash_array
+
+        h = hash_array(
+            t["conv_id"].to_numpy(zero_copy_only=False).astype(object), categorize=False
+        ).astype(np.uint64)
+        return t.append_column(
+            "__part", pa.array((h % np.uint64(64)).astype(np.int64))
+        )
+
+    _DIGEST_SCHEMA = pa.schema(
+        [("conv_id", pa.string()), ("prompt_sha", pa.string()), ("__part", pa.int64())]
+    )
+
+    def digest_first_user(t: pa.Table) -> pa.Table:
+        mask = pa.compute.equal(t["role"], "user")
+        t = t.filter(mask)
+        if t.num_rows == 0:  # partition held only non-user turns
+            return _DIGEST_SCHEMA.empty_table()
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        idx = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        text = t["text"].to_numpy(zero_copy_only=False)
+        convs, codes = np.unique(conv, return_inverse=True)
+        order = np.lexsort((idx, codes))
+        codes_s = codes[order]
+        starts = np.concatenate(([0], np.flatnonzero(codes_s[1:] != codes_s[:-1]) + 1))
+        first_rows = order[starts]  # min turn_idx user row per conversation
+        shas = [hashlib.md5(text[r].encode()).hexdigest() for r in first_rows.tolist()]
+        out = pa.table(
+            {
+                "conv_id": pa.array(convs.tolist(), pa.string()),
+                "prompt_sha": pa.array(shas, pa.string()),
+            }
+        )
+        return out.append_column(
+            "__part", pa.array([int(s[:8], 16) % 64 for s in shas], pa.int64())
+        )
+
+    per_conv = map_partitions(
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=None, zero_copy_batch=True),
+        "__part",
+        digest_first_user,
+        pa.schema(
+            [("conv_id", pa.string()), ("prompt_sha", pa.string()), ("__part", pa.int64())]
+        ),
+    )
+
+    def group(t: pa.Table) -> pa.Table:
+        sha = t["prompt_sha"].to_numpy(zero_copy_only=False)
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((conv, sha))
+        sha_s, conv_s = sha[order], conv[order]
+        starts = np.concatenate(([0], np.flatnonzero(sha_s[1:] != sha_s[:-1]) + 1))
+        sizes = np.diff(np.concatenate((starts, [len(sha_s)])))
+        rep = np.repeat(conv_s[starts], sizes)  # min conv_id per sha (sorted)
+        return pa.table(
+            {
+                "conv_id": pa.array(conv_s.tolist(), pa.string()),
+                "prompt_sha": pa.array(sha_s.tolist(), pa.string()),
+                "rep_conv_id": pa.array(rep.tolist(), pa.string()),
+                "group_size": pa.array(np.repeat(sizes, sizes).astype(np.int64)),
+            }
+        )
+
+    return map_partitions(
+        per_conv,
+        "__part",
+        group,
+        pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("prompt_sha", pa.string()),
+                ("rep_conv_id", pa.string()),
+                ("group_size", pa.int64()),
+            ]
+        ),
+    )
