@@ -313,6 +313,25 @@ def _prompt_prefix_dedup(sf_dir: str) -> Any:
     return prompt_prefix_dedup(f"{corpus}/transcripts.parquet")
 
 
+def _jsonl_roundtrip_transcripts(sf_dir: str) -> Any:
+    """Transcripts through write_json -> read_json; the oracle answers from
+    the ORIGINAL parquet, so a value match proves the JSONL roundtrip is
+    lossless (strings, escaping, ints)."""
+    from chunksilo_ray import datagen
+    from chunksilo_ray.sources.interchange import jsonl_roundtrip_transcripts
+
+    corpus = datagen.corpus_dir(datagen.sf_from_dir(sf_dir))
+    return jsonl_roundtrip_transcripts(f"{corpus}/transcripts.parquet")
+
+
+def _csv_roundtrip_events(sf_dir: str) -> Any:
+    """Events (int/string columns) through write_csv -> read_csv; oracle
+    answers from the original parquet (CSV quoting/typing roundtrip)."""
+    from chunksilo_ray.sources.interchange import csv_roundtrip_events
+
+    return csv_roundtrip_events(sf_dir)
+
+
 def _conv_stats(sf_dir: str) -> Any:
     """Per-conversation structural profile over the north-rule transcripts
     table (all-mergeable partials; text length only crosses the shuffle)."""
@@ -610,6 +629,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (refusal/error-filter shape) and first-user-turn prompt dedup
         "error_turn_fraction": _error_turn_fraction,
         "prompt_prefix_dedup": _prompt_prefix_dedup,
+        # round-4 batch 7: JSONL/CSV interchange sinks+sources — the query
+        # answers from the roundtripped files, the oracle from the original
+        # parquet, so a value match proves the roundtrip is lossless
+        "jsonl_roundtrip_transcripts": _jsonl_roundtrip_transcripts,
+        "csv_roundtrip_events": _csv_roundtrip_events,
         # --- intentionally LAST: the genuinely-approximate / non-SQL trio
         # (each carries a named pytest gate instead of a DuckDB oracle; in
         # round 2 the correctness gate evaluated exactly 50 of 51 registered
@@ -2103,6 +2127,22 @@ def oracle_sql() -> dict[str, str]:
         "prompt_prefix_dedup": _prompt_dedup_sql(
             "/tmp/chunksilo_ray_testdata/sf0.01-seed42/transcripts.parquet"
         ),
+        # roundtrip oracles read the ORIGINAL tables (not the exported
+        # files) — parity proves the interchange lost nothing
+        "jsonl_roundtrip_transcripts": """
+            SELECT role, CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+                   CAST(MAX(turn_idx) AS BIGINT) AS max_turn_idx
+            FROM read_parquet('/tmp/chunksilo_ray_testdata/sf0.01-seed42/transcripts.parquet')
+            GROUP BY role
+        """,
+        "csv_roundtrip_events": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+                   CAST(MAX(event_id) AS BIGINT) AS max_event_id,
+                   CAST(SUM(user_id) AS BIGINT) AS sum_user_id
+            FROM events GROUP BY event_type
+        """,
         "kg_negative_samples": f"""
             WITH p AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
                        FROM read_parquet('{_KG_OUT01}/edges/*.parquet')

@@ -241,3 +241,69 @@ def test_prompt_prefix_dedup_constructed(tmp_path):
     }
     assert out == {"c1": ("c1", 2), "c3": ("c1", 2), "c2": ("c2", 1)}
     assert "c4" not in out
+
+
+# --------------------------------------------------- JSONL/CSV interchange
+
+
+def test_jsonl_roundtrip_transcripts_matches_parquet_oracle():
+    """Query answers from write_json -> read_json files; oracle answers
+    from the ORIGINAL parquet — a match proves the JSONL roundtrip is
+    lossless (row count, string bytes incl. JSON escaping, ints)."""
+    import __ray_entry__ as E
+
+    got = _as_df(E.queries()["jsonl_roundtrip_transcripts"](SF).to_pandas())
+    exp = duckdb.connect().execute(f"""
+        SELECT role, CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+               CAST(MAX(turn_idx) AS BIGINT) AS max_turn_idx
+        FROM read_parquet('{TP}') GROUP BY role""").fetchdf()
+    assert set(got["role"]) == {"user", "assistant", "tool"}
+    _assert_value_match(got, exp)
+
+
+def test_csv_roundtrip_events_matches_parquet_oracle():
+    import __ray_entry__ as E
+
+    got = _as_df(E.queries()["csv_roundtrip_events"](SF).to_pandas())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    exp = con.execute(E.oracle_sql()["csv_roundtrip_events"]).fetchdf()
+    assert len(got) == 5
+    _assert_value_match(got, exp)
+
+
+def test_export_once_rewrites_partial_dir(tmp_path):
+    """A crashed export (dir exists, no _SUCCESS marker) must be rewritten,
+    not trusted; a completed one must be reused untouched."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from chunksilo_ray.sources import interchange
+
+    t = pa.table({"a": pa.array([1, 2, 3], pa.int64())})
+    src_pq = str(tmp_path / "src.parquet")
+    pq.write_table(t, src_pq)
+    out = str(tmp_path / "exp")
+
+    # simulate a crash: partial dir with garbage, no marker
+    os.makedirs(out)
+    with open(os.path.join(out, "garbage.json"), "w") as f:
+        f.write("{broken")
+    interchange._export_once(rd.read_parquet(src_pq), out, "json")
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    got = rd.read_json(out, file_extensions=["json"]).to_pandas()
+    assert sorted(got["a"].tolist()) == [1, 2, 3]
+
+    # completed export is reused: mtimes unchanged after a second call
+    files = {
+        f: os.path.getmtime(os.path.join(out, f)) for f in os.listdir(out)
+    }
+    interchange._export_once(rd.read_parquet(src_pq), out, "json")
+    assert files == {
+        f: os.path.getmtime(os.path.join(out, f)) for f in os.listdir(out)
+    }
