@@ -293,6 +293,15 @@ def _kg_component_sizes(sf_dir: str) -> Any:
     return kg_component_sizes(_kg_result(sf_dir)["edges_agg"])
 
 
+def _kg_label_prop(sf_dir: str) -> Any:
+    """Deterministic synchronous label-propagation communities over the KG
+    (min-label tie-break); oracle = unrolled mode-of-neighbor-labels rounds
+    over the edges checkpoint."""
+    from chunksilo_ray.ops.graph import kg_label_prop
+
+    return kg_label_prop(_kg_result(sf_dir)["edges_agg"], n_iter=3)
+
+
 def _error_turn_fraction(sf_dir: str) -> Any:
     """Per-conversation flagged-turn fraction (error/failure chatter — the
     refusal-filter operator shape); both sides run the same RE2 pattern."""
@@ -625,6 +634,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_hits": _kg_hits,
         "kg_random_walks": _kg_random_walks,
         "kg_component_sizes": _kg_component_sizes,
+        # round-4 batch 8: deterministic label-propagation communities
+        "kg_label_prop": _kg_label_prop,
         # round-4 batch 7: transcripts curation — flagged-turn fraction
         # (refusal/error-filter shape) and first-user-turn prompt dedup
         "error_turn_fraction": _error_turn_fraction,
@@ -822,6 +833,38 @@ def _kg_hits_sql(out_dir: str, n_iter: int = 5) -> str:
         + ",\n".join(iters)
         + f"\nSELECT h.node AS entity, ROUND(h.v, 6) AS hub, ROUND(a.v, 6) AS authority\n"
         f"FROM h{n_iter} h JOIN a{n_iter} a USING (node)"
+    )
+
+
+def _kg_label_prop_sql(out_dir: str, n_iter: int = 3) -> str:
+    """Oracle for ops/graph.py::kg_label_prop — unrolled synchronous
+    label-propagation rounds over the undirected distinct-pair graph: each
+    round every node adopts its neighbors' most frequent label, ties by the
+    SMALLEST label string (= the Ray op's smallest-vocab-index tie-break;
+    the vocabulary is sorted, DuckDB's default collation is the same binary
+    order). MATERIALIZED per-round CTEs (the _kg_hits_sql lesson)."""
+    head = (
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT subj, obj\n"
+        f"           FROM read_parquet('{out_dir}/edges/*.parquet')\n"
+        f"           WHERE subj <> obj),\n"
+        "p AS MATERIALIZED (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b FROM e),\n"
+        "edges AS MATERIALIZED (SELECT a AS s, b AS t FROM p UNION ALL SELECT b, a FROM p),\n"
+        "l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS label FROM edges),\n"
+    )
+    iters = []
+    for k in range(1, n_iter + 1):
+        iters.append(
+            f"l{k} AS MATERIALIZED (SELECT node, label FROM (\n"
+            f"    SELECT e.s AS node, l.label AS label,\n"
+            f"           ROW_NUMBER() OVER (PARTITION BY e.s\n"
+            f"                              ORDER BY COUNT(*) DESC, l.label) AS rn\n"
+            f"    FROM edges e JOIN l{k - 1} l ON l.node = e.t\n"
+            f"    GROUP BY e.s, l.label) WHERE rn = 1)"
+        )
+    return (
+        head
+        + ",\n".join(iters)
+        + f"\nSELECT node AS entity, label AS community FROM l{n_iter}"
     )
 
 
@@ -2119,6 +2162,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_ppr": _kg_ppr_sql(_KG_OUT01),
         "kg_hits": _kg_hits_sql(_KG_OUT01),
+        "kg_label_prop": _kg_label_prop_sql(_KG_OUT01),
         "kg_random_walks": _kg_walks_sql(_KG_OUT01),
         "kg_component_sizes": _kg_csize_sql(_KG_OUT01),
         "error_turn_fraction": _flagged_turns_sql(

@@ -1793,3 +1793,90 @@ def kg_component_sizes(ea: Dataset) -> Dataset:
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def kg_label_prop(ea: Dataset, n_iter: int = 3) -> "pa.Table":
+    """Deterministic synchronous label-propagation community detection
+    (Raghavan-Albert-Kumara 2007) over the KG's undirected distinct-pair
+    graph — the cheap community layer for GraphRAG-style corpus clustering.
+    label_0(v) = v; each synchronous round every node adopts the MOST
+    FREQUENT label among its neighbors, ties broken by the smallest label
+    id (ids index the SORTED vocabulary, so the tie-break is lexicographic
+    on entity strings — fully deterministic and oracle-replayable; the
+    classic random tie-break would not be). Returns (entity, community),
+    community = the entity string of the final label after ``n_iter``
+    rounds (fixed iteration count, not convergence — synchronous LPA can
+    oscillate on bipartite structures, and a fixed horizon is what a SQL
+    oracle can replay).
+
+    Scale shape: the symmetrized coded pairs are exchanged ONCE onto
+    node-keyed coarse partitions and materialized; every iteration is then
+    shuffle-free — the node-bounded label vector rides one ray.put
+    broadcast, each partition computes its nodes' label modes with two
+    lexsorts (vectorized run-length counts over (node, neighbor_label);
+    the partition contract co-locates ALL edges of a node), and the driver
+    folds the node-bounded (node, label) partials — kg_hits' broadcast-fold
+    contract with a mode instead of a sum."""
+    import ray
+
+    from ..util import cached_get, map_partitions
+
+    out_schema = pa.schema([("entity", pa.string()), ("community", pa.string())])
+    pairs, vocab_ref = _coded_undirected_pairs(ea)
+    vocab = ray.get(vocab_ref)
+    n_ent = len(vocab)
+    if n_ent == 0:
+        return out_schema.empty_table()
+
+    part_schema = pa.schema(
+        [("node", pa.int64()), ("neighbor", pa.int64()), ("__part", pa.int64())]
+    )
+    parted = map_partitions(
+        _sym_with_part(pairs, "a", "b"), "__part", lambda t: t, part_schema
+    ).materialize()
+
+    mode_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+    def modes(t: pa.Table, _ref) -> pa.Table:
+        lab = cached_get(_ref)
+        node = t["node"].to_numpy(zero_copy_only=False)
+        nl = lab[t["neighbor"].to_numpy(zero_copy_only=False)]
+        # run-length count of (node, neighbor_label) pairs
+        order = np.lexsort((nl, node))
+        n_s, l_s = node[order], nl[order]
+        change = (n_s[1:] != n_s[:-1]) | (l_s[1:] != l_s[:-1])
+        starts = np.concatenate([[0], np.nonzero(change)[0] + 1])
+        counts = np.diff(np.concatenate([starts, [len(n_s)]]))
+        gn, gl = n_s[starts], l_s[starts]
+        # per node: argmax count, tie -> smallest label id
+        order2 = np.lexsort((gl, -counts, gn))
+        gn2, gl2 = gn[order2], gl[order2]
+        first = np.concatenate([[True], gn2[1:] != gn2[:-1]])
+        return pa.table(
+            {
+                "node": pa.array(gn2[first], pa.int64()),
+                "label": pa.array(gl2[first], pa.int64()),
+            }
+        )
+
+    labels = np.arange(n_ent, dtype=np.int64)
+    for _ in range(n_iter):
+        ref = ray.put(labels)
+        nxt = labels.copy()  # pair-derived vocab => every node has degree>=1
+        for blk in parted.map_batches(
+            lambda t, _ref=ref: modes(t, _ref) if t.num_rows else mode_schema.empty_table(),
+            batch_format="pyarrow",
+            batch_size=None,
+        ).iter_batches(batch_format="pyarrow", batch_size=None):
+            nxt[blk["node"].to_numpy(zero_copy_only=False)] = blk["label"].to_numpy(
+                zero_copy_only=False
+            )
+        labels = nxt
+
+    ent = np.asarray(vocab, object)
+    return pa.table(
+        {
+            "entity": pa.array(ent.tolist(), pa.string()),
+            "community": pa.array(ent[labels].tolist(), pa.string()),
+        }
+    )

@@ -307,3 +307,47 @@ def test_export_once_rewrites_partial_dir(tmp_path):
     assert files == {
         f: os.path.getmtime(os.path.join(out, f)) for f in os.listdir(out)
     }
+
+
+# ------------------------------------------------- label propagation
+
+
+def test_kg_label_prop_matches_duckdb():
+    import __ray_entry__ as E
+
+    got = _as_df(E.queries()["kg_label_prop"](SF).to_pandas())
+    exp = duckdb.connect().execute(E._kg_label_prop_sql(KG_OUT)).fetchdf()
+    assert len(got) > 0
+    _assert_value_match(got, exp)
+
+
+def test_kg_label_prop_constructed_communities():
+    import ray.data as rd
+
+    from chunksilo_ray.ops.graph import kg_label_prop
+
+    # triangle a-b-c with pendant d: one community, labeled by the
+    # lexicographically smallest member after 3 rounds
+    one = kg_label_prop(
+        rd.from_arrow(_edges([("a", "b"), ("b", "c"), ("a", "c"), ("a", "d")])),
+        n_iter=3,
+    ).to_pydict()
+    assert one["community"] == ["a", "a", "a", "a"]
+
+    # two triangles joined by one bridge: two communities
+    two = kg_label_prop(
+        rd.from_arrow(
+            _edges(
+                [
+                    ("a", "b"), ("b", "c"), ("a", "c"),
+                    ("x", "y"), ("y", "z"), ("x", "z"),
+                    ("c", "x"),
+                ]
+            )
+        ),
+        n_iter=3,
+    ).to_pydict()
+    comm = dict(zip(two["entity"], two["community"]))
+    assert comm["a"] == comm["b"] == comm["c"]
+    assert comm["x"] == comm["y"] == comm["z"]
+    assert comm["a"] != comm["x"]
