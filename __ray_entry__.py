@@ -293,6 +293,15 @@ def _kg_component_sizes(sf_dir: str) -> Any:
     return kg_component_sizes(_kg_result(sf_dir)["edges_agg"])
 
 
+def _weighted_sample_per_lang(sf_dir: str) -> Any:
+    """Integer-exact weighted sampling per language (md5_60 // n_chars
+    priority, k smallest per lang) — the data-mixing primitive; the oracle
+    replays the digest priority with no float anywhere."""
+    from chunksilo_ray.ops.textstats import weighted_sample_per_lang
+
+    return weighted_sample_per_lang(sf_dir, k=20)
+
+
 def _kg_label_prop(sf_dir: str) -> Any:
     """Deterministic synchronous label-propagation communities over the KG
     (min-label tie-break); oracle = unrolled mode-of-neighbor-labels rounds
@@ -634,8 +643,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_hits": _kg_hits,
         "kg_random_walks": _kg_random_walks,
         "kg_component_sizes": _kg_component_sizes,
-        # round-4 batch 8: deterministic label-propagation communities
+        # round-4 batch 8: deterministic label-propagation communities and
+        # integer-exact weighted sampling (data-mixing primitive)
         "kg_label_prop": _kg_label_prop,
+        "weighted_sample_per_lang": _weighted_sample_per_lang,
         # round-4 batch 7: transcripts curation — flagged-turn fraction
         # (refusal/error-filter shape) and first-user-turn prompt dedup
         "error_turn_fraction": _error_turn_fraction,
@@ -2163,6 +2174,20 @@ def oracle_sql() -> dict[str, str]:
         "kg_ppr": _kg_ppr_sql(_KG_OUT01),
         "kg_hits": _kg_hits_sql(_KG_OUT01),
         "kg_label_prop": _kg_label_prop_sql(_KG_OUT01),
+        # integer-exact weighted sampling: both sides rank by the SAME
+        # 60-bit digest // weight integer — no float order anywhere
+        "weighted_sample_per_lang": """
+            WITH p AS (
+                SELECT lang, doc_id,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                         // GREATEST(n_chars, 1) AS priority
+                FROM documents)
+            SELECT lang, doc_id, priority FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY lang ORDER BY priority, doc_id) AS rn
+                FROM p)
+            WHERE rn <= 20
+        """,
         "kg_random_walks": _kg_walks_sql(_KG_OUT01),
         "kg_component_sizes": _kg_csize_sql(_KG_OUT01),
         "error_turn_fraction": _flagged_turns_sql(

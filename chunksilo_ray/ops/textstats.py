@@ -532,3 +532,74 @@ def split_assign(sf_dir: str) -> Dataset:
         )
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+def weighted_sample_per_lang(sf_dir: str, k: int = 20) -> Dataset:
+    """Deterministic length-weighted sampling: per language, the k docs
+    with the smallest integer priority ``md5_60(doc_id) // max(n_chars,1)``
+    — an integer-exact stand-in for Efraimidis-Spirakis weighted reservoir
+    sampling (rank by u^(1/w)): the uniform is a 60-bit digest of the doc
+    id and the weight divides it, so longer docs draw systematically
+    smaller priorities, and the entire order replays in SQL with no float
+    (and no libm last-ulp divergence) anywhere. This is the data-mixing
+    primitive — importance-sample a corpus toward a weight column without
+    a global sort.
+
+    Scale shape (the topk_events_per_user contract): each batch emits a
+    vectorized partial top-k per language it contains (<= k rows/lang), so
+    only ~k x n_blocks x n_langs light rows reach the final lang-keyed
+    top-k — the corpus itself never shuffles."""
+    import hashlib
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    out_schema = pa.schema(
+        [("lang", pa.string()), ("doc_id", pa.int64()), ("priority", pa.int64())]
+    )
+
+    def _topk(lang: np.ndarray, did: np.ndarray, pr: np.ndarray) -> pa.Table:
+        codes, inv = np.unique(lang, return_inverse=True)
+        order = np.lexsort((did, pr, inv))
+        gi = inv[order]
+        starts = np.concatenate([[0], np.nonzero(gi[1:] != gi[:-1])[0] + 1])
+        rank = np.arange(len(gi)) - np.repeat(starts, np.diff(np.concatenate([starts, [len(gi)]])))
+        keep = order[rank < k]
+        keep.sort()  # preserve a stable (input) order within the batch
+        return pa.table(
+            {
+                "lang": pa.array(lang[keep].tolist(), pa.string()),
+                "doc_id": pa.array(did[keep], pa.int64()),
+                "priority": pa.array(pr[keep], pa.int64()),
+            }
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = np.fromiter(
+            (
+                int(hashlib.md5(str(int(x)).encode()).hexdigest()[:15], 16)
+                for x in did
+            ),
+            np.int64,
+            len(did),
+        )
+        w = np.maximum(t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64), 1)
+        lang = t["lang"].to_numpy(zero_copy_only=False).astype(str)
+        return _topk(lang, did, h // w)
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        return _topk(
+            t["lang"].to_numpy(zero_copy_only=False).astype(str),
+            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["priority"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+
+    from ..util import map_partitions
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    return map_partitions(partials, "lang", final, out_schema)

@@ -351,3 +351,32 @@ def test_kg_label_prop_constructed_communities():
     assert comm["a"] == comm["b"] == comm["c"]
     assert comm["x"] == comm["y"] == comm["z"]
     assert comm["a"] != comm["x"]
+
+
+# ------------------------------------------------- weighted sampling
+
+
+def test_weighted_sample_per_lang_matches_duckdb():
+    import __ray_entry__ as E
+
+    got = _as_df(E.queries()["weighted_sample_per_lang"](SF).to_pandas())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    exp = con.execute(E.oracle_sql()["weighted_sample_per_lang"]).fetchdf()
+    assert len(got) > 0
+    _assert_value_match(got, exp)
+
+
+def test_weighted_sample_prefers_longer_docs():
+    """With equal digests impossible, the length weighting must make the
+    kept set's mean n_chars exceed the corpus mean (longer docs draw
+    smaller priorities)."""
+    import __ray_entry__ as E
+    import pyarrow.parquet as pq
+
+    got = _as_df(E.queries()["weighted_sample_per_lang"](SF).to_pandas())
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "n_chars"]).to_pandas()
+    kept = docs[docs.doc_id.isin(set(got.doc_id))]
+    assert kept.n_chars.mean() > docs.n_chars.mean()
