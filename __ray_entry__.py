@@ -302,6 +302,34 @@ def _weighted_sample_per_lang(sf_dir: str) -> Any:
     return weighted_sample_per_lang(sf_dir, k=20)
 
 
+def _role_alternation_audit(sf_dir: str) -> Any:
+    """Per-conversation same-role-adjacency audit over the north-rule
+    transcripts table; oracle = lag() window over the same parquet."""
+    from chunksilo_ray import datagen
+    from chunksilo_ray.ops.window import role_alternation_audit
+
+    corpus = datagen.corpus_dir(datagen.sf_from_dir(sf_dir))
+    return role_alternation_audit(f"{corpus}/transcripts.parquet")
+
+
+def _context_window_pack(sf_dir: str) -> Any:
+    """Last-k-turns char-budget truncation plan over the transcripts table;
+    oracle = reverse running SUM() window + FILTER aggregates."""
+    from chunksilo_ray import datagen
+    from chunksilo_ray.ops.window import context_window_pack
+
+    corpus = datagen.corpus_dir(datagen.sf_from_dir(sf_dir))
+    return context_window_pack(f"{corpus}/transcripts.parquet", context_chars=400)
+
+
+def _kg_adamic_adar(sf_dir: str) -> Any:
+    """Adamic-Adar link prediction over the KG co-occurrence graph (top-k
+    non-adjacent pairs); ranked on ROUND(score, 6) in both engines."""
+    from chunksilo_ray.ops.graph import kg_adamic_adar
+
+    return kg_adamic_adar(_kg_result(sf_dir)["edges_agg"], k=50)
+
+
 def _kg_label_prop(sf_dir: str) -> Any:
     """Deterministic synchronous label-propagation communities over the KG
     (min-label tie-break); oracle = unrolled mode-of-neighbor-labels rounds
@@ -647,6 +675,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer-exact weighted sampling (data-mixing primitive)
         "kg_label_prop": _kg_label_prop,
         "weighted_sample_per_lang": _weighted_sample_per_lang,
+        # round-4 batch 9: transcripts context truncation + alternation
+        # audit, Adamic-Adar link prediction
+        "context_window_pack": _context_window_pack,
+        "role_alternation_audit": _role_alternation_audit,
+        "kg_adamic_adar": _kg_adamic_adar,
         # round-4 batch 7: transcripts curation — flagged-turn fraction
         # (refusal/error-filter shape) and first-user-turn prompt dedup
         "error_turn_fraction": _error_turn_fraction,
@@ -2187,6 +2220,67 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY lang ORDER BY priority, doc_id) AS rn
                 FROM p)
             WHERE rn <= 20
+        """,
+        "role_alternation_audit": """
+            WITH s AS (SELECT conv_id, role,
+                              lag(role) OVER (PARTITION BY conv_id
+                                              ORDER BY turn_idx) AS prev
+                       FROM read_parquet('/tmp/chunksilo_ray_testdata/sf0.01-seed42/transcripts.parquet'))
+            SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(SUM(CASE WHEN role = prev THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_role_repeats
+            FROM s GROUP BY conv_id
+        """,
+        # last-k-turns truncation: suffix char sums are monotone in reverse
+        # turn order, so kept = reverse-prefix; rn = 1 forces the final turn
+        "context_window_pack": """
+            WITH L AS (SELECT conv_id, turn_idx,
+                              CAST(length(text) AS BIGINT) AS n_chars
+                       FROM read_parquet('/tmp/chunksilo_ray_testdata/sf0.01-seed42/transcripts.parquet')),
+            r AS (SELECT conv_id, turn_idx, n_chars,
+                         SUM(n_chars) OVER (PARTITION BY conv_id
+                                            ORDER BY turn_idx DESC
+                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS rc,
+                         ROW_NUMBER() OVER (PARTITION BY conv_id
+                                            ORDER BY turn_idx DESC) AS rn
+                  FROM L)
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(count(*) FILTER (WHERE rc <= 400 OR rn = 1) AS BIGINT)
+                     AS n_kept,
+                   CAST(COALESCE(SUM(n_chars) FILTER (WHERE rc <= 400 OR rn = 1), 0)
+                     AS BIGINT) AS chars_kept,
+                   CAST(MIN(turn_idx) FILTER (WHERE rc <= 400 OR rn = 1) AS BIGINT)
+                     AS start_turn_idx
+            FROM r GROUP BY conv_id
+        """,
+        # Adamic-Adar: integer wedge/degree counts in, ONE ln + division per
+        # (pair, deg) group; ROUND(6) absorbs float-sum order, ranking is on
+        # the rounded score in BOTH engines
+        "kg_adamic_adar": f"""
+            WITH agg AS (SELECT DISTINCT subj, obj
+                         FROM read_parquet('{_KG_OUT01}/edges/*.parquet')
+                         WHERE subj <> obj),
+            p AS (SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+                  FROM agg),
+            n AS (SELECT a AS node, b AS nb FROM p
+                  UNION ALL SELECT b AS node, a AS nb FROM p),
+            deg AS (SELECT node, count(*) AS d FROM n GROUP BY node),
+            w AS (SELECT n1.nb AS u, n2.nb AS v, dm.d AS dz
+                  FROM n n1 JOIN n n2 ON n1.node = n2.node AND n1.nb < n2.nb
+                  JOIN deg dm ON dm.node = n1.node),
+            sc AS (SELECT u, v, CAST(count(*) AS BIGINT) AS c,
+                          SUM(1.0 / ln(dz)) AS s
+                   FROM w GROUP BY u, v),
+            nonadj AS (SELECT sc.u, sc.v, sc.c, sc.s FROM sc
+                       LEFT JOIN p ON p.a = sc.u AND p.b = sc.v
+                       WHERE p.a IS NULL)
+            SELECT u AS node_a, v AS node_b, c AS common_n,
+                   ROUND(s, 6) AS adamic_adar
+            FROM nonadj
+            ORDER BY ROUND(s, 6) DESC, node_a, node_b
+            LIMIT 50
         """,
         "kg_random_walks": _kg_walks_sql(_KG_OUT01),
         "kg_component_sizes": _kg_csize_sql(_KG_OUT01),

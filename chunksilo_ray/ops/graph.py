@@ -1001,6 +1001,195 @@ def kg_common_neighbors(ea: Dataset, k: int = 50, max_degree: int = 4096) -> "pa
     )
 
 
+def kg_adamic_adar(ea: Dataset, k: int = 50, max_degree: int = 4096) -> "pa.Table":
+    """Adamic-Adar link prediction over the KG's undirected co-occurrence
+    graph (Adamic & Adar 2003): top-k NON-adjacent entity pairs by
+    sum(1 / ln(deg(z))) over common neighbors z — the degree-discounted
+    refinement of kg_common_neighbors' Jaccard (a rare shared hub says less
+    than a rare shared leaf). Returns (node_a, node_b, common_n,
+    adamic_adar) ranked by (ROUND(score, 6) DESC, node_a, node_b); ranking
+    on the ROUNDED score absorbs the engines' different float-sum orders.
+
+    Distributed shape = kg_common_neighbors' wedge exchange, except each
+    wedge carries its middle's degree: partials aggregate integer
+    (pair, deg_z) counts — still exact-integer across the shuffle, the
+    float log happens once per group in the final kernel (ascending-deg
+    reduceat order, deterministic in Ray) — and adjacency rides the same
+    exchange as deg_z = -1 marker rows. Middles have >= 2 neighbors so
+    ln(deg) >= ln 2 > 0 always. Same O(sum deg^2) wedge bound and
+    exact-or-error ``max_degree`` hub guard as kg_common_neighbors."""
+    import ray
+
+    from ..util import cached_get, map_partitions
+
+    pairs, vocab_ref = _coded_undirected_pairs(ea)
+
+    n_ent = len(ray.get(vocab_ref))
+    if n_ent == 0:
+        return pa.table(
+            {
+                "node_a": pa.array([], pa.string()),
+                "node_b": pa.array([], pa.string()),
+                "common_n": pa.array([], pa.int64()),
+                "adamic_adar": pa.array([], pa.float64()),
+            }
+        )
+    deg = np.zeros(n_ent, np.int64)
+    for blk in pairs.map_batches(
+        lambda t, n=n_ent: pa.table(
+            {
+                "d": pa.array(
+                    np.bincount(
+                        np.concatenate(
+                            [
+                                t["a"].to_numpy(zero_copy_only=False),
+                                t["b"].to_numpy(zero_copy_only=False),
+                            ]
+                        ),
+                        minlength=n,
+                    )
+                )
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        deg += blk["d"].to_numpy(zero_copy_only=False)
+    dmax = int(deg.max())
+    if dmax > max_degree:
+        raise ValueError(
+            f"kg_adamic_adar: max degree {dmax} > max_degree={max_degree}; "
+            "the wedge exchange is O(sum deg^2) — drop hub entities first or "
+            "raise max_degree explicitly"
+        )
+    deg_ref = ray.put(deg)
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        mid = np.concatenate([a, b])
+        nb = np.concatenate([b, a])
+        return pa.table(
+            {
+                "mid": pa.array(mid, pa.int64()),
+                "nb": pa.array(nb, pa.int64()),
+                "__part": pa.array(mid % _N_PARTS, pa.int64()),
+            }
+        )
+
+    exch_schema = pa.schema(
+        [("key", pa.int64()), ("dz", pa.int64()), ("cnt", pa.int64()), ("__part", pa.int64())]
+    )
+
+    def wedges(t: pa.Table) -> pa.Table:
+        d = cached_get(deg_ref)
+        mid = t["mid"].to_numpy(zero_copy_only=False)
+        nb = t["nb"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nb, mid))
+        mid, nb = mid[order], nb[order]
+        change = np.flatnonzero(mid[1:] != mid[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(mid)]))
+        ka, kb, kd = [], [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            if e - s < 2:
+                continue
+            nbs = nb[s:e]
+            ii, jj = np.triu_indices(len(nbs), k=1)
+            ka.append(nbs[ii])
+            kb.append(nbs[jj])
+            kd.append(np.full(len(ii), d[mid[s]], np.int64))
+        if not ka:
+            return exch_schema.empty_table()
+        key = _pack_pairs(np.concatenate(ka), np.concatenate(kb))
+        dz = np.concatenate(kd)
+        # in-block partial: integer counts per (pair, middle-degree)
+        order = np.lexsort((dz, key))
+        key, dz = key[order], dz[order]
+        grp = np.concatenate(
+            ([0], np.flatnonzero((key[1:] != key[:-1]) | (dz[1:] != dz[:-1])) + 1)
+        )
+        cnt = np.diff(np.concatenate([grp, [len(key)]])).astype(np.int64)
+        key, dz = key[grp], dz[grp]
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "dz": pa.array(dz, pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
+                "__part": pa.array(key % _N_PARTS, pa.int64()),
+            }
+        )
+
+    def edge_mark(t: pa.Table) -> pa.Table:
+        key = _pack_pairs(
+            t["a"].to_numpy(zero_copy_only=False), t["b"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "dz": pa.array(np.full(len(key), -1), pa.int64()),
+                "cnt": pa.array(np.ones(len(key), np.int64), pa.int64()),
+                "__part": pa.array(key % _N_PARTS, pa.int64()),
+            }
+        )
+
+    wedge_ds = map_partitions(
+        pairs.map_batches(sym, batch_format="pyarrow", batch_size=None),
+        "__part",
+        wedges,
+        exch_schema,
+    )
+    tagged = wedge_ds.union(
+        pairs.map_batches(edge_mark, batch_format="pyarrow", batch_size=None)
+    )
+
+    out_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("common_n", pa.int64()), ("aa", pa.float64())]
+    )
+
+    def topk_part(t: pa.Table) -> pa.Table:
+        key = t["key"].to_numpy(zero_copy_only=False)
+        dz = t["dz"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((dz, key))
+        key, dz, cnt = key[order], dz[order], cnt[order]
+        starts = np.concatenate(([0], np.flatnonzero(key[1:] != key[:-1]) + 1))
+        has_edge = dz[starts] == -1  # marker sorts first within its key
+        contrib = np.where(dz > 0, cnt / np.log(np.maximum(dz, 2)), 0.0)
+        score = np.add.reduceat(contrib, starts)
+        common = np.add.reduceat(np.where(dz > 0, cnt, 0), starts)
+        keep = (~has_edge) & (common > 0)
+        keys_u, score, common = key[starts][keep], score[keep], common[keep]
+        aa = np.round(score, 6)
+        a = (keys_u >> np.int64(32)).astype(np.int64)
+        b = (keys_u & np.int64(0xFFFFFFFF)).astype(np.int64)
+        if len(aa) > k:
+            sel = np.lexsort((b, a, -aa))[:k]
+            a, b, common, aa = a[sel], b[sel], common[sel], aa[sel]
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "common_n": pa.array(common.astype(np.int64), pa.int64()),
+                "aa": pa.array(aa, pa.float64()),
+            }
+        )
+
+    partials = map_partitions(tagged, "__part", topk_part, out_schema)
+    rows = partials.take_all()
+    vocab = ray.get(vocab_ref)
+    rows.sort(key=lambda r: (-r["aa"], r["a"], r["b"]))
+    rows = rows[:k]
+    return pa.table(
+        {
+            "node_a": pa.array([str(vocab[r["a"]]) for r in rows], pa.string()),
+            "node_b": pa.array([str(vocab[r["b"]]) for r in rows], pa.string()),
+            "common_n": pa.array([r["common_n"] for r in rows], pa.int64()),
+            "adamic_adar": pa.array([float(r["aa"]) for r in rows], pa.float64()),
+        }
+    )
+
+
 def kg_kcore(ea: Dataset, k: int = 2, max_rounds: int = 50) -> "pa.Table":
     """k-core of the KG's undirected co-occurrence graph: iteratively peel
     nodes with degree < k until fixpoint; emit every surviving node with its

@@ -1038,3 +1038,134 @@ def prompt_prefix_dedup(transcripts_path: str) -> Dataset:
             ]
         ),
     )
+
+
+def _conv_tag(t: pa.Table, parts: int = 64) -> pa.Table:
+    """Append a conv-hash __part column (the role_transitions partitioner)."""
+    from pandas.util import hash_array
+
+    h = hash_array(
+        t["conv_id"].to_numpy(zero_copy_only=False).astype(object), categorize=False
+    ).astype(np.uint64)
+    return t.append_column("__part", pa.array((h % np.uint64(parts)).astype(np.int64)))
+
+
+def role_alternation_audit(transcripts_path: str) -> Dataset:
+    """Per-conversation structural VALIDATION of the north-rule transcripts
+    table: turn count plus the number of adjacent same-role turn pairs
+    (``n_role_repeats``) under stable turn ordering. An SFT harvest filters
+    on n_role_repeats = 0 before pairing prompts with replies — this is the
+    audit that says which conversations are well-formed alternations and
+    which need repair (merged double-sends, dropped turns).
+
+    Scale shape: read only (conv_id, turn_idx, role); conv-hash partitions
+    co-locate each conversation ONCE, the per-partition kernel is one
+    factorize + lexsort + vectorized shift emitting final per-conversation
+    rows directly (no second exchange — each conversation is complete in
+    its partition). Text never leaves the scan."""
+    from ..util import map_partitions
+
+    ds = rd.read_parquet(transcripts_path, columns=["conv_id", "turn_idx", "role"])
+
+    def audit(t: pa.Table) -> pa.Table:
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        idx = t["turn_idx"].to_numpy(zero_copy_only=False)
+        role = t["role"].to_numpy(zero_copy_only=False)
+        convs, codes = np.unique(conv, return_inverse=True)
+        order = np.lexsort((idx, codes))
+        codes, role = codes[order], role[order]
+        same = (codes[1:] == codes[:-1]) & (role[1:] == role[:-1])
+        reps = np.bincount(codes[1:][same], minlength=len(convs)).astype(np.int64)
+        n_turns = np.bincount(codes, minlength=len(convs)).astype(np.int64)
+        return pa.table(
+            {
+                "conv_id": pa.array(convs.tolist(), pa.string()),
+                "n_turns": pa.array(n_turns, pa.int64()),
+                "n_role_repeats": pa.array(reps, pa.int64()),
+            }
+        )
+
+    return map_partitions(
+        ds.map_batches(_conv_tag, batch_format="pyarrow", batch_size=None, zero_copy_batch=True),
+        "__part",
+        audit,
+        pa.schema(
+            [("conv_id", pa.string()), ("n_turns", pa.int64()), ("n_role_repeats", pa.int64())]
+        ),
+    )
+
+
+def context_window_pack(transcripts_path: str, context_chars: int = 400) -> Dataset:
+    """Last-k-turns context assembly plan over the transcripts table: per
+    conversation, keep the maximal SUFFIX of turns (stable turn order) whose
+    total character length fits ``context_chars``, always keeping at least
+    the final turn — the truncation rule a chat-training pipeline applies
+    before tokenizing multi-turn context. Emits per conversation the turn
+    count, how many trailing turns survive, their character total, and the
+    first surviving turn_idx.
+
+    Scale shape: reads (conv_id, turn_idx, n=utf8_length(text)) — lengths
+    are computed in the scan so TEXT never crosses the exchange; conv-hash
+    partitions co-locate conversations once; the kernel is a segmented
+    reverse cumulative sum (suffix sums are monotone, so the kept set is a
+    reverse-prefix — one vectorized reduceat pass, final rows emitted
+    directly)."""
+    import pyarrow.compute as pc
+
+    from ..util import map_partitions
+
+    ds = rd.read_parquet(transcripts_path, columns=["conv_id", "turn_idx", "text"])
+    B = np.int64(context_chars)
+
+    def lengths(t: pa.Table) -> pa.Table:
+        return _conv_tag(
+            pa.table(
+                {
+                    "conv_id": t["conv_id"],
+                    "turn_idx": t["turn_idx"],
+                    "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+                }
+            )
+        )
+
+    def pack(t: pa.Table) -> pa.Table:
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        idx = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        convs, codes = np.unique(conv, return_inverse=True)
+        order = np.lexsort((-idx, codes))  # reverse turn order within conv
+        codes, idx, n = codes[order], idx[order], n[order]
+        seg = np.concatenate([[0], np.flatnonzero(codes[1:] != codes[:-1]) + 1])
+        seg_len = np.diff(np.concatenate([seg, [len(codes)]]))
+        inc = np.cumsum(n) - np.repeat((np.cumsum(n) - n)[seg], seg_len)
+        pos = np.arange(len(codes)) - np.repeat(seg, seg_len)
+        keep = (inc <= B) | (pos == 0)  # suffix sums monotone -> reverse-prefix
+        n_kept = np.add.reduceat(keep.astype(np.int64), seg)
+        chars_kept = np.add.reduceat(np.where(keep, n, 0), seg)
+        idx_masked = np.where(keep, idx, np.int64(2**62))
+        start_idx = np.minimum.reduceat(idx_masked, seg)
+        n_turns = seg_len.astype(np.int64)
+        return pa.table(
+            {
+                "conv_id": pa.array(convs[codes[seg]].tolist(), pa.string()),
+                "n_turns": pa.array(n_turns, pa.int64()),
+                "n_kept": pa.array(n_kept, pa.int64()),
+                "chars_kept": pa.array(chars_kept, pa.int64()),
+                "start_turn_idx": pa.array(start_idx, pa.int64()),
+            }
+        )
+
+    return map_partitions(
+        ds.map_batches(lengths, batch_format="pyarrow", batch_size=None, zero_copy_batch=True),
+        "__part",
+        pack,
+        pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("n_turns", pa.int64()),
+                ("n_kept", pa.int64()),
+                ("chars_kept", pa.int64()),
+                ("start_turn_idx", pa.int64()),
+            ]
+        ),
+    )

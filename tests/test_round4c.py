@@ -380,3 +380,79 @@ def test_weighted_sample_prefers_longer_docs():
     docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "n_chars"]).to_pandas()
     kept = docs[docs.doc_id.isin(set(got.doc_id))]
     assert kept.n_chars.mean() > docs.n_chars.mean()
+
+
+# ------------------------------------------------- round-4 batch 9
+
+
+def _docs_con():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    return con
+
+
+_TR01 = "/tmp/chunksilo_ray_testdata/sf0.01-seed42/transcripts.parquet"
+_KG01 = "/tmp/chunksilo_ray_kg_out/sf0.01"
+
+
+def test_role_alternation_audit_matches_duckdb():
+    import __ray_entry__ as E
+
+    got = _as_df(E.queries()["role_alternation_audit"](SF).to_pandas())
+    exp = duckdb.connect().execute(
+        E.oracle_sql()["role_alternation_audit"].replace(_TR01, TP)
+    ).fetchdf()
+    assert len(got) > 0
+    _assert_value_match(got, exp)
+
+
+def test_context_window_pack_matches_duckdb():
+    import __ray_entry__ as E
+
+    got = _as_df(E.queries()["context_window_pack"](SF).to_pandas())
+    exp = duckdb.connect().execute(
+        E.oracle_sql()["context_window_pack"].replace(_TR01, TP)
+    ).fetchdf()
+    assert len(got) > 0
+    _assert_value_match(got, exp)
+    # semantics: at least the final turn always survives; a kept set larger
+    # than one turn never exceeds the budget
+    assert (got.n_kept >= 1).all()
+    assert ((got.chars_kept <= 400) | (got.n_kept == 1)).all()
+    # the corpus p90 conv length exceeds the budget, so SOME truncation
+    # must have happened and SOME conversations must fit whole
+    assert (got.n_kept < got.n_turns).any()
+    assert (got.n_kept == got.n_turns).any()
+
+
+def test_kg_adamic_adar_matches_duckdb():
+    import __ray_entry__ as E
+
+    got = _as_df(E.queries()["kg_adamic_adar"](SF))
+    exp = duckdb.connect().execute(
+        E.oracle_sql()["kg_adamic_adar"].replace(_KG01, KG_OUT)
+    ).fetchdf()
+    assert len(got) == 50
+    _assert_value_match(got, exp)
+
+
+def test_kg_adamic_adar_constructed():
+    """a-b share middles m1, m2 (deg 3 each): AA(a,b) = 2/ln(3); the
+    adjacent pair (m1, m2) shares {a, b} but must be excluded."""
+    import math
+
+    import ray.data as rd
+
+    from chunksilo_ray.ops.graph import kg_adamic_adar
+
+    ea = rd.from_arrow(
+        _edges([("a", "m1"), ("b", "m1"), ("a", "m2"), ("b", "m2"), ("m1", "m2")])
+    )
+    t = kg_adamic_adar(ea, k=10).to_pandas()
+    top = t.iloc[0]
+    assert (top.node_a, top.node_b) == ("a", "b")
+    assert top.common_n == 2
+    assert abs(top.adamic_adar - round(2 / math.log(3), 6)) < 1e-9
+    assert not (((t.node_a == "m1") & (t.node_b == "m2")).any())
