@@ -302,6 +302,34 @@ def _weighted_sample_per_lang(sf_dir: str) -> Any:
     return weighted_sample_per_lang(sf_dir, k=20)
 
 
+def _tool_attribution(sf_dir: str) -> Any:
+    """As-of forward-fill of the latest tool per turn within each
+    conversation; oracle = last_value(... IGNORE NULLS) window."""
+    from chunksilo_ray import datagen
+    from chunksilo_ray.ops.window import tool_attribution
+
+    corpus = datagen.corpus_dir(datagen.sf_from_dir(sf_dir))
+    return tool_attribution(f"{corpus}/transcripts.parquet")
+
+
+def _response_latency(sf_dir: str) -> Any:
+    """Per-conversation user->assistant reply-gap profile (exact integer
+    microseconds); oracle = lead() windows + FILTER aggregates."""
+    from chunksilo_ray import datagen
+    from chunksilo_ray.ops.window import response_latency
+
+    corpus = datagen.corpus_dir(datagen.sf_from_dir(sf_dir))
+    return response_latency(f"{corpus}/transcripts.parquet")
+
+
+def _kg_predicate_entropy(sf_dir: str) -> Any:
+    """Per-subject predicate-distribution entropy over the KG edge table;
+    integer weights cross the exchange, ROUND(6) on both engines."""
+    from chunksilo_ray.ops.graph import kg_predicate_entropy
+
+    return kg_predicate_entropy(_kg_result(sf_dir)["edges_agg"])
+
+
 def _role_alternation_audit(sf_dir: str) -> Any:
     """Per-conversation same-role-adjacency audit over the north-rule
     transcripts table; oracle = lag() window over the same parquet."""
@@ -680,6 +708,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "context_window_pack": _context_window_pack,
         "role_alternation_audit": _role_alternation_audit,
         "kg_adamic_adar": _kg_adamic_adar,
+        # round-4 batch 10: as-of tool forward-fill, reply-gap profile,
+        # per-subject predicate entropy
+        "tool_attribution": _tool_attribution,
+        "response_latency": _response_latency,
+        "kg_predicate_entropy": _kg_predicate_entropy,
         # round-4 batch 7: transcripts curation — flagged-turn fraction
         # (refusal/error-filter shape) and first-user-turn prompt dedup
         "error_turn_fraction": _error_turn_fraction,
@@ -2220,6 +2253,47 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY lang ORDER BY priority, doc_id) AS rn
                 FROM p)
             WHERE rn <= 20
+        """,
+        # as-of forward-fill: latest non-empty tool at or before each turn
+        "tool_attribution": """
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   COALESCE(last_value(CASE WHEN tool <> '' THEN tool END IGNORE NULLS)
+                            OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                            '') AS last_tool
+            FROM read_parquet('/tmp/chunksilo_ray_testdata/sf0.01-seed42/transcripts.parquet')
+        """,
+        # adjacent user->assistant reply gaps, exact integer microseconds
+        "response_latency": """
+            WITH s AS (SELECT conv_id, role, ts,
+                              lead(role) OVER w AS nrole,
+                              lead(ts) OVER w AS nts
+                       FROM read_parquet('/tmp/chunksilo_ray_testdata/sf0.01-seed42/transcripts.parquet')
+                       WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+            SELECT conv_id,
+                   CAST(count(*) FILTER (WHERE role = 'user' AND nrole = 'assistant')
+                     AS BIGINT) AS n_pairs,
+                   CAST(COALESCE(SUM(epoch_us(nts) - epoch_us(ts))
+                     FILTER (WHERE role = 'user' AND nrole = 'assistant'), 0)
+                     AS BIGINT) AS sum_gap_us,
+                   CAST(COALESCE(MAX(epoch_us(nts) - epoch_us(ts))
+                     FILTER (WHERE role = 'user' AND nrole = 'assistant'), 0)
+                     AS BIGINT) AS max_gap_us
+            FROM s GROUP BY conv_id
+        """,
+        # predicate-distribution entropy: integer weights in, one ln per
+        # (subj, pred) group; ROUND(6) + 0.0 normalizes float-sum order and
+        # IEEE -0.0 on single-predicate subjects in BOTH engines
+        "kg_predicate_entropy": f"""
+            WITH a AS (SELECT subj, pred, CAST(SUM(weight) AS BIGINT) AS w
+                       FROM read_parquet('{_KG_OUT01}/edges/*.parquet')
+                       GROUP BY subj, pred),
+            t AS (SELECT subj, SUM(w) AS tw, count(*) AS np FROM a GROUP BY subj)
+            SELECT a.subj AS node,
+                   CAST(ANY_VALUE(t.np) AS BIGINT) AS n_preds,
+                   ROUND(-SUM((a.w * 1.0 / t.tw) * ln(a.w * 1.0 / t.tw)), 6) + 0.0
+                     AS pred_entropy
+            FROM a JOIN t ON t.subj = a.subj GROUP BY a.subj
         """,
         "role_alternation_audit": """
             WITH s AS (SELECT conv_id, role,

@@ -2069,3 +2069,66 @@ def kg_label_prop(ea: Dataset, n_iter: int = 3) -> "pa.Table":
             "community": pa.array(ent[labels].tolist(), pa.string()),
         }
     )
+
+
+def kg_predicate_entropy(edges_agg: Dataset) -> Dataset:
+    """Per-subject predicate-distribution profile of the KG: how many
+    distinct predicates an entity participates in as subject, and the
+    Shannon entropy of its weight mass across them — the "semantic
+    diversity" signal a KG-quality pass uses to spot entities whose
+    extractions collapsed onto one relation (entropy 0) or smeared across
+    everything. Emits (node, n_preds, pred_entropy) with entropy rounded to
+    6 (the kg_adamic_adar contract: integer weights cross the exchange, the
+    float log happens once per group, ROUND absorbs the engines' float-sum
+    orders; +0.0 normalizes IEEE -0.0 on single-predicate nodes).
+
+    Scale shape: per-block Arrow group_by (subj, pred) Sum partials, ONE
+    subj-keyed exchange of the pre-aggregated light rows, vectorized
+    bincount entropy per partition."""
+    import ray  # noqa: F401  (engine-wide convention: graph ops run under Ray)
+
+    from ..stages.materialize import _string_key_part
+    from ..util import map_partitions
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["subj", "pred", "weight"])
+            .group_by(["subj", "pred"], use_threads=False)
+            .aggregate([("weight", "sum")])
+        )
+        g = pa.table({"subj": g["subj"], "pred": g["pred"], "w": g["weight_sum"]})
+        return g.append_column("__part", _string_key_part(g, ["subj"]))
+
+    out_schema = pa.schema(
+        [("node", pa.string()), ("n_preds", pa.int64()), ("pred_entropy", pa.float64())]
+    )
+
+    def entropy(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["subj", "pred", "w"])
+            .group_by(["subj", "pred"], use_threads=False)
+            .aggregate([("w", "sum")])
+        )
+        subj = g["subj"].to_numpy(zero_copy_only=False)
+        w = g["w_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nodes, codes = np.unique(subj, return_inverse=True)
+        tw = np.bincount(codes, weights=w)
+        p = w / tw[codes]
+        h = -np.bincount(codes, weights=p * np.log(p))
+        n_preds = np.bincount(codes).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(nodes.tolist(), pa.string()),
+                "n_preds": pa.array(n_preds, pa.int64()),
+                "pred_entropy": pa.array(np.round(h, 6) + 0.0, pa.float64()),
+            }
+        )
+
+    return map_partitions(
+        edges_agg.map_batches(
+            partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        ),
+        "__part",
+        entropy,
+        out_schema,
+    )

@@ -1169,3 +1169,108 @@ def context_window_pack(transcripts_path: str, context_chars: int = 400) -> Data
             ]
         ),
     )
+
+
+def tool_attribution(transcripts_path: str) -> Dataset:
+    """As-of tool attribution over the transcripts table: for every turn,
+    the tool of the most recent tool-bearing turn at or before it in the
+    same conversation ('' until one occurs) — the forward-fill that lets a
+    downstream stage ask "which tool produced the context this assistant
+    turn is reacting to?". This is the engine's segmented FORWARD-FILL
+    primitive (an ordered as-of lookup, not a mergeable fold).
+
+    Scale shape: reads (conv_id, turn_idx, tool) only; conv-hash partitions
+    co-locate conversations once; the kernel is one lexsort + a single
+    np.maximum.accumulate over valid-row indices with a segment-start guard
+    (no per-row Python). Output cardinality = input turns, but each row is
+    three light columns — text never enters the op."""
+    from ..util import map_partitions
+
+    ds = rd.read_parquet(transcripts_path, columns=["conv_id", "turn_idx", "tool"])
+
+    def ffill(t: pa.Table) -> pa.Table:
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        idx = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tool = t["tool"].to_numpy(zero_copy_only=False).astype(object)
+        _, codes = np.unique(conv, return_inverse=True)
+        order = np.lexsort((idx, codes))
+        conv, idx, tool, codes = conv[order], idx[order], tool[order], codes[order]
+        n = len(codes)
+        seg = np.concatenate([[0], np.flatnonzero(codes[1:] != codes[:-1]) + 1])
+        seg_first = np.repeat(seg, np.diff(np.concatenate([seg, [n]])))
+        valid = tool != ""
+        ptr = np.maximum.accumulate(np.where(valid, np.arange(n), -1))
+        filled = np.where(ptr >= seg_first, ptr, -1)
+        out = np.where(filled >= 0, tool[np.maximum(filled, 0)], "")
+        return pa.table(
+            {
+                "conv_id": pa.array(conv.tolist(), pa.string()),
+                "turn_idx": pa.array(idx, pa.int64()),
+                "last_tool": pa.array(out.tolist(), pa.string()),
+            }
+        )
+
+    return map_partitions(
+        ds.map_batches(_conv_tag, batch_format="pyarrow", batch_size=None, zero_copy_batch=True),
+        "__part",
+        ffill,
+        pa.schema(
+            [("conv_id", pa.string()), ("turn_idx", pa.int64()), ("last_tool", pa.string())]
+        ),
+    )
+
+
+def response_latency(transcripts_path: str) -> Dataset:
+    """Per-conversation assistant responsiveness over the transcripts
+    table: across adjacent (user turn -> assistant turn) pairs under stable
+    turn order, the pair count plus the exact SUM and MAX reply gap in
+    microseconds (0 when a conversation has no such pair). All-integer
+    outputs — the mean is a client-side division — so the oracle compare
+    never touches float rounding.
+
+    Scale shape: reads (conv_id, turn_idx, role, ts); conv-hash partitions
+    co-locate conversations once; the kernel is one lexsort + vectorized
+    shift producing the adjacency mask, then three bincount/maximum.at
+    folds emit FINAL per-conversation rows directly."""
+    from ..util import map_partitions
+
+    ds = rd.read_parquet(transcripts_path, columns=["conv_id", "turn_idx", "role", "ts"])
+
+    def gaps(t: pa.Table) -> pa.Table:
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        idx = t["turn_idx"].to_numpy(zero_copy_only=False)
+        role = t["role"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        convs, codes = np.unique(conv, return_inverse=True)
+        order = np.lexsort((idx, codes))
+        codes, role, ts = codes[order], role[order], ts[order]
+        adj = (codes[1:] == codes[:-1]) & (role[:-1] == "user") & (role[1:] == "assistant")
+        pc_ = codes[:-1][adj]
+        gap = ts[1:][adj] - ts[:-1][adj]
+        k = len(convs)
+        n_pairs = np.bincount(pc_, minlength=k).astype(np.int64)
+        sum_gap = np.bincount(pc_, weights=gap, minlength=k).astype(np.int64)
+        max_gap = np.zeros(k, np.int64)
+        np.maximum.at(max_gap, pc_, gap)
+        return pa.table(
+            {
+                "conv_id": pa.array(convs.tolist(), pa.string()),
+                "n_pairs": pa.array(n_pairs, pa.int64()),
+                "sum_gap_us": pa.array(sum_gap, pa.int64()),
+                "max_gap_us": pa.array(max_gap, pa.int64()),
+            }
+        )
+
+    return map_partitions(
+        ds.map_batches(_conv_tag, batch_format="pyarrow", batch_size=None, zero_copy_batch=True),
+        "__part",
+        gaps,
+        pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("n_pairs", pa.int64()),
+                ("sum_gap_us", pa.int64()),
+                ("max_gap_us", pa.int64()),
+            ]
+        ),
+    )

@@ -456,3 +456,71 @@ def test_kg_adamic_adar_constructed():
     assert top.common_n == 2
     assert abs(top.adamic_adar - round(2 / math.log(3), 6)) < 1e-9
     assert not (((t.node_a == "m1") & (t.node_b == "m2")).any())
+
+
+# ------------------------------------------------- round-4 batch 10
+
+
+def test_tool_attribution_matches_duckdb():
+    import __ray_entry__ as E
+
+    got = _as_df(E.queries()["tool_attribution"](SF).to_pandas())
+    exp = duckdb.connect().execute(
+        E.oracle_sql()["tool_attribution"].replace(_TR01, TP)
+    ).fetchdf()
+    assert len(got) > 0
+    _assert_value_match(got, exp)
+
+
+def test_tool_attribution_constructed_ffill():
+    import pyarrow.parquet as pq
+
+    from chunksilo_ray.ops.window import tool_attribution
+
+    p = "/tmp/test_tool_attr.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "conv_id": pa.array(["c"] * 5, pa.string()),
+                "turn_idx": pa.array([0, 1, 2, 3, 4], pa.int32()),
+                "tool": pa.array(["", "grep", "", "bash", ""], pa.string()),
+            }
+        ),
+        p,
+    )
+    t = tool_attribution(p).to_pandas().sort_values("turn_idx")
+    assert t.last_tool.tolist() == ["", "grep", "grep", "bash", "bash"]
+
+
+def test_response_latency_matches_duckdb():
+    import __ray_entry__ as E
+
+    got = _as_df(E.queries()["response_latency"](SF).to_pandas())
+    exp = duckdb.connect().execute(
+        E.oracle_sql()["response_latency"].replace(_TR01, TP)
+    ).fetchdf()
+    assert len(got) > 0
+    _assert_value_match(got, exp)
+    assert (got.sum_gap_us >= got.max_gap_us).all()
+    assert ((got.n_pairs > 0) | ((got.sum_gap_us == 0) & (got.max_gap_us == 0))).all()
+    assert (got.n_pairs > 0).any()
+
+
+def test_kg_predicate_entropy_matches_duckdb():
+    import numpy as np
+
+    import __ray_entry__ as E
+
+    got = _as_df(E.queries()["kg_predicate_entropy"](SF).to_pandas())
+    exp = duckdb.connect().execute(
+        E.oracle_sql()["kg_predicate_entropy"].replace(_KG01, KG_OUT)
+    ).fetchdf()
+    assert len(got) > 0
+    _assert_value_match(got, exp)
+    single = got[got.n_preds == 1]
+    assert len(single) > 0
+    assert (single.pred_entropy == 0.0).all()
+    assert not np.signbit(single.pred_entropy.to_numpy()).any()  # +0.0, never -0.0
+    multi = got[got.n_preds > 1]
+    if len(multi):
+        assert (multi.pred_entropy <= np.log(multi.n_preds) + 1e-9).all()
