@@ -302,6 +302,32 @@ def _weighted_sample_per_lang(sf_dir: str) -> Any:
     return weighted_sample_per_lang(sf_dir, k=20)
 
 
+def _hopping_window_counts(sf_dir: str) -> Any:
+    """Hopping 1h/15min window counts over events (bounded fan-out + in-
+    block partial collapse); oracle = integer window arithmetic + unnest."""
+    from chunksilo_ray.ops.window import hopping_window_counts
+
+    return hopping_window_counts(sf_dir)
+
+
+def _conv_partition_skew(sf_dir: str) -> Any:
+    """64-way conv-hash partition skew audit (north-rule skew QA); the
+    md5-60bit digest partitioner replays exactly in SQL."""
+    from chunksilo_ray import datagen
+    from chunksilo_ray.ops.window import conv_partition_skew
+
+    corpus = datagen.corpus_dir(datagen.sf_from_dir(sf_dir))
+    return conv_partition_skew(f"{corpus}/transcripts.parquet")
+
+
+def _corpus_datasheet(sf_dir: str) -> Any:
+    """One-row exact-integer corpus summary card (distributed distinct
+    counts; only scalars reach the driver)."""
+    from chunksilo_ray.ops.curation import corpus_datasheet
+
+    return corpus_datasheet(sf_dir)
+
+
 def _tool_attribution(sf_dir: str) -> Any:
     """As-of forward-fill of the latest tool per turn within each
     conversation; oracle = last_value(... IGNORE NULLS) window."""
@@ -713,6 +739,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_attribution": _tool_attribution,
         "response_latency": _response_latency,
         "kg_predicate_entropy": _kg_predicate_entropy,
+        # round-4 batch 11: hopping windows, partition-skew audit, datasheet
+        "hopping_window_counts": _hopping_window_counts,
+        "conv_partition_skew": _conv_partition_skew,
+        "corpus_datasheet": _corpus_datasheet,
         # round-4 batch 7: transcripts curation — flagged-turn fraction
         # (refusal/error-filter shape) and first-user-turn prompt dedup
         "error_turn_fraction": _error_turn_fraction,
@@ -2253,6 +2283,40 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY lang ORDER BY priority, doc_id) AS rn
                 FROM p)
             WHERE rn <= 20
+        """,
+        # hopping windows: each event lands in size/hop = 4 window starts,
+        # all integer epoch-microsecond arithmetic
+        "hopping_window_counts": """
+            WITH e AS (SELECT event_type, epoch_us(ts) AS t FROM events),
+            w AS (SELECT event_type,
+                         (t // 900000000 - u.k) * 900000000 AS window_start_us
+                  FROM e, (SELECT unnest(range(0, 4)) AS k) u)
+            SELECT window_start_us, event_type,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM w GROUP BY window_start_us, event_type
+        """,
+        # the engine's md5-60bit digest partitioner, replayed exactly
+        "conv_partition_skew": """
+            WITH t AS (SELECT conv_id,
+                              CAST(('0x' || substr(md5(conv_id), 1, 15)) AS BIGINT)
+                                % 64 AS part,
+                              CAST(length(text) AS BIGINT) AS nc
+                       FROM read_parquet('/tmp/chunksilo_ray_testdata/sf0.01-seed42/transcripts.parquet'))
+            SELECT part,
+                   CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(SUM(nc) AS BIGINT) AS n_chars
+            FROM t GROUP BY part
+        """,
+        "corpus_datasheet": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(length(regexp_extract_all(text, '[A-Za-z0-9]+')))
+                     AS BIGINT) AS n_tokens,
+                   CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+                   CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts
+            FROM documents
         """,
         # as-of forward-fill: latest non-empty tool at or before each turn
         "tool_attribution": """

@@ -1010,3 +1010,58 @@ def split_leakage_audit(sf_dir: str, threshold: float = 0.7) -> "pa.Table":
             "split_b": pa.array([o[3] for o in out], pa.string()),
         }
     )
+
+
+def corpus_datasheet(sf_dir: str) -> pa.Table:
+    """One-row corpus datasheet — the summary card a curation run publishes
+    next to its output (docs, exact token/char totals, language and source
+    cardinalities, distinct-text count as the exact-dup headline). Returns
+    a single-row pa.Table; every number is an exact integer.
+
+    Scale shape: one vectorized scan emits light rows (16 B digest + two
+    ints + two tiny dictionary strings); the additive totals fold as
+    mergeable partials, the three distinct counts run as DISTRIBUTED
+    groupby().count()s (the count of groups never lands on the driver as
+    rows — only the final scalar does). Digest-distinct equals
+    text-distinct by the exact_dedup_docs md5 contract."""
+    import hashlib
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = _docs(sf_dir, ["text", "lang", "source"])
+
+    def light(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        dig = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in texts]
+        return pa.table(
+            {
+                "digest": pa.array(dig, pa.string()),
+                "lang": t["lang"],
+                "source": t["source"],
+                "n_tokens": pc.count_substring_regex(t["text"], "[A-Za-z0-9]+").cast(pa.int64()),
+                "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            }
+        )
+
+    lt = ds.map_batches(
+        light, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).materialize()  # tiny rows, read 4x (totals + three distinct counts)
+
+    tot = lt.aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_tokens", alias_name="n_tokens"),
+        Sum("n_chars", alias_name="n_chars"),
+    )
+    n_langs = lt.groupby("lang").count().count()
+    n_sources = lt.groupby("source").count().count()
+    n_distinct = lt.groupby("digest").count().count()
+    return pa.table(
+        {
+            "n_docs": pa.array([int(tot["n_docs"])], pa.int64()),
+            "n_tokens": pa.array([int(tot["n_tokens"])], pa.int64()),
+            "n_chars": pa.array([int(tot["n_chars"])], pa.int64()),
+            "n_langs": pa.array([int(n_langs)], pa.int64()),
+            "n_sources": pa.array([int(n_sources)], pa.int64()),
+            "n_distinct_texts": pa.array([int(n_distinct)], pa.int64()),
+        }
+    )

@@ -1274,3 +1274,122 @@ def response_latency(transcripts_path: str) -> Dataset:
             ]
         ),
     )
+
+
+def hopping_window_counts(sf_dir: str, size_us: int = HOUR_US, hop_us: int = HOUR_US // 4) -> Dataset:
+    """Hopping (sliding) window counts over events: windows of ``size_us``
+    starting every ``hop_us`` (default 1 h / 15 min), each event counted in
+    the size/hop windows covering it — the overlapping-window aggregate
+    tumbling_hourly can't express. Emits (window_start_us, event_type,
+    n_events) with integer epoch-microsecond window starts so the oracle is
+    pure integer arithmetic.
+
+    Scale shape: the fan-out is BOUNDED (size/hop rows per event, here 4)
+    and immediately collapsed by an in-block (window, type) count partial,
+    so the exchange carries pre-aggregated light rows — window cardinality,
+    not event cardinality. No per-event keyed shuffle ever happens."""
+    from ray.data.aggregate import Sum
+
+    assert size_us % hop_us == 0
+    k = size_us // hop_us
+    ds = _events(sf_dir, ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        last = (ts // hop_us) * hop_us
+        # windows (ts - size, ts] at hop multiples: last - j*hop, j in [0, k)
+        ws = (last[:, None] - np.arange(k, dtype=np.int64) * hop_us).ravel()
+        et = t["event_type"].to_numpy(zero_copy_only=False).astype(object)
+        et = np.repeat(et, k)
+        types, tcodes = np.unique(et, return_inverse=True)
+        wuniq, wcodes = np.unique(ws, return_inverse=True)
+        key = wcodes.astype(np.int64) * len(types) + tcodes
+        cnt = np.bincount(key, minlength=len(wuniq) * len(types))
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "window_start_us": pa.array(wuniq[nz // len(types)], pa.int64()),
+                "event_type": pa.array(types[nz % len(types)].tolist(), pa.string()),
+                "n": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby(["window_start_us", "event_type"])
+        .aggregate(Sum("n", alias_name="n_events"))
+    )
+
+
+def conv_partition_skew(transcripts_path: str, parts: int = 64) -> Dataset:
+    """Partition-skew audit of the transcripts table under a 64-way
+    conversation-hash partitioner — the explicit skew QA the north rule
+    asks for: per partition, distinct conversations, turn rows, and total
+    text characters, from which the driver reads the imbalance factor
+    before sizing a shuffle. The partitioner here is the engine's
+    digest trick (md5 60-bit % parts) so the SQL oracle replays the exact
+    assignment; production stages use the same modulus over their own hash.
+
+    Scale shape: per-block (part, conv) pre-aggregated partials (tool_usage
+    two-level-distinct contract), ONE part-keyed exchange of light rows,
+    exact distinct-conversation counts in the final kernel. The md5 is
+    computed once per DISTINCT conv in a block, not per row."""
+    import hashlib
+
+    from ..util import map_partitions
+
+    ds = rd.read_parquet(transcripts_path, columns=["conv_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        nc = pc.cast(pc.utf8_length(t["text"]), pa.int64()).to_numpy(zero_copy_only=False)
+        convs, codes = np.unique(conv, return_inverse=True)
+        p = np.fromiter(
+            (int(hashlib.md5(c.encode()).hexdigest()[:15], 16) % parts for c in convs),
+            np.int64,
+            len(convs),
+        )
+        n_turns = np.bincount(codes, minlength=len(convs)).astype(np.int64)
+        n_chars = np.bincount(codes, weights=nc, minlength=len(convs)).astype(np.int64)
+        return pa.table(
+            {
+                "conv_id": pa.array(convs.tolist(), pa.string()),
+                "__part": pa.array(p, pa.int64()),
+                "n_turns": pa.array(n_turns, pa.int64()),
+                "n_chars": pa.array(n_chars, pa.int64()),
+            }
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        part = t["__part"].to_numpy(zero_copy_only=False)
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        nt = t["n_turns"].to_numpy(zero_copy_only=False)
+        nc = t["n_chars"].to_numpy(zero_copy_only=False)
+        puniq, pcodes = np.unique(part, return_inverse=True)
+        # distinct convs per part: unique (part, conv) pairs
+        pair = np.unique(np.stack([pcodes, np.unique(conv, return_inverse=True)[1]]), axis=1)
+        n_convs = np.bincount(pair[0], minlength=len(puniq)).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array(puniq, pa.int64()),
+                "n_convs": pa.array(n_convs, pa.int64()),
+                "n_turns": pa.array(np.bincount(pcodes, weights=nt, minlength=len(puniq)).astype(np.int64), pa.int64()),
+                "n_chars": pa.array(np.bincount(pcodes, weights=nc, minlength=len(puniq)).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return map_partitions(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True),
+        "__part",
+        finish,
+        pa.schema(
+            [
+                ("part", pa.int64()),
+                ("n_convs", pa.int64()),
+                ("n_turns", pa.int64()),
+                ("n_chars", pa.int64()),
+            ]
+        ),
+    )

@@ -524,3 +524,48 @@ def test_kg_predicate_entropy_matches_duckdb():
     multi = got[got.n_preds > 1]
     if len(multi):
         assert (multi.pred_entropy <= np.log(multi.n_preds) + 1e-9).all()
+
+
+# ------------------------------------------------- round-4 batch 11
+
+
+def test_hopping_window_counts_matches_duckdb():
+    import __ray_entry__ as E
+
+    got = _as_df(E.queries()["hopping_window_counts"](SF).to_pandas())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+    exp = con.execute(E.oracle_sql()["hopping_window_counts"]).fetchdf()
+    assert len(got) > 0
+    _assert_value_match(got, exp)
+    # every window start is a 15-min multiple and total memberships = 4x events
+    assert (got.window_start_us % 900_000_000 == 0).all()
+    n_events = con.execute("SELECT count(*) FROM events").fetchone()[0]
+    assert got.n_events.sum() == 4 * n_events
+
+
+def test_conv_partition_skew_matches_duckdb():
+    import __ray_entry__ as E
+
+    got = _as_df(E.queries()["conv_partition_skew"](SF).to_pandas())
+    exp = duckdb.connect().execute(
+        E.oracle_sql()["conv_partition_skew"].replace(_TR01, TP)
+    ).fetchdf()
+    assert len(got) > 0
+    _assert_value_match(got, exp)
+    # conservation: parts partition the corpus exactly
+    import pyarrow.parquet as pq
+
+    n_rows = pq.read_metadata(TP).num_rows
+    assert got.n_turns.sum() == n_rows
+
+
+def test_corpus_datasheet_matches_duckdb():
+    import __ray_entry__ as E
+
+    got = _as_df(E.queries()["corpus_datasheet"](SF))
+    exp = _docs_con().execute(E.oracle_sql()["corpus_datasheet"]).fetchdf()
+    assert len(got) == 1
+    _assert_value_match(got, exp)
+    r = got.iloc[0]
+    assert r.n_distinct_texts <= r.n_docs and r.n_langs >= 1 and r.n_sources >= 1
