@@ -302,6 +302,14 @@ def _weighted_sample_per_lang(sf_dir: str) -> Any:
     return weighted_sample_per_lang(sf_dir, k=20)
 
 
+def _hybrid_search_rrf(sf_dir: str) -> Any:
+    """Hybrid BM25 + dense-cosine retrieval fused by reciprocal rank
+    (RRF, c=60) — the reference's vector+BM25 merge as one operator."""
+    from chunksilo_ray.ops.text_search import hybrid_search_rrf
+
+    return hybrid_search_rrf(sf_dir)
+
+
 def _hopping_window_counts(sf_dir: str) -> Any:
     """Hopping 1h/15min window counts over events (bounded fan-out + in-
     block partial collapse); oracle = integer window arithmetic + unnest."""
@@ -739,6 +747,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_attribution": _tool_attribution,
         "response_latency": _response_latency,
         "kg_predicate_entropy": _kg_predicate_entropy,
+        # round-4 batch 12: hybrid retrieval (BM25 + dense, RRF fusion)
+        "hybrid_search_rrf": _hybrid_search_rrf,
         # round-4 batch 11: hopping windows, partition-skew audit, datasheet
         "hopping_window_counts": _hopping_window_counts,
         "conv_partition_skew": _conv_partition_skew,
@@ -2283,6 +2293,46 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY lang ORDER BY priority, doc_id) AS rn
                 FROM p)
             WHERE rn <= 20
+        """,
+        # hybrid retrieval: both rank lists ROW_NUMBER on the ROUNDED score
+        # with an id tie-break (= the Ray op's lexsort), the two RRF terms
+        # add in a fixed order -> bit-identical fused doubles
+        "hybrid_search_rrf": """
+            WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                          FROM documents),
+            stats AS (SELECT COUNT(*) AS n_docs, SUM(len(w)) AS len_sum FROM toks),
+            terms AS (SELECT unnest(['data', 'processing', 'pipeline']) AS term),
+            tf AS (SELECT doc_id, term, len(list_filter(w, x -> x = term)) AS tf,
+                          len(w) AS dl
+                   FROM toks CROSS JOIN terms),
+            df AS (SELECT term, SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df
+                   FROM tf GROUP BY term),
+            scored AS (
+              SELECT doc_id,
+                     SUM(LN(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                         * tf * 2.5
+                         / (tf + 1.5 * (1 - 0.75 + 0.75 * dl /
+                              GREATEST(1.0, CAST(s.len_sum AS DOUBLE)
+                                            / GREATEST(1, s.n_docs))))) AS score
+              FROM tf JOIN df d USING (term) CROSS JOIN stats s
+              WHERE tf > 0 GROUP BY doc_id),
+            lex AS (SELECT doc_id, r FROM (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, doc_id) AS r
+                FROM scored WHERE score > 0) WHERE r <= 50),
+            dense AS (SELECT vec_id AS doc_id, r FROM (
+                SELECT vec_id,
+                       ROW_NUMBER() OVER (ORDER BY
+                           ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                                WHERE vec_id = 0)), 6) DESC, vec_id) AS r
+                FROM embeddings) WHERE r <= 50),
+            fused AS (SELECT doc_id,
+                             COALESCE(1.0 / (60 + l.r), 0)
+                               + COALESCE(1.0 / (60 + d.r), 0) AS rrf
+                      FROM lex l FULL OUTER JOIN dense d USING (doc_id))
+            SELECT doc_id, ROUND(rrf, 6) AS rrf FROM fused
+            ORDER BY rrf DESC, doc_id LIMIT 10
         """,
         # hopping windows: each event lands in size/hop = 4 window starts,
         # all integer epoch-microsecond arithmetic

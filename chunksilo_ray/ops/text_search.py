@@ -333,3 +333,54 @@ def proximity_search(
         )
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+def hybrid_search_rrf(
+    sf_dir: str,
+    query: str = "data processing pipeline",
+    vec_id: int = 0,
+    m: int = 50,
+    k: int = 10,
+    c: int = 60,
+) -> pa.Table:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009) —
+    the reference's vector + BM25 merge step as one operator: take the
+    lexical top-m (distributed BM25) and the dense top-m (distributed
+    brute-force cosine against the broadcast query vector), convert each to
+    ranks, and fuse with rrf = 1/(c + r_lex) + 1/(c + r_dense) (absent
+    list -> term 0). Emits the fused top-k (doc_id, rrf).
+
+    Both rank lists are re-ranked here on the ROUNDED score with an id
+    tie-break — the same (score DESC, id) order the SQL oracle's
+    ROW_NUMBER uses — and the two RRF terms add in a fixed order, so the
+    fused doubles are bit-identical across engines. The fusion itself is a
+    driver-side merge of two <= m-row tables; the heavy lifting (corpus
+    scans, scoring) stays in the two distributed rankings, so the operator
+    inherits their scale shape unchanged."""
+    from .similarity import cosine_topk
+
+    lex = bm25_topk(sf_dir, query, k=m)
+    den = cosine_topk(sf_dir, vec_id=vec_id, k=m)
+
+    def ranks(tbl: pa.Table, id_col: str, score_col: str) -> dict[int, int]:
+        ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sc = tbl[score_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sc))
+        return {int(ids[i]): r + 1 for r, i in enumerate(order)}
+
+    lr = ranks(lex, "doc_id", "bm25")
+    dr = ranks(den, "vec_id", "cosine")
+    fused = []
+    for did in sorted(set(lr) | set(dr)):
+        rrf = (1.0 / (c + lr[did]) if did in lr else 0.0) + (
+            1.0 / (c + dr[did]) if did in dr else 0.0
+        )
+        fused.append((did, rrf))
+    fused.sort(key=lambda x: (-x[1], x[0]))
+    fused = fused[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array([f[0] for f in fused], pa.int64()),
+            "rrf": pa.array([round(f[1], 6) for f in fused], pa.float64()),
+        }
+    )

@@ -569,3 +569,37 @@ def test_corpus_datasheet_matches_duckdb():
     _assert_value_match(got, exp)
     r = got.iloc[0]
     assert r.n_distinct_texts <= r.n_docs and r.n_langs >= 1 and r.n_sources >= 1
+
+
+# ------------------------------------------------- round-4 batch 12
+
+
+def test_hybrid_search_rrf_matches_duckdb():
+    import __ray_entry__ as E
+
+    got = _as_df(E.queries()["hybrid_search_rrf"](SF))
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    exp = con.execute(E.oracle_sql()["hybrid_search_rrf"]).fetchdf()
+    assert len(got) == 10
+    _assert_value_match(got, exp)
+    # fused score bounds: one list -> <= 1/61; both lists -> <= 2/61
+    assert (got.rrf <= 2 / 61 + 1e-9).all() and (got.rrf > 0).all()
+
+
+def test_hybrid_rrf_rewards_double_listing():
+    """A doc present in BOTH top-m lists at mid rank must outscore a doc
+    present in only one list at a similar rank (the RRF property)."""
+    from chunksilo_ray.ops.text_search import bm25_topk, hybrid_search_rrf
+    from chunksilo_ray.ops.similarity import cosine_topk
+
+    lex = set(bm25_topk(SF, k=50)["doc_id"].to_pylist())
+    den = set(cosine_topk(SF, k=50)["vec_id"].to_pylist())
+    fused = _as_df(hybrid_search_rrf(SF, k=10))
+    both = lex & den
+    if both:
+        # every fused top-10 member from a single list must not outrank a
+        # same-rank double-listed member: weaker, checkable form — the
+        # best double-listed doc appears in the fused top-10
+        assert both & set(fused.doc_id.tolist())
