@@ -302,6 +302,18 @@ def _weighted_sample_per_lang(sf_dir: str) -> Any:
     return weighted_sample_per_lang(sf_dir, k=20)
 
 
+def _kg_edge_timestamps(sf_dir: str) -> Any:
+    """Big x big partitioned hash join: per-turn edge mentions back to their
+    source turns' timestamps; per-triple first witness time + mentions."""
+    from chunksilo_ray import datagen
+    from chunksilo_ray.ops.graph import kg_edge_timestamps
+
+    corpus = datagen.corpus_dir(datagen.sf_from_dir(sf_dir))
+    return kg_edge_timestamps(
+        _kg_result(sf_dir)["edges"], f"{corpus}/transcripts.parquet"
+    )
+
+
 def _hybrid_search_rrf(sf_dir: str) -> Any:
     """Hybrid BM25 + dense-cosine retrieval fused by reciprocal rank
     (RRF, c=60) — the reference's vector+BM25 merge as one operator."""
@@ -747,8 +759,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_attribution": _tool_attribution,
         "response_latency": _response_latency,
         "kg_predicate_entropy": _kg_predicate_entropy,
-        # round-4 batch 12: hybrid retrieval (BM25 + dense, RRF fusion)
+        # round-4 batch 12: hybrid retrieval (BM25 + dense, RRF fusion) and
+        # the big x big partitioned hash join (edges x transcripts)
         "hybrid_search_rrf": _hybrid_search_rrf,
+        "kg_edge_timestamps": _kg_edge_timestamps,
         # round-4 batch 11: hopping windows, partition-skew audit, datasheet
         "hopping_window_counts": _hopping_window_counts,
         "conv_partition_skew": _conv_partition_skew,
@@ -2293,6 +2307,18 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY lang ORDER BY priority, doc_id) AS rn
                 FROM p)
             WHERE rn <= 20
+        """,
+        # big x big equi-join: 1:N on the transcripts primary key
+        "kg_edge_timestamps": f"""
+            WITH e AS (SELECT subj, pred, obj, conv_id, turn_idx, weight
+                       FROM read_parquet('{_KG_OUT01}/edges/*.parquet')),
+            t AS (SELECT conv_id, turn_idx, epoch_us(ts) AS ts_us
+                  FROM read_parquet('/tmp/chunksilo_ray_testdata/sf0.01-seed42/transcripts.parquet'))
+            SELECT subj, pred, obj,
+                   CAST(MIN(ts_us) AS BIGINT) AS first_ts_us,
+                   CAST(SUM(weight) AS BIGINT) AS n_mentions
+            FROM e JOIN t USING (conv_id, turn_idx)
+            GROUP BY subj, pred, obj
         """,
         # hybrid retrieval: both rank lists ROW_NUMBER on the ROUNDED score
         # with an id tie-break (= the Ray op's lexsort), the two RRF terms

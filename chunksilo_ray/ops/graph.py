@@ -2132,3 +2132,146 @@ def kg_predicate_entropy(edges_agg: Dataset) -> Dataset:
         entropy,
         out_schema,
     )
+
+
+def kg_edge_timestamps(edges: Dataset, transcripts_path: str) -> Dataset:
+    """Wall-clock provenance per aggregated triple: join every per-turn
+    edge mention back to its source turn's timestamp and emit (subj, pred,
+    obj, first_ts_us, n_mentions) — when the KG first learned each fact.
+    kg_edge_provenance keys lineage by (conv_id:turn_idx); this is the
+    variant a time-sliced KG build needs, and it is the engine's BIG x BIG
+    cross-table EQUI-JOIN: neither side fits a broadcast at 10^12 turns.
+
+    Distributed shape (partitioned hash join): both sides shrink to light
+    rows in their scans (transcripts to (conv, turn, ts) — text never
+    enters; edges to their key + triple strings), are tagged with the SAME
+    conv-hash partition, and meet in ONE co-partitioned exchange; the
+    per-partition kernel is a vectorized searchsorted lookup (turn keys are
+    unique), immediately pre-aggregated per (subj, pred, obj) before the
+    small triple-keyed Min/Sum exchange finishes. Join multiplicity is 1:
+    (conv_id, turn_idx) is the transcripts primary key."""
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    from ..util import map_partitions
+
+    _P = 64
+
+    def _part_of(conv: np.ndarray) -> np.ndarray:
+        from pandas.util import hash_array
+
+        h = hash_array(conv.astype(object), categorize=False).astype(np.uint64)
+        return (h % np.uint64(_P)).astype(np.int64)
+
+    union_schema = pa.schema(
+        [
+            ("side", pa.int64()),
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int64()),
+            ("ts_us", pa.int64()),
+            ("subj", pa.string()),
+            ("pred", pa.string()),
+            ("obj", pa.string()),
+            ("w", pa.int64()),
+            ("__part", pa.int64()),
+        ]
+    )
+
+    def t_side(t: pa.Table) -> pa.Table:
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        n = len(conv)
+        return pa.table(
+            {
+                "side": pa.array(np.zeros(n, np.int64)),
+                "conv_id": t["conv_id"].combine_chunks().cast(pa.string()),
+                "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                "ts_us": pa.array(
+                    t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+                ),
+                "subj": pa.array([""] * n, pa.string()),
+                "pred": pa.array([""] * n, pa.string()),
+                "obj": pa.array([""] * n, pa.string()),
+                "w": pa.array(np.zeros(n, np.int64)),
+                "__part": pa.array(_part_of(conv)),
+            }
+        )
+
+    def e_side(t: pa.Table) -> pa.Table:
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        n = len(conv)
+        return pa.table(
+            {
+                "side": pa.array(np.ones(n, np.int64)),
+                "conv_id": t["conv_id"].combine_chunks().cast(pa.string()),
+                "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                "ts_us": pa.array(np.zeros(n, np.int64)),
+                "subj": t["subj"].combine_chunks().cast(pa.string()),
+                "pred": t["pred"].combine_chunks().cast(pa.string()),
+                "obj": t["obj"].combine_chunks().cast(pa.string()),
+                "w": pc.cast(t["weight"], pa.int64()),
+                "__part": pa.array(_part_of(conv)),
+            }
+        )
+
+    tr = rd.read_parquet(transcripts_path, columns=["conv_id", "turn_idx", "ts"])
+    tagged = tr.map_batches(
+        t_side, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).union(
+        edges.map_batches(e_side, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    )
+
+    out_schema = pa.schema(
+        [
+            ("subj", pa.string()),
+            ("pred", pa.string()),
+            ("obj", pa.string()),
+            ("first_ts_us", pa.int64()),
+            ("n_mentions", pa.int64()),
+        ]
+    )
+
+    def join_part(t: pa.Table) -> pa.Table:
+        side = t["side"].to_numpy(zero_copy_only=False)
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        turn = t["turn_idx"].to_numpy(zero_copy_only=False)
+        _, codes = np.unique(conv, return_inverse=True)
+        key = codes.astype(np.int64) << np.int64(32) | turn
+        tm = side == 0
+        em = ~tm
+        if not em.any():
+            return out_schema.empty_table()
+        tkey = key[tm]
+        tts = t["ts_us"].to_numpy(zero_copy_only=False)[tm]
+        order = np.argsort(tkey)
+        tkey, tts = tkey[order], tts[order]
+        pos = np.searchsorted(tkey, key[em])
+        # every edge witness (conv, turn) exists in transcripts by
+        # construction; a miss would mean lineage corruption — fail loud
+        if not (pos < len(tkey)).all() or not (tkey[pos] == key[em]).all():
+            raise ValueError("kg_edge_timestamps: edge witness missing from transcripts")
+        g = pa.table(
+            {
+                "subj": pa.array(t["subj"].to_numpy(zero_copy_only=False)[em], pa.string()),
+                "pred": pa.array(t["pred"].to_numpy(zero_copy_only=False)[em], pa.string()),
+                "obj": pa.array(t["obj"].to_numpy(zero_copy_only=False)[em], pa.string()),
+                "ts_us": pa.array(tts[pos], pa.int64()),
+                "w": pa.array(t["w"].to_numpy(zero_copy_only=False)[em], pa.int64()),
+            }
+        ).group_by(["subj", "pred", "obj"], use_threads=False).aggregate(
+            [("ts_us", "min"), ("w", "sum")]
+        )
+        return pa.table(
+            {
+                "subj": g["subj"],
+                "pred": g["pred"],
+                "obj": g["obj"],
+                "first_ts_us": g["ts_us_min"].cast(pa.int64()),
+                "n_mentions": g["w_sum"].cast(pa.int64()),
+            }
+        )
+
+    partials = map_partitions(tagged, "__part", join_part, out_schema)
+    return partials.groupby(["subj", "pred", "obj"]).aggregate(
+        Min("first_ts_us", alias_name="first_ts_us"),
+        Sum("n_mentions", alias_name="n_mentions"),
+    )

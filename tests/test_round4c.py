@@ -603,3 +603,21 @@ def test_hybrid_rrf_rewards_double_listing():
         # same-rank double-listed member: weaker, checkable form — the
         # best double-listed doc appears in the fused top-10
         assert both & set(fused.doc_id.tolist())
+
+
+def test_kg_edge_timestamps_matches_duckdb():
+    import __ray_entry__ as E
+
+    got = _as_df(E.queries()["kg_edge_timestamps"](SF).to_pandas())
+    exp = duckdb.connect().execute(
+        E.oracle_sql()["kg_edge_timestamps"].replace(_KG01, KG_OUT).replace(_TR01, TP)
+    ).fetchdf()
+    assert len(got) > 100
+    _assert_value_match(got, exp)
+    # consistency with provenance: mention totals equal the aggregated
+    # edge-table weights (join multiplicity is exactly 1)
+    con = duckdb.connect()
+    tot = con.execute(
+        f"SELECT CAST(SUM(weight) AS BIGINT) FROM read_parquet('{KG_OUT}/edges/*.parquet')"
+    ).fetchone()[0]
+    assert got.n_mentions.sum() == tot
