@@ -171,7 +171,10 @@ def _kg_common_neighbors(sf_dir: str) -> Any:
     SQL oracle."""
     from chunksilo_ray.ops.graph import kg_common_neighbors
 
-    return kg_common_neighbors(_kg_result(sf_dir)["edges_agg"], k=50)
+    # max_degree: the sf0.1 corpus has hubs up to ~6.5k; 16384 keeps the
+    # exact-or-error guard meaningful while covering the bench scales
+    # (wedge volume at 16k-degree hubs is ~2^28 light rows — fine)
+    return kg_common_neighbors(_kg_result(sf_dir)["edges_agg"], k=50, max_degree=16384)
 
 
 def _kg_edge_pmi(sf_dir: str) -> Any:
@@ -401,7 +404,8 @@ def _kg_adamic_adar(sf_dir: str) -> Any:
     non-adjacent pairs); ranked on ROUND(score, 6) in both engines."""
     from chunksilo_ray.ops.graph import kg_adamic_adar
 
-    return kg_adamic_adar(_kg_result(sf_dir)["edges_agg"], k=50)
+    # same max_degree rationale as _kg_common_neighbors (sf0.1 hubs ~6.5k)
+    return kg_adamic_adar(_kg_result(sf_dir)["edges_agg"], k=50, max_degree=16384)
 
 
 def _kg_label_prop(sf_dir: str) -> Any:
