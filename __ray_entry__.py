@@ -437,6 +437,48 @@ def _prompt_prefix_dedup(sf_dir: str) -> Any:
     return prompt_prefix_dedup(f"{corpus}/transcripts.parquet")
 
 
+def _fuzzy_name_matches(sf_dir: str) -> Any:
+    """Prefix-filtered trigram-jaccard fuzzy self-join over the distinct
+    part-name vocabulary (exact-recall blocking — no LSH miss probability);
+    names represented by MIN p_partkey so ids stay int64 end-to-end."""
+    from chunksilo_ray.ops.dedup import fuzzy_name_matches
+
+    return fuzzy_name_matches(sf_dir)
+
+
+def _cube_orders(sf_dir: str) -> Any:
+    """GROUP BY CUBE(order_year, o_orderpriority): one finest-level
+    distributed groupby; coarser grouping sets re-aggregate its result."""
+    from chunksilo_ray.ops.relational import cube_orders
+
+    return cube_orders(sf_dir)
+
+
+def _full_outer_daily_activity(sf_dir: str) -> Any:
+    """FULL OUTER join of per-day order aggregates and event counts via one
+    tagged-union day-keyed groupby; absent sides surface as NULL."""
+    from chunksilo_ray.ops.relational import full_outer_daily_activity
+
+    return full_outer_daily_activity(sf_dir)
+
+
+def _mad_value_by_type(sf_dir: str) -> Any:
+    """Exact median + median-absolute-deviation + robust-z outlier count per
+    event type (3 x 1.4826 x MAD fence, compared unrounded on both sides)."""
+    from chunksilo_ray.ops.sketches import mad_value_by_type
+
+    return mad_value_by_type(sf_dir)
+
+
+def _bpe_pair_counts(sf_dir: str) -> Any:
+    """Top-50 adjacent byte-pair counts inside whitespace tokens (first BPE
+    merge iteration), one np.bincount per batch; byte==char on this ASCII
+    corpus so the SQL character oracle matches exactly."""
+    from chunksilo_ray.ops.textstats import bpe_pair_counts
+
+    return bpe_pair_counts(sf_dir)
+
+
 def _jsonl_roundtrip_transcripts(sf_dir: str) -> Any:
     """Transcripts through write_json -> read_json; the oracle answers from
     the ORIGINAL parquet, so a value match proves the JSONL roundtrip is
@@ -775,6 +817,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (refusal/error-filter shape) and first-user-turn prompt dedup
         "error_turn_fraction": _error_turn_fraction,
         "prompt_prefix_dedup": _prompt_prefix_dedup,
+        "fuzzy_name_matches": _fuzzy_name_matches,
+        "cube_orders": _cube_orders,
+        "full_outer_daily_activity": _full_outer_daily_activity,
+        "mad_value_by_type": _mad_value_by_type,
+        "bpe_pair_counts": _bpe_pair_counts,
         # round-4 batch 7: JSONL/CSV interchange sinks+sources — the query
         # answers from the roundtripped files, the oracle from the original
         # parquet, so a value match proves the roundtrip is lossless
@@ -2508,6 +2555,71 @@ def oracle_sql() -> dict[str, str]:
         "prompt_prefix_dedup": _prompt_dedup_sql(
             "/tmp/chunksilo_ray_testdata/sf0.01-seed42/transcripts.parquet"
         ),
+        "fuzzy_name_matches": """
+            WITH rep AS (SELECT lower(p_name) AS name, MIN(p_partkey) AS pk
+                         FROM part GROUP BY 1),
+            tri AS (SELECT DISTINCT r.pk, substr(r.name, t.i, 3) AS tri
+                    FROM rep r,
+                         LATERAL (SELECT unnest(generate_series(
+                             1, GREATEST(length(r.name) - 2, 1))) AS i) t),
+            sizes AS (SELECT pk, COUNT(*) AS n FROM tri GROUP BY 1),
+            common AS (SELECT a.pk AS pk1, b.pk AS pk2, COUNT(*) AS inter
+                       FROM tri a JOIN tri b
+                         ON a.tri = b.tri AND a.pk < b.pk GROUP BY 1, 2)
+            SELECT pk1, pk2, inter,
+                   sa.n + sb.n - inter AS uni,
+                   ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jac
+            FROM common
+            JOIN sizes sa ON sa.pk = pk1
+            JOIN sizes sb ON sb.pk = pk2
+            WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+        """,
+        "cube_orders": """
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+                   o_orderpriority,
+                   ROUND(SUM(o_totalprice), 2) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders
+            GROUP BY CUBE (order_year, o_orderpriority)
+        """,
+        "full_outer_daily_activity": """
+            WITH o AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                              CAST(COUNT(*) AS BIGINT) AS n_orders,
+                              ROUND(SUM(o_totalprice), 2) AS revenue
+                       FROM orders GROUP BY 1),
+            e AS (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                         CAST(COUNT(*) AS BIGINT) AS n_events
+                  FROM events GROUP BY 1)
+            SELECT COALESCE(o.day, e.day) AS day, o.n_orders, o.revenue,
+                   e.n_events
+            FROM o FULL OUTER JOIN e ON o.day = e.day
+        """,
+        "mad_value_by_type": """
+            WITH m AS (SELECT event_type, MEDIAN(value) AS med
+                       FROM events GROUP BY 1),
+            d AS (SELECT e.event_type, ANY_VALUE(m.med) AS med,
+                         MEDIAN(ABS(e.value - m.med)) AS mad
+                  FROM events e JOIN m USING (event_type) GROUP BY 1)
+            SELECT d.event_type,
+                   ROUND(ANY_VALUE(d.med), 6) AS median_value,
+                   ROUND(ANY_VALUE(d.mad), 6) AS mad,
+                   CAST(SUM(CASE WHEN ABS(e.value - d.med)
+                                      > 3 * 1.4826 * d.mad
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM events e JOIN d USING (event_type)
+            GROUP BY 1
+        """,
+        "bpe_pair_counts": """
+            WITH pairs AS (
+              SELECT substr(d.text, t.i, 2) AS pair
+              FROM documents d,
+                   LATERAL (SELECT unnest(generate_series(
+                       1, GREATEST(length(d.text) - 1, 0))) AS i) t
+            ),
+            c AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM pairs
+                  WHERE NOT regexp_matches(pair, '[ \t\n\r]') GROUP BY pair)
+            SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT 50
+        """,
         # roundtrip oracles read the ORIGINAL tables (not the exported
         # files) — parity proves the interchange lost nothing
         "jsonl_roundtrip_transcripts": """

@@ -342,6 +342,19 @@ def _verified_edges(
         _EMPTY_PAIRS,
     ).materialize()  # tiny: deduped candidate pairs (int ids only)
 
+    return _exact_jaccard_edges(sig, cands, threshold)
+
+
+def _exact_jaccard_edges(sig: Dataset, cands: Dataset, threshold: float) -> Dataset:
+    """Distributed exact-jaccard verification of candidate pairs — the
+    shared tail of the LSH-banded (_verified_edges) and prefix-filtered
+    (fuzzy_name_matches) similarity joins.
+
+    ``sig``: one row per id — (doc_id int64, sh list<int64> DISTINCT hash
+    set); extra columns are ignored. ``cands``: MATERIALIZED deduped (a, b)
+    int64 pairs with a < b. Shape: budget-guarded candidate-id broadcast
+    filter, tagged union on doc_id, searchsorted sketch attach, in-shuffle
+    exact jaccard — nothing set-sized reaches the driver."""
     _EMPTY_EDGES = pa.schema(
         [("a", pa.int64()), ("b", pa.int64()), ("inter", pa.int64()), ("uni", pa.int64())]
     )
@@ -934,3 +947,198 @@ def embedding_near_dups(
     # table with an EXPLICIT schema (an empty Dataset loses its schema, which
     # would fail the driver's schema compare on fixtures with no near-dups)
     return pa.Table.from_pylist(verified.take_all(), schema=_EMPTY_NEAR_DUPS)
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered fuzzy string matching (entity resolution over a value
+# vocabulary)
+
+
+# distinct-trigram vocabulary size up to which global document frequencies
+# may be collected to the driver and broadcast for rarest-first prefix
+# ordering; past it the op falls back to plain hash order (prefix filtering
+# stays EXACT under ANY single global token order — frequency order only
+# minimizes candidates; Bayardo et al. 2007, Xiao et al. 2008 PPJoin)
+_TRI_DF_BROADCAST_LIMIT = 5_000_000
+
+
+def fuzzy_name_matches(sf_dir: str, threshold: float = 0.5) -> Dataset:
+    """Fuzzy self-join over the DISTINCT ``part.p_name`` vocabulary: pairs
+    of distinct (lowercased) names whose character-TRIGRAM jaccard >=
+    ``threshold``, each name represented by its MIN p_partkey (so ids stay
+    int64 end-to-end and callers join names back by key).
+
+    Blocking is exact-recall PREFIX FILTERING, not LSH: order each name's
+    trigram set by a single global order (rarest-first when the trigram
+    document-frequency vocabulary fits the broadcast budget, hash order
+    otherwise) and emit only the first |T| - ceil(tau*|T|) + 1 trigrams as
+    block keys — any pair with jaccard >= tau provably shares a prefix
+    trigram, so unlike banded LSH there is NO miss probability. Verification
+    reuses the dedup suite's in-shuffle exact-jaccard tail
+    (_exact_jaccard_edges). Scale shape: the distinct-name exchange is
+    vocabulary-bounded; blocking keys are light (tri_hash, rep_id) rows;
+    frequency ordering prunes hot-trigram buckets subquadratically.
+
+    Output: (pk1, pk2, inter, uni, jac) — jac = ROUND(inter/uni, 6)."""
+    import math
+
+    parts = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+
+    # 1. distinct lowercased name -> MIN p_partkey representative (partial
+    #    min per batch, then one vocabulary-bounded string-keyed exchange)
+    def rep_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "name": pc.utf8_lower(t["p_name"]),
+                    "pk": pc.cast(t["p_partkey"], pa.int64()),
+                }
+            )
+            .group_by("name", use_threads=False)
+            .aggregate([("pk", "min")])
+        )
+        return g.rename_columns(["name", "pk"])
+
+    from ray.data.aggregate import Min as _Min
+
+    reps = (
+        parts.map_batches(rep_partial, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True)
+        .groupby("name")
+        .aggregate(_Min("pk", alias_name="pk"))
+    )
+
+    # 2. signature pass: (doc_id=rep pk, sh=distinct trigram md5-64 hashes)
+    def sig_fn(t: pa.Table) -> pa.Table:
+        names = t["name"].to_pylist()
+        pks = t["pk"].to_pylist()
+        out_id, out_sh = [], []
+        for pk, name in zip(pks, names):
+            tris = [name[i : i + 3] for i in range(max(len(name) - 2, 1))]
+            sh = _shingle_hash64(tris, _MD5_MEMO)
+            if sh.size == 0:
+                continue
+            out_id.append(pk)
+            out_sh.append(np.sort(sh).astype(np.int64).tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "sh": pa.array(out_sh, pa.list_(pa.int64())),
+            }
+        )
+
+    sig = reps.map_batches(
+        sig_fn, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).materialize()
+
+    # 3. global trigram document frequencies (vocab-bounded broadcast; the
+    #    trigram vocabulary of a name column is ~|charset|^3, far below the
+    #    budget — the hash-order fallback keeps the op exact regardless)
+    def df_partial(t: pa.Table) -> pa.Table:
+        sh = t["sh"]
+        if isinstance(sh, pa.ChunkedArray):
+            sh = sh.combine_chunks()
+        flat = sh.flatten()
+        g = pa.table({"tri": flat}).group_by("tri", use_threads=False).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["tri", "n"])
+
+    from ray.data.aggregate import Sum as _Sum
+
+    df_ds = (
+        sig.map_batches(df_partial, batch_format="pyarrow", batch_size=None,
+                        zero_copy_batch=True)
+        .groupby("tri")
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+    freq_ref = None
+    if df_ds.count() <= _TRI_DF_BROADCAST_LIMIT:
+        import ray as _ray
+
+        dft = pa.concat_tables(
+            [b for b in df_ds.iter_batches(batch_format="pyarrow")]
+        )
+        tri_sorted = dft["tri"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(tri_sorted, kind="stable")
+        freq_ref = _ray.put(
+            (tri_sorted[order], dft["n"].to_numpy(zero_copy_only=False)[order])
+        )
+
+    # 4. prefix emit: first L = |T| - ceil(tau*|T|) + 1 trigrams in the
+    #    global (freq asc, hash asc) order become blocking keys
+    def prefix_emit(t: pa.Table) -> pa.Table:
+        lookup = None
+        if freq_ref is not None:
+            from ..util import cached_get
+
+            lookup = cached_get(freq_ref)
+        sh = t["sh"]
+        if isinstance(sh, pa.ChunkedArray):
+            sh = sh.combine_chunks()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        flat = sh.flatten().to_numpy(zero_copy_only=False)
+        lengths = sh.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(lengths)))
+        out_key, out_id = [], []
+        for r in range(len(ids)):
+            vals = flat[offs[r] : offs[r + 1]]
+            n = vals.size
+            L = n - math.ceil(threshold * n) + 1
+            if L <= 0:
+                L = 1
+            if lookup is not None:
+                keys, counts = lookup
+                f = counts[np.searchsorted(keys, vals)]
+                sel = vals[np.lexsort((vals, f))[:L]]
+            else:
+                sel = np.sort(vals)[:L]  # hash order: still a global order
+            out_key.append(sel)
+            out_id.append(np.full(L, ids[r], dtype=np.int64))
+        if not out_key:
+            return pa.table(
+                {"__part": pa.array([], pa.int64()),
+                 "band_key": pa.array([], pa.int64()),
+                 "doc_id": pa.array([], pa.int64())}
+            )
+        keys = np.concatenate(out_key)
+        return pa.table(
+            {
+                "__part": pa.array(_coarse_parts(keys)),
+                "band_key": pa.array(keys, pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+            }
+        )
+
+    raw_pairs = map_partitions(
+        sig.map_batches(prefix_emit, batch_format="pyarrow", batch_size=None,
+                        zero_copy_batch=True),
+        "__part",
+        _pairs_in_partition(max_group=4096),
+        _EMPTY_PAIRS,
+    )
+    cands = map_partitions(
+        raw_pairs.map_batches(_add_pair_part, batch_format="pyarrow", batch_size=None),
+        "__part",
+        _dedup_pairs_part,
+        _EMPTY_PAIRS,
+    ).materialize()
+
+    edges = _exact_jaccard_edges(sig, cands, threshold)
+
+    def finish(t: pa.Table) -> pa.Table:
+        jac = pc.round(
+            pc.divide(pc.cast(t["inter"], pa.float64()), pc.cast(t["uni"], pa.float64())),
+            ndigits=6,
+        )
+        return pa.table(
+            {
+                "pk1": t["a"],
+                "pk2": t["b"],
+                "inter": t["inter"],
+                "uni": t["uni"],
+                "jac": jac,
+            }
+        )
+
+    return edges.map_batches(finish, batch_format="pyarrow", batch_size=None)

@@ -1063,3 +1063,128 @@ def frequent_part_pairs(sf_dir: str, min_support: int = 2) -> Dataset:
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def cube_orders(sf_dir: str) -> Dataset:
+    """GROUP BY CUBE(order_year, o_orderpriority): all four grouping sets
+    (year x priority, year, priority, grand total). Same scale shape as
+    rollup_orders_by_year_priority — ONE distributed groupby at the finest
+    level (per-batch partial combine first), then every coarser grouping
+    re-aggregates the finest RESULT, a table bounded by |years| x
+    |priorities| — the fact table is scanned exactly once."""
+    orders = _pq(sf_dir, "orders", ["o_orderdate", "o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.append_column(
+            "order_year", pc.cast(pc.year(t["o_orderdate"]), pa.int64())
+        )
+        g = t.group_by(["order_year", "o_orderpriority"], use_threads=False).aggregate(
+            [("o_totalprice", "sum"), ("o_totalprice", "count")]
+        )
+        return g.rename_columns(["order_year", "o_orderpriority", "rev", "n"])
+
+    finest = (
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby(["order_year", "o_orderpriority"])
+        .aggregate(Sum("rev", alias_name="rev"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    import pandas as pd
+
+    by_year = finest.groupby("order_year", as_index=False)[["rev", "n"]].sum()
+    by_year["o_orderpriority"] = None
+    by_prio = finest.groupby("o_orderpriority", as_index=False)[["rev", "n"]].sum()
+    by_prio["order_year"] = None
+    total = pd.DataFrame(
+        {"order_year": [None], "o_orderpriority": [None],
+         "rev": [finest["rev"].sum()], "n": [finest["n"].sum()]}
+    )
+    out = pd.concat([finest, by_year, by_prio, total], ignore_index=True)[
+        ["order_year", "o_orderpriority", "rev", "n"]
+    ]
+    # NULL year rows make the int column nullable; float64 (NaN) matches how
+    # DuckDB's BIGINT-with-NULL arrives via fetchdf (rollup's convention)
+    out["order_year"] = out["order_year"].astype("float64")
+    out["revenue"] = out.pop("rev").round(2)
+    out["n_orders"] = out.pop("n").astype("int64")
+    return rd.from_pandas(out)
+
+
+def full_outer_daily_activity(sf_dir: str) -> Dataset:
+    """FULL OUTER join of per-day order aggregates and per-day event counts
+    — the one join type the library lacked. Both sides pre-aggregate to day
+    granularity INSIDE map_batches before any exchange, then a single tagged
+    union + day-keyed groupby merges them; a side that is absent for a day
+    surfaces as NULL (presence flags distinguish 'absent' from 'sum 0').
+    The exchange cardinality is bounded by |distinct days|, not fact rows."""
+    orders = _pq(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    events = _pq(sf_dir, "events", ["ts"])
+
+    def o_partial(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t["o_orderdate"], format="%Y-%m-%d")
+        g = (
+            pa.table({"day": day, "price": t["o_totalprice"]})
+            .group_by("day", use_threads=False)
+            .aggregate([("price", "sum"), ("price", "count")])
+        )
+        g = g.rename_columns(["day", "rev", "n_orders"])
+        n = g.num_rows
+        return pa.table(
+            {
+                "day": g["day"],
+                "rev": pc.cast(g["rev"], pa.float64()),
+                "n_orders": pc.cast(g["n_orders"], pa.int64()),
+                "has_o": pa.array(np.ones(n, dtype=np.int64)),
+                "n_events": pa.array(np.zeros(n, dtype=np.int64)),
+                "has_e": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    def e_partial(t: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.cast(t["ts"], pa.date32()), format="%Y-%m-%d")
+        g = (
+            pa.table({"day": day})
+            .group_by("day", use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        g = g.rename_columns(["day", "n_events"])
+        n = g.num_rows
+        return pa.table(
+            {
+                "day": g["day"],
+                "rev": pa.array(np.zeros(n), pa.float64()),
+                "n_orders": pa.array(np.zeros(n, dtype=np.int64)),
+                "has_o": pa.array(np.zeros(n, dtype=np.int64)),
+                "n_events": pc.cast(g["n_events"], pa.int64()),
+                "has_e": pa.array(np.ones(n, dtype=np.int64)),
+            }
+        )
+
+    tagged = orders.map_batches(
+        o_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).union(
+        events.map_batches(
+            e_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+    )
+    merged = tagged.groupby("day").aggregate(
+        Sum("rev", alias_name="rev"),
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("has_o", alias_name="has_o"),
+        Sum("n_events", alias_name="n_events"),
+        Sum("has_e", alias_name="has_e"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        has_o = pc.greater(t["has_o"], 0)
+        has_e = pc.greater(t["has_e"], 0)
+        return pa.table(
+            {
+                "day": t["day"],
+                "n_orders": pc.if_else(has_o, pc.cast(t["n_orders"], pa.int64()), None),
+                "revenue": pc.if_else(has_o, pc.round(t["rev"], ndigits=2), None),
+                "n_events": pc.if_else(has_e, pc.cast(t["n_events"], pa.int64()), None),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow", batch_size=None)

@@ -663,3 +663,31 @@ def cume_dist_value_by_type(sf_dir: str, max_distinct: int = 2_000_000) -> Datas
         )
 
     return ds.map_batches(cd, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+def mad_value_by_type(sf_dir: str) -> Dataset:
+    """Robust outlier profile per event type: exact median, exact MEDIAN
+    ABSOLUTE DEVIATION, and the count of values beyond the classic
+    3 x 1.4826 x MAD robust-z fence. One groupby(event_type).map_groups
+    computes all three from the whole group (same shape + bounded-group
+    caveat as median_value_by_type; the binned quantile sketch is the
+    continuous-scale alternative). The fence compares against the UNROUNDED
+    median/MAD on both engines; only the reported columns are rounded."""
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def prof(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy(dtype=np.float64)
+        med = float(np.median(v))
+        dev = np.abs(v - med)
+        mad = float(np.median(dev))
+        n_out = int(np.count_nonzero(dev > 3.0 * 1.4826 * mad))
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "median_value": [round(med, 6)],
+                "mad": [round(mad, 6)],
+                "n_outliers": [n_out],
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(prof, batch_format="pandas")
