@@ -317,6 +317,36 @@ def _kg_edge_timestamps(sf_dir: str) -> Any:
     )
 
 
+def _kg_edge_lifespan(sf_dir: str) -> Any:
+    """Temporal extent per triple (first/last witness + exact integer span)
+    via the same big x big partitioned hash join as kg_edge_timestamps."""
+    from chunksilo_ray import datagen
+    from chunksilo_ray.ops.graph import kg_edge_lifespan
+
+    corpus = datagen.corpus_dir(datagen.sf_from_dir(sf_dir))
+    return kg_edge_lifespan(
+        _kg_result(sf_dir)["edges"], f"{corpus}/transcripts.parquet"
+    )
+
+
+def _kg_schema_profile(sf_dir: str) -> Any:
+    """Per-predicate schema card: triple count, total weight, and DISTINCT
+    subject/object cardinalities kept distributed (pair-dedup groupby +
+    partial counts; only per-predicate rows reach the driver)."""
+    from chunksilo_ray.ops.graph import kg_schema_profile
+
+    return kg_schema_profile(_kg_result(sf_dir)["edges_agg"])
+
+
+def _kg_degree_assortativity(sf_dir: str) -> Any:
+    """Newman degree assortativity of the KG: Pearson r of endpoint degrees
+    over both edge orientations; exact integer moment partials on both
+    engines, identical final float formula."""
+    from chunksilo_ray.ops.graph import kg_degree_assortativity
+
+    return kg_degree_assortativity(_kg_result(sf_dir)["edges_agg"])
+
+
 def _hybrid_search_rrf(sf_dir: str) -> Any:
     """Hybrid BM25 + dense-cosine retrieval fused by reciprocal rank
     (RRF, c=60) — the reference's vector+BM25 merge as one operator."""
@@ -822,6 +852,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_outer_daily_activity": _full_outer_daily_activity,
         "mad_value_by_type": _mad_value_by_type,
         "bpe_pair_counts": _bpe_pair_counts,
+        "kg_edge_lifespan": _kg_edge_lifespan,
+        "kg_schema_profile": _kg_schema_profile,
+        "kg_degree_assortativity": _kg_degree_assortativity,
         # round-4 batch 7: JSONL/CSV interchange sinks+sources — the query
         # answers from the roundtripped files, the oracle from the original
         # parquet, so a value match proves the roundtrip is lossless
@@ -2619,6 +2652,61 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM pairs
                   WHERE NOT regexp_matches(pair, '[ \t\n\r]') GROUP BY pair)
             SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT 50
+        """,
+        "kg_edge_lifespan": f"""
+            WITH e AS (SELECT subj, pred, obj, conv_id, turn_idx, weight
+                       FROM read_parquet('{_KG_OUT01}/edges/*.parquet')),
+            t AS (SELECT conv_id, turn_idx, epoch_us(ts) AS ts_us
+                  FROM read_parquet('/tmp/chunksilo_ray_testdata/sf0.01-seed42/transcripts.parquet'))
+            SELECT subj, pred, obj,
+                   CAST(MIN(ts_us) AS BIGINT) AS first_ts_us,
+                   CAST(MAX(ts_us) AS BIGINT) AS last_ts_us,
+                   CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS span_us,
+                   CAST(SUM(weight) AS BIGINT) AS n_mentions
+            FROM e JOIN t USING (conv_id, turn_idx)
+            GROUP BY subj, pred, obj
+        """,
+        "kg_schema_profile": f"""
+            SELECT pred,
+                   CAST(COUNT(*) AS BIGINT) AS n_triples,
+                   CAST(SUM(weight) AS BIGINT) AS total_weight,
+                   CAST(COUNT(DISTINCT subj) AS BIGINT) AS n_subj,
+                   CAST(COUNT(DISTINCT obj) AS BIGINT) AS n_obj
+            FROM read_parquet('{_KG_OUT01}/edges_agg/*.parquet')
+            GROUP BY pred
+        """,
+        # exact integer moment sums on both engines, identical final float
+        # formula -> bit-identical r before the shared ROUND
+        "kg_degree_assortativity": f"""
+            WITH ea AS (SELECT subj, obj
+                        FROM read_parquet('{_KG_OUT01}/edges_agg/*.parquet')),
+            d AS (
+              SELECT node, SUM(c) AS deg FROM (
+                SELECT subj AS node, COUNT(*) AS c FROM ea GROUP BY 1
+                UNION ALL
+                SELECT obj AS node, COUNT(*) AS c FROM ea GROUP BY 1
+              ) GROUP BY node
+            ),
+            pairs AS (
+              SELECT CAST(ds.deg AS BIGINT) AS x, CAST(do_.deg AS BIGINT) AS y
+              FROM ea JOIN d ds ON ds.node = ea.subj
+                      JOIN d do_ ON do_.node = ea.obj
+              UNION ALL
+              SELECT CAST(do_.deg AS BIGINT), CAST(ds.deg AS BIGINT)
+              FROM ea JOIN d ds ON ds.node = ea.subj
+                      JOIN d do_ ON do_.node = ea.obj
+            ),
+            mom AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                           CAST(SUM(x) AS DOUBLE) AS sx,
+                           CAST(SUM(y) AS DOUBLE) AS sy,
+                           CAST(SUM(x*x) AS DOUBLE) AS sxx,
+                           CAST(SUM(y*y) AS DOUBLE) AS syy,
+                           CAST(SUM(x*y) AS DOUBLE) AS sxy
+                    FROM pairs)
+            SELECT ROUND((n*sxy - sx*sy)
+                         / (SQRT(n*sxx - sx*sx) * SQRT(n*syy - sy*sy)), 6)
+                   AS assortativity
+            FROM mom
         """,
         # roundtrip oracles read the ORIGINAL tables (not the exported
         # files) — parity proves the interchange lost nothing

@@ -2134,10 +2134,14 @@ def kg_predicate_entropy(edges_agg: Dataset) -> Dataset:
     )
 
 
-def kg_edge_timestamps(edges: Dataset, transcripts_path: str) -> Dataset:
+def kg_edge_timestamps(
+    edges: Dataset, transcripts_path: str, with_last: bool = False
+) -> Dataset:
     """Wall-clock provenance per aggregated triple: join every per-turn
     edge mention back to its source turn's timestamp and emit (subj, pred,
     obj, first_ts_us, n_mentions) — when the KG first learned each fact.
+    ``with_last=True`` additionally carries last_ts_us (Max merges the same
+    way Min does; kg_edge_lifespan builds on it).
     kg_edge_provenance keys lineage by (conv_id:turn_idx); this is the
     variant a time-sliced KG build needs, and it is the engine's BIG x BIG
     cross-table EQUI-JOIN: neither side fits a broadcast at 10^12 turns.
@@ -2226,8 +2230,9 @@ def kg_edge_timestamps(edges: Dataset, transcripts_path: str) -> Dataset:
             ("pred", pa.string()),
             ("obj", pa.string()),
             ("first_ts_us", pa.int64()),
-            ("n_mentions", pa.int64()),
         ]
+        + ([("last_ts_us", pa.int64())] if with_last else [])
+        + [("n_mentions", pa.int64())]
     )
 
     def join_part(t: pa.Table) -> pa.Table:
@@ -2258,20 +2263,190 @@ def kg_edge_timestamps(edges: Dataset, transcripts_path: str) -> Dataset:
                 "w": pa.array(t["w"].to_numpy(zero_copy_only=False)[em], pa.int64()),
             }
         ).group_by(["subj", "pred", "obj"], use_threads=False).aggregate(
-            [("ts_us", "min"), ("w", "sum")]
+            [("ts_us", "min")]
+            + ([("ts_us", "max")] if with_last else [])
+            + [("w", "sum")]
+        )
+        cols = {
+            "subj": g["subj"],
+            "pred": g["pred"],
+            "obj": g["obj"],
+            "first_ts_us": g["ts_us_min"].cast(pa.int64()),
+        }
+        if with_last:
+            cols["last_ts_us"] = g["ts_us_max"].cast(pa.int64())
+        cols["n_mentions"] = g["w_sum"].cast(pa.int64())
+        return pa.table(cols)
+
+    partials = map_partitions(tagged, "__part", join_part, out_schema)
+    from ray.data.aggregate import Max as _Max
+
+    aggs = [Min("first_ts_us", alias_name="first_ts_us")]
+    if with_last:
+        aggs.append(_Max("last_ts_us", alias_name="last_ts_us"))
+    aggs.append(Sum("n_mentions", alias_name="n_mentions"))
+    return partials.groupby(["subj", "pred", "obj"]).aggregate(*aggs)
+
+
+def kg_edge_lifespan(edges: Dataset, transcripts_path: str) -> Dataset:
+    """Temporal extent per aggregated triple: (first_ts_us, last_ts_us,
+    span_us, n_mentions) — how long each fact stayed 'alive' in the
+    transcript stream. Same big x big partitioned hash join as
+    kg_edge_timestamps (Max merges exactly like Min through the partial +
+    final exchanges); span is integer microsecond arithmetic, exact on both
+    engines."""
+
+    ds = kg_edge_timestamps(edges, transcripts_path, with_last=True)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "span_us",
+            pc.cast(pc.subtract(t["last_ts_us"], t["first_ts_us"]), pa.int64()),
+        )
+
+    return ds.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def kg_schema_profile(ea: Dataset) -> Dataset:
+    """Schema card of the constructed KG — per predicate: number of distinct
+    triples, summed mention weight, and the distinct subject / object
+    cardinalities. The distinct counts stay DISTRIBUTED: per-batch distinct
+    (pred, entity) partials -> one pair-keyed dedup groupby -> per-batch
+    count partial -> tiny pred-keyed sum (the corpus_datasheet pattern);
+    only the final per-predicate rows (vocabulary-bounded) reach the
+    driver, where the three profiles merge by predicate."""
+    import pandas as pd
+
+    def base_part(t: pa.Table) -> pa.Table:
+        g = t.group_by("pred", use_threads=False).aggregate(
+            [("weight", "sum"), ("weight", "count")]
         )
         return pa.table(
             {
-                "subj": g["subj"],
                 "pred": g["pred"],
-                "obj": g["obj"],
-                "first_ts_us": g["ts_us_min"].cast(pa.int64()),
-                "n_mentions": g["w_sum"].cast(pa.int64()),
+                "total_weight": pc.cast(g["weight_sum"], pa.int64()),
+                "n_triples": pc.cast(g["weight_count"], pa.int64()),
             }
         )
 
-    partials = map_partitions(tagged, "__part", join_part, out_schema)
-    return partials.groupby(["subj", "pred", "obj"]).aggregate(
-        Min("first_ts_us", alias_name="first_ts_us"),
-        Sum("n_mentions", alias_name="n_mentions"),
+    base = (
+        ea.map_batches(base_part, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True)
+        .groupby("pred")
+        .aggregate(
+            Sum("total_weight", alias_name="total_weight"),
+            Sum("n_triples", alias_name="n_triples"),
+        )
+        .to_pandas()
     )
+
+    def distinct_count(key: str, out_col: str) -> "pd.DataFrame":
+        def pair_part(t: pa.Table) -> pa.Table:
+            g = t.group_by(["pred", key], use_threads=False).aggregate([])
+            return g.rename_columns(["pred", "ent"])
+
+        from ray.data.aggregate import Count as _Count
+
+        deduped = (
+            ea.map_batches(pair_part, batch_format="pyarrow", batch_size=None,
+                           zero_copy_batch=True)
+            .groupby(["pred", "ent"])
+            # distinct (pred, entity) pairs, still distributed; the count
+            # column is a discarded artifact of Ray's aggregate API
+            .aggregate(_Count(alias_name="_c"))
+        )
+
+        def count_part(t: pa.Table) -> pa.Table:
+            g = t.group_by("pred", use_threads=False).aggregate([([], "count_all")])
+            return g.rename_columns(["pred", out_col])
+
+        return (
+            deduped.map_batches(count_part, batch_format="pyarrow",
+                                batch_size=None, zero_copy_batch=True)
+            .groupby("pred")
+            .aggregate(Sum(out_col, alias_name=out_col))
+            .to_pandas()
+        )
+
+    out = base.merge(distinct_count("subj", "n_subj"), on="pred").merge(
+        distinct_count("obj", "n_obj"), on="pred"
+    )[["pred", "n_triples", "total_weight", "n_subj", "n_obj"]]
+    out["n_subj"] = out["n_subj"].astype("int64")
+    out["n_obj"] = out["n_obj"].astype("int64")
+    return rd.from_pandas(out)
+
+
+def _string_ids(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """Deterministic 64-bit id per string (pandas hash_array — stable across
+    batches and workers; collision odds ~n^2/2^64, the library-wide hashed-
+    key argument). Returned as int64 for searchsorted lookups."""
+    from pandas.util import hash_array
+
+    vals = col.to_numpy(zero_copy_only=False)
+    return hash_array(vals.astype(object), categorize=False).view(np.int64)
+
+
+def kg_degree_assortativity(ea: Dataset, max_nodes: int = 5_000_000) -> "pa.Table":
+    """Degree assortativity of the KG (Newman 2002): Pearson correlation of
+    the (unweighted total) degrees at the two ends of every edge, both
+    orientations — do high-degree entities link to other hubs or to leaves?
+
+    Shape: kg_node_degrees (mergeable partials) -> node->degree broadcast
+    (sorted int-keyed arrays via ray.put, budget-guarded: past ``max_nodes``
+    this raises and names the exchange alternative rather than silently
+    holding an unbounded driver map — the exact-or-error contract of
+    kg_common_neighbors) -> per-batch float64 moment partials
+    (n, sx, sy, sxx, syy, sxy) -> one tiny reduce. Degrees are symmetric
+    across orientations, so sx == sy and the formula collapses, but both
+    moment sets are kept so the SQL oracle's corr() is mirrored literally."""
+    import ray as _ray
+
+    deg = kg_node_degrees(ea)
+    if deg.count() > max_nodes:
+        raise ValueError(
+            f"kg_degree_assortativity: node count > max_nodes={max_nodes}; "
+            "switch to the two-pass attach exchange (join degrees to edges "
+            "by endpoint) or raise max_nodes explicitly"
+        )
+    parts = [b for b in deg.iter_batches(batch_format="pyarrow")]
+    dt = pa.concat_tables(parts)
+    node_hash = _string_ids(dt["node"])
+    total = (
+        dt["out_degree"].to_numpy(zero_copy_only=False)
+        + dt["in_degree"].to_numpy(zero_copy_only=False)
+    ).astype(np.float64)
+    order = np.argsort(node_hash, kind="stable")
+    deg_ref = _ray.put((node_hash[order], total[order]))
+
+    def moments(t: pa.Table) -> pa.Table:
+        from ..util import cached_get
+
+        keys, vals = cached_get(deg_ref)
+        s = _string_ids(t["subj"])
+        o = _string_ids(t["obj"])
+        ds_ = vals[np.searchsorted(keys, s)]
+        do_ = vals[np.searchsorted(keys, o)]
+        x = np.concatenate([ds_, do_])  # both orientations
+        y = np.concatenate([do_, ds_])
+        return pa.table(
+            {
+                "n": pa.array([float(len(x))], pa.float64()),
+                "sx": pa.array([float(x.sum())], pa.float64()),
+                "sy": pa.array([float(y.sum())], pa.float64()),
+                "sxx": pa.array([float((x * x).sum())], pa.float64()),
+                "syy": pa.array([float((y * y).sum())], pa.float64()),
+                "sxy": pa.array([float((x * y).sum())], pa.float64()),
+            }
+        )
+
+    m = (
+        ea.map_batches(moments, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True)
+        .to_pandas()
+        .sum()
+    )
+    n, sx, sy, sxx, syy, sxy = (m[c] for c in ("n", "sx", "sy", "sxx", "syy", "sxy"))
+    num = n * sxy - sx * sy
+    den = np.sqrt(max(n * sxx - sx * sx, 0.0)) * np.sqrt(max(n * syy - sy * sy, 0.0))
+    r = float(num / den) if den > 0 else float("nan")
+    return pa.table({"assortativity": pa.array([round(r, 6)], pa.float64())})
