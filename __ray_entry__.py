@@ -347,6 +347,40 @@ def _kg_degree_assortativity(sf_dir: str) -> Any:
     return kg_degree_assortativity(_kg_result(sf_dir)["edges_agg"])
 
 
+def _qa_length_correlation(sf_dir: str) -> Any:
+    """Pearson r between user-turn length and the adjacent assistant reply
+    length (exact integer moments both engines; no text enters the
+    exchange — lengths only)."""
+    from chunksilo_ray import datagen
+    from chunksilo_ray.ops.window import qa_length_correlation
+
+    corpus = datagen.corpus_dir(datagen.sf_from_dir(sf_dir))
+    return qa_length_correlation(f"{corpus}/transcripts.parquet")
+
+
+def _conv_tool_chains(sf_dir: str) -> Any:
+    """Top-50 tool-call journeys: first 12 tool invocations per conversation
+    joined '>' and counted (event_path_per_user over the transcripts)."""
+    from chunksilo_ray import datagen
+    from chunksilo_ray.ops.window import conv_tool_chains
+
+    corpus = datagen.corpus_dir(datagen.sf_from_dir(sf_dir))
+    return conv_tool_chains(f"{corpus}/transcripts.parquet")
+
+
+def _kg_extraction_yield(sf_dir: str) -> Any:
+    """Extraction-quality audit: histogram of per-conversation edge-mention
+    yield (integer tenths-per-turn buckets, transcripts spine so dead zones
+    show as bucket 0)."""
+    from chunksilo_ray import datagen
+    from chunksilo_ray.ops.graph import kg_extraction_yield
+
+    corpus = datagen.corpus_dir(datagen.sf_from_dir(sf_dir))
+    return kg_extraction_yield(
+        _kg_result(sf_dir)["edges"], f"{corpus}/transcripts.parquet"
+    )
+
+
 def _hybrid_search_rrf(sf_dir: str) -> Any:
     """Hybrid BM25 + dense-cosine retrieval fused by reciprocal rank
     (RRF, c=60) — the reference's vector+BM25 merge as one operator."""
@@ -855,6 +889,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edge_lifespan": _kg_edge_lifespan,
         "kg_schema_profile": _kg_schema_profile,
         "kg_degree_assortativity": _kg_degree_assortativity,
+        "qa_length_correlation": _qa_length_correlation,
+        "conv_tool_chains": _conv_tool_chains,
+        "kg_extraction_yield": _kg_extraction_yield,
         # round-4 batch 7: JSONL/CSV interchange sinks+sources — the query
         # answers from the roundtripped files, the oracle from the original
         # parquet, so a value match proves the roundtrip is lossless
@@ -2674,6 +2711,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT obj) AS BIGINT) AS n_obj
             FROM read_parquet('{_KG_OUT01}/edges_agg/*.parquet')
             GROUP BY pred
+        """,
+        "qa_length_correlation": """
+            WITH t AS (SELECT conv_id, turn_idx, role, length(text) AS len
+                       FROM read_parquet('/tmp/chunksilo_ray_testdata/sf0.01-seed42/transcripts.parquet')),
+            p AS (SELECT CAST(a.len AS BIGINT) AS x, CAST(b.len AS BIGINT) AS y
+                  FROM t a JOIN t b
+                    ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx + 1
+                  WHERE a.role = 'user' AND b.role = 'assistant'),
+            mom AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                           CAST(SUM(x) AS DOUBLE) AS sx,
+                           CAST(SUM(y) AS DOUBLE) AS sy,
+                           CAST(SUM(x*x) AS DOUBLE) AS sxx,
+                           CAST(SUM(y*y) AS DOUBLE) AS syy,
+                           CAST(SUM(x*y) AS DOUBLE) AS sxy
+                    FROM p)
+            SELECT ROUND((n*sxy - sx*sy)
+                         / (SQRT(n*sxx - sx*sx) * SQRT(n*syy - sy*sy)), 6)
+                     AS qa_len_corr,
+                   CAST(n AS BIGINT) AS n_pairs
+            FROM mom
+        """,
+        "conv_tool_chains": """
+            WITH tt AS (SELECT conv_id, turn_idx, tool,
+                               ROW_NUMBER() OVER (PARTITION BY conv_id
+                                                  ORDER BY turn_idx) AS rn
+                        FROM read_parquet('/tmp/chunksilo_ray_testdata/sf0.01-seed42/transcripts.parquet')
+                        WHERE role = 'tool'),
+            chains AS (SELECT conv_id,
+                              string_agg(tool, '>' ORDER BY turn_idx) AS chain
+                       FROM tt WHERE rn <= 12 GROUP BY conv_id),
+            c AS (SELECT chain, CAST(COUNT(*) AS BIGINT) AS n_convs
+                  FROM chains GROUP BY chain)
+            SELECT chain, n_convs FROM c ORDER BY n_convs DESC, chain LIMIT 50
+        """,
+        "kg_extraction_yield": f"""
+            WITH t AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns
+                       FROM read_parquet('/tmp/chunksilo_ray_testdata/sf0.01-seed42/transcripts.parquet')
+                       GROUP BY conv_id),
+            e AS (SELECT conv_id, CAST(SUM(weight) AS BIGINT) AS n_mentions
+                  FROM read_parquet('{_KG_OUT01}/edges/*.parquet')
+                  GROUP BY conv_id),
+            y AS (SELECT t.conv_id,
+                         LEAST(10 * COALESCE(e.n_mentions, 0) // t.n_turns, 50)
+                           AS yield_bucket
+                  FROM t LEFT JOIN e USING (conv_id))
+            SELECT yield_bucket, CAST(COUNT(*) AS BIGINT) AS n_convs
+            FROM y GROUP BY yield_bucket
         """,
         # exact integer moment sums on both engines, identical final float
         # formula -> bit-identical r before the shared ROUND

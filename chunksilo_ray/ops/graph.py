@@ -2450,3 +2450,85 @@ def kg_degree_assortativity(ea: Dataset, max_nodes: int = 5_000_000) -> "pa.Tabl
     den = np.sqrt(max(n * sxx - sx * sx, 0.0)) * np.sqrt(max(n * syy - sy * sy, 0.0))
     r = float(num / den) if den > 0 else float("nan")
     return pa.table({"assortativity": pa.array([round(r, 6)], pa.float64())})
+
+
+def kg_extraction_yield(edges: Dataset, transcripts_path: str) -> Dataset:
+    """Extraction-quality audit of the KG build: per conversation, yield =
+    total edge mentions / total turns, folded into a bounded histogram of
+    (yield_bucket, n_convs) with bucket = min(10 * mentions // turns, 50)
+    — tenths of a triple per turn, INTEGER arithmetic so the boundary is
+    exact on both engines. Conversations that produced no edges land in
+    bucket 0 (the audit's whole point is seeing extraction dead zones).
+
+    Scale shape: both sides pre-aggregate per conversation inside
+    map_batches (edges to SUM(weight), transcripts to COUNT), meet in ONE
+    conv-keyed groupby, and collapse to the <= 51-row bucket histogram —
+    the full_outer_daily_activity tagged-union pattern with a left
+    (transcripts) spine."""
+    import ray.data as rd
+
+    tr = rd.read_parquet(transcripts_path, columns=["conv_id"])
+
+    def t_part(t: pa.Table) -> pa.Table:
+        g = t.group_by("conv_id", use_threads=False).aggregate([([], "count_all")])
+        g = g.rename_columns(["conv_id", "n_turns"])
+        return pa.table(
+            {
+                "conv_id": g["conv_id"],
+                "n_turns": pc.cast(g["n_turns"], pa.int64()),
+                "n_mentions": pa.array(np.zeros(g.num_rows, np.int64)),
+            }
+        )
+
+    def e_part(t: pa.Table) -> pa.Table:
+        g = t.group_by("conv_id", use_threads=False).aggregate([("weight", "sum")])
+        g = g.rename_columns(["conv_id", "n_mentions"])
+        return pa.table(
+            {
+                "conv_id": g["conv_id"],
+                "n_turns": pa.array(np.zeros(g.num_rows, np.int64)),
+                "n_mentions": pc.cast(g["n_mentions"], pa.int64()),
+            }
+        )
+
+    per_conv = (
+        tr.map_batches(t_part, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True)
+        .union(
+            edges.map_batches(e_part, batch_format="pyarrow", batch_size=None,
+                              zero_copy_batch=True)
+        )
+        .groupby("conv_id")
+        .aggregate(
+            Sum("n_turns", alias_name="n_turns"),
+            Sum("n_mentions", alias_name="n_mentions"),
+        )
+    )
+
+    def bucket_part(t: pa.Table) -> pa.Table:
+        turns = t["n_turns"].to_numpy(zero_copy_only=False).astype(np.int64)
+        men = t["n_mentions"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # every conv_id comes from the transcripts spine, so turns >= 1;
+        # an edges-only conv would mean lineage corruption — fail loud
+        if (turns <= 0).any():
+            raise ValueError("kg_extraction_yield: conv with edges but no turns")
+        b = np.minimum(10 * men // turns, 50)
+        g = (
+            pa.table({"yield_bucket": pa.array(b, pa.int64())})
+            .group_by("yield_bucket", use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["yield_bucket", "n_convs"])
+
+    hist = (
+        per_conv.map_batches(bucket_part, batch_format="pyarrow", batch_size=None)
+        .groupby("yield_bucket")
+        .aggregate(Sum("n_convs", alias_name="n_convs"))
+    )
+    return hist.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("n_convs"), "n_convs", pc.cast(t["n_convs"], pa.int64())
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 from ray.data import Dataset
 
@@ -1393,3 +1394,144 @@ def conv_partition_skew(transcripts_path: str, parts: int = 64) -> Dataset:
             ]
         ),
     )
+
+
+def qa_length_correlation(transcripts_path: str) -> pa.Table:
+    """Prompt/response length coupling: Pearson r between the character
+    length of each user turn and its immediately-following assistant turn
+    (turn_idx + 1 in the same conversation — sft_pairs' adjacency), plus
+    the exact pair count. Do long prompts beget long answers?
+
+    Scale shape: unlike sft_pairs, NO text moves — the scan reduces each
+    turn to (conv, turn_idx, role code, length) light rows; the coarse
+    conv-hash partition kernel detects adjacencies vectorized and emits
+    one float64 moment row (n, sx, sy, sxx, syy, sxy) per partition; the
+    driver folds ~64 rows. Moments are exact integer sums (< 2^53), and
+    the SQL oracle mirrors the same final formula, so r is bit-identical
+    before the shared ROUND."""
+    ds = rd.read_parquet(
+        transcripts_path, columns=["conv_id", "turn_idx", "role", "text"]
+    )
+
+    def light(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                "is_user": pc.cast(pc.equal(t["role"], "user"), pa.int8()),
+                "is_asst": pc.cast(pc.equal(t["role"], "assistant"), pa.int8()),
+                "len": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            }
+        )
+        return _conv_tag(out)
+
+    MOM = pa.schema(
+        [(c, pa.float64()) for c in ("n", "sx", "sy", "sxx", "syy", "sxy")]
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        idx = t["turn_idx"].to_numpy(zero_copy_only=False)
+        iu = t["is_user"].to_numpy(zero_copy_only=False)
+        ia = t["is_asst"].to_numpy(zero_copy_only=False)
+        ln = t["len"].to_numpy(zero_copy_only=False)
+        _, codes = np.unique(conv, return_inverse=True)
+        order = np.lexsort((idx, codes))
+        codes, idx, iu, ia, ln = (
+            codes[order], idx[order], iu[order], ia[order], ln[order]
+        )
+        adj = (
+            (codes[1:] == codes[:-1])
+            & (idx[1:] == idx[:-1] + 1)
+            & (iu[:-1] == 1)
+            & (ia[1:] == 1)
+        )
+        x = ln[:-1][adj].astype(np.float64)
+        y = ln[1:][adj].astype(np.float64)
+        return pa.table(
+            {
+                "n": pa.array([float(len(x))], pa.float64()),
+                "sx": pa.array([float(x.sum())], pa.float64()),
+                "sy": pa.array([float(y.sum())], pa.float64()),
+                "sxx": pa.array([float((x * x).sum())], pa.float64()),
+                "syy": pa.array([float((y * y).sum())], pa.float64()),
+                "sxy": pa.array([float((x * y).sum())], pa.float64()),
+            }
+        )
+
+    from ..util import map_partitions
+
+    m = (
+        map_partitions(
+            ds.map_batches(light, batch_format="pyarrow", batch_size=None,
+                           zero_copy_batch=True),
+            "__part",
+            moments,
+            MOM,
+        )
+        .to_pandas()
+        .sum()
+    )
+    n, sx, sy, sxx, syy, sxy = (m[c] for c in ("n", "sx", "sy", "sxx", "syy", "sxy"))
+    num = n * sxy - sx * sy
+    den = np.sqrt(max(n * sxx - sx * sx, 0.0)) * np.sqrt(max(n * syy - sy * sy, 0.0))
+    r = float(num / den) if den > 0 else float("nan")
+    return pa.table(
+        {
+            "qa_len_corr": pa.array([round(r, 6)], pa.float64()),
+            "n_pairs": pa.array([int(n)], pa.int64()),
+        }
+    )
+
+
+def conv_tool_chains(transcripts_path: str, k: int = 12, topn: int = 50) -> Dataset:
+    """Tool-call journey analysis: each conversation's first ``k`` tool
+    invocations (role='tool' turns in turn order) joined with '>' into a
+    chain string, then the ``topn`` most common chains — which tool
+    sequences dominate agent behavior (the event_path_per_user operator
+    re-expressed over the north-rule transcripts). Conversations with no
+    tool turns are excluded (an empty chain is no journey). Output
+    (chain, n_convs), ranked (n DESC, chain) on both engines.
+
+    Scale shape: only (conv_id, turn_idx, tool) light rows enter the
+    conv-hash exchange (text never moves); per-partition the k-prefix is
+    vectorized cumcount and only the final join-to-string is per-conv
+    work; chain counts are partial-aggregated per partition before one
+    tiny chain-keyed exchange, and the top-n collect is bounded."""
+    ds = rd.read_parquet(
+        transcripts_path, columns=["conv_id", "turn_idx", "role", "tool"]
+    )
+
+    def light(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["role"], "tool"))
+        out = pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                "tool": t["tool"],
+            }
+        )
+        return _conv_tag(out)
+
+    def chains_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        g = g[g.groupby("conv_id").cumcount() < k]
+        chains = g.groupby("conv_id", sort=False)["tool"].agg(">".join)
+        # partial count per chain INSIDE the partition (chains repeat a lot)
+        cnt = chains.value_counts()
+        return pd.DataFrame(
+            {"chain": cnt.index.to_numpy(), "n_convs": cnt.to_numpy().astype("int64")}
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    agg = (
+        ds.map_batches(light, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(chains_partition, batch_format="pandas")
+        .groupby("chain")
+        .aggregate(_Sum("n_convs", alias_name="n_convs"))
+    )
+    top = agg.sort(["n_convs", "chain"], descending=[True, False]).limit(topn)
+    return top
