@@ -381,6 +381,41 @@ def _kg_extraction_yield(sf_dir: str) -> Any:
     )
 
 
+def _kg_path_census(sf_dir: str) -> Any:
+    """2-hop predicate-pair path census (never materializes a path: per-
+    node in/out predicate partials, one node-keyed exchange, n_in*n_out
+    factorized cross — vocabulary-bounded per node, hub-safe)."""
+    from chunksilo_ray.ops.graph import kg_path_census
+
+    return kg_path_census(_kg_result(sf_dir)["edges_agg"])
+
+
+def _kg_reciprocity(sf_dir: str) -> Any:
+    """Per-predicate edge reciprocity (canonical (pred, lo, hi) pair
+    exchange; a size-2 group is a reciprocal pair)."""
+    from chunksilo_ray.ops.graph import kg_reciprocity
+
+    return kg_reciprocity(_kg_result(sf_dir)["edges_agg"])
+
+
+def _kg_star_query(sf_dir: str) -> Any:
+    """Conjunctive star query: subjects with edges under ALL of a
+    predicate set (scan-pruned, one subj-keyed exchange)."""
+    from chunksilo_ray.ops.graph import kg_star_query
+
+    return kg_star_query(_kg_result(sf_dir)["edges_agg"])
+
+
+def _role_trigrams(sf_dir: str) -> Any:
+    """Adjacent role-trigram census over the transcripts (conv-hash
+    partitions, three aligned lexsort slices, |roles|^3 partials)."""
+    from chunksilo_ray import datagen
+    from chunksilo_ray.ops.window import role_trigrams
+
+    corpus = datagen.corpus_dir(datagen.sf_from_dir(sf_dir))
+    return role_trigrams(f"{corpus}/transcripts.parquet")
+
+
 def _hybrid_search_rrf(sf_dir: str) -> Any:
     """Hybrid BM25 + dense-cosine retrieval fused by reciprocal rank
     (RRF, c=60) — the reference's vector+BM25 merge as one operator."""
@@ -892,6 +927,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qa_length_correlation": _qa_length_correlation,
         "conv_tool_chains": _conv_tool_chains,
         "kg_extraction_yield": _kg_extraction_yield,
+        # round-4 batch 16: KG path/reciprocity/conjunctive queries + role motifs
+        "kg_path_census": _kg_path_census,
+        "kg_reciprocity": _kg_reciprocity,
+        "kg_star_query": _kg_star_query,
+        "role_trigrams": _role_trigrams,
         # round-4 batch 7: JSONL/CSV interchange sinks+sources — the query
         # answers from the roundtripped files, the oracle from the original
         # parquet, so a value match proves the roundtrip is lossless
@@ -2758,6 +2798,44 @@ def oracle_sql() -> dict[str, str]:
                   FROM t LEFT JOIN e USING (conv_id))
             SELECT yield_bucket, CAST(COUNT(*) AS BIGINT) AS n_convs
             FROM y GROUP BY yield_bucket
+        """,
+        "kg_path_census": f"""
+            WITH ea AS (SELECT subj, pred, obj
+                        FROM read_parquet('{_KG_OUT01}/edges_agg/*.parquet'))
+            SELECT e1.pred AS pred1, e2.pred AS pred2,
+                   CAST(COUNT(*) AS BIGINT) AS n_paths
+            FROM ea e1 JOIN ea e2 ON e2.subj = e1.obj
+            GROUP BY e1.pred, e2.pred
+        """,
+        "kg_reciprocity": f"""
+            WITH p AS (SELECT subj, pred, obj
+                       FROM read_parquet('{_KG_OUT01}/edges_agg/*.parquet')
+                       WHERE subj <> obj)
+            SELECT p.pred,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(COUNT(r.subj) AS BIGINT) AS n_recip,
+                   ROUND(CAST(COUNT(r.subj) AS DOUBLE) / COUNT(*), 6) + 0.0
+                     AS recip_rate
+            FROM p LEFT JOIN p r
+              ON r.pred = p.pred AND r.subj = p.obj AND r.obj = p.subj
+            GROUP BY p.pred
+        """,
+        "kg_star_query": f"""
+            SELECT subj, CAST(COUNT(*) AS BIGINT) AS n_objs
+            FROM read_parquet('{_KG_OUT01}/edges_agg/*.parquet')
+            WHERE pred IN ('asks_about', 'states', 'configures')
+            GROUP BY subj
+            HAVING COUNT(DISTINCT pred) = 3
+        """,
+        "role_trigrams": """
+            WITH t AS (SELECT conv_id, turn_idx, role
+                       FROM read_parquet('/tmp/chunksilo_ray_testdata/sf0.01-seed42/transcripts.parquet'))
+            SELECT a.role AS r1, b.role AS r2, c.role AS r3,
+                   CAST(COUNT(*) AS BIGINT) AS n_trigrams
+            FROM t a
+            JOIN t b ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx + 1
+            JOIN t c ON c.conv_id = a.conv_id AND c.turn_idx = a.turn_idx + 2
+            GROUP BY a.role, b.role, c.role
         """,
         # exact integer moment sums on both engines, identical final float
         # formula -> bit-identical r before the shared ROUND

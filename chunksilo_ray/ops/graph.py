@@ -2532,3 +2532,278 @@ def kg_extraction_yield(edges: Dataset, transcripts_path: str) -> Dataset:
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def kg_path_census(edges_agg: Dataset) -> Dataset:
+    """2-hop path motif census of the KG: for every ordered predicate pair
+    (pred1, pred2), the number of distinct chains a -pred1-> m -pred2-> c
+    over the aggregated triple table (the reference's path/motif query over
+    extracted triples; reference parity: search over linked records,
+    SURVEY.md §2.4 graph-shape queries). Mirrors the SQL self-join
+    ``e1 JOIN e2 ON e1.obj = e2.subj`` exactly — no self-loop or a==c
+    exclusion — so the oracle is one equi-join.
+
+    Scale shape: never materializes a path. Each block collapses to
+    (node, pred, n_in, n_out) light partials (Arrow group_by); ONE
+    node-keyed exchange; per middle node the chain count factorizes as
+    sum_m n_in(m, pred1) * n_out(m, pred2) — a per-node cross of at most
+    |P| x |P| predicate rows (vocabulary-bounded, NOT degree-bounded, so
+    hubs cost the same as leaves); per-partition (pred1, pred2) partials
+    meet in a final |P|^2-row combine."""
+    import ray  # noqa: F401
+
+    from ..stages.materialize import _string_key_part
+    from ..util import map_partitions
+
+    def partial(t: pa.Table) -> pa.Table:
+        go = (
+            t.select(["subj", "pred"])
+            .group_by(["subj", "pred"], use_threads=False)
+            .aggregate([([], "count_all")])
+        ).rename_columns(["subj", "pred", "count"])
+        gi = (
+            t.select(["obj", "pred"])
+            .group_by(["obj", "pred"], use_threads=False)
+            .aggregate([([], "count_all")])
+        ).rename_columns(["obj", "pred", "count"])
+        no, ni = go.num_rows, gi.num_rows
+        out = pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        gi["obj"].combine_chunks().cast(pa.string()),
+                        go["subj"].combine_chunks().cast(pa.string()),
+                    ]
+                ),
+                "pred": pa.concat_arrays(
+                    [
+                        gi["pred"].combine_chunks().cast(pa.string()),
+                        go["pred"].combine_chunks().cast(pa.string()),
+                    ]
+                ),
+                "n_in": pa.array(
+                    np.concatenate(
+                        [
+                            gi["count"].to_numpy(zero_copy_only=False).astype(np.int64),
+                            np.zeros(no, np.int64),
+                        ]
+                    )
+                ),
+                "n_out": pa.array(
+                    np.concatenate(
+                        [
+                            np.zeros(ni, np.int64),
+                            go["count"].to_numpy(zero_copy_only=False).astype(np.int64),
+                        ]
+                    )
+                ),
+            }
+        )
+        return out.append_column("__part", _string_key_part(out, ["node"]))
+
+    out_schema = pa.schema(
+        [("pred1", pa.string()), ("pred2", pa.string()), ("n_paths", pa.int64())]
+    )
+
+    def cross(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = (
+            t.select(["node", "pred", "n_in", "n_out"])
+            .group_by(["node", "pred"], use_threads=False)
+            .aggregate([("n_in", "sum"), ("n_out", "sum")])
+        )
+        df = g.to_pandas()
+        left = df.loc[df["n_in_sum"] > 0, ["node", "pred", "n_in_sum"]].rename(
+            columns={"pred": "pred1"}
+        )
+        right = df.loc[df["n_out_sum"] > 0, ["node", "pred", "n_out_sum"]].rename(
+            columns={"pred": "pred2"}
+        )
+        m = left.merge(right, on="node")
+        if m.empty:
+            return out_schema.empty_table()
+        m["n_paths"] = m["n_in_sum"].to_numpy() * m["n_out_sum"].to_numpy()
+        p = m.groupby(["pred1", "pred2"], sort=False)["n_paths"].sum().reset_index()
+        return pa.table(
+            {
+                "pred1": pa.array(p["pred1"], pa.string()),
+                "pred2": pa.array(p["pred2"], pa.string()),
+                "n_paths": pa.array(p["n_paths"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    partials = map_partitions(
+        edges_agg.map_batches(
+            partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        ),
+        "__part",
+        cross,
+        out_schema,
+    )
+    agg = partials.groupby(["pred1", "pred2"]).aggregate(
+        Sum("n_paths", alias_name="n_paths")
+    )
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("n_paths"), "n_paths", pc.cast(t["n_paths"], pa.int64())
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def kg_reciprocity(edges_agg: Dataset) -> Dataset:
+    """Per-predicate reciprocity of the KG: of the distinct directed
+    (subj, obj) pairs under each predicate (self-loops excluded — a loop's
+    reverse is itself), what fraction also has the reverse edge under the
+    SAME predicate. The directionality-QA signal for extraction: a
+    symmetric relation extracted asymmetrically shows up as low
+    reciprocity. Emits (pred, n_pairs, n_recip, recip_rate) with rate
+    rounded to 6.
+
+    Scale shape: the aggregated table is already DISTINCT triples, so each
+    directed pair crosses once as a canonical (pred, lo, hi) light row;
+    ONE pair-keyed exchange; a group of size 2 is a reciprocal pair (size
+    > 2 is impossible and fails loud); per-partition per-pred partials
+    meet in a |P|-row combine."""
+    import ray  # noqa: F401
+
+    from ..stages.materialize import _string_key_part
+    from ..util import map_partitions
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.equal(t["subj"], t["obj"])))
+        lo = pc.min_element_wise(t["subj"], t["obj"])
+        hi = pc.max_element_wise(t["subj"], t["obj"])
+        g = (
+            pa.table({"pred": t["pred"], "lo": lo, "hi": hi})
+            .group_by(["pred", "lo", "hi"], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        g = g.rename_columns(["pred", "lo", "hi", "cnt"])
+        g = g.set_column(
+            g.column_names.index("cnt"), "cnt", pc.cast(g["cnt"], pa.int64())
+        )
+        return g.append_column("__part", _string_key_part(g, ["pred", "lo", "hi"]))
+
+    out_schema = pa.schema(
+        [("pred", pa.string()), ("n_pairs", pa.int64()), ("n_recip", pa.int64())]
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["pred", "lo", "hi", "cnt"])
+            .group_by(["pred", "lo", "hi"], use_threads=False)
+            .aggregate([("cnt", "sum")])
+        )
+        cnt = g["cnt_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if (cnt > 2).any():
+            raise ValueError("kg_reciprocity: >2 directed edges for one pair+pred")
+        pred = g["pred"].to_numpy(zero_copy_only=False)
+        preds, codes = np.unique(pred, return_inverse=True)
+        n_pairs = np.bincount(codes, weights=cnt).astype(np.int64)
+        n_recip = np.bincount(codes, weights=np.where(cnt == 2, 2, 0)).astype(np.int64)
+        return pa.table(
+            {
+                "pred": pa.array(preds.tolist(), pa.string()),
+                "n_pairs": pa.array(n_pairs),
+                "n_recip": pa.array(n_recip),
+            }
+        )
+
+    agg = (
+        map_partitions(
+            edges_agg.map_batches(
+                partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+            ),
+            "__part",
+            fold,
+            out_schema,
+        )
+        .groupby("pred")
+        .aggregate(
+            Sum("n_pairs", alias_name="n_pairs"), Sum("n_recip", alias_name="n_recip")
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        npair = pc.cast(t["n_pairs"], pa.int64())
+        nrec = pc.cast(t["n_recip"], pa.int64())
+        rate = np.round(
+            nrec.to_numpy(zero_copy_only=False)
+            / npair.to_numpy(zero_copy_only=False).astype(np.float64),
+            6,
+        )
+        return pa.table(
+            {
+                "pred": t["pred"],
+                "n_pairs": npair,
+                "n_recip": nrec,
+                "recip_rate": pa.array(rate + 0.0, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def kg_star_query(
+    edges_agg: Dataset, preds: tuple[str, ...] = ("asks_about", "states", "configures")
+) -> Dataset:
+    """Conjunctive star query over the KG: subjects that have at least one
+    outgoing edge for EVERY predicate in ``preds``, with the total number
+    of matched triples — the multi-constraint entity lookup a GraphRAG
+    retrieval layer issues ("entities that ask about X AND state Y AND
+    configure Z" shape, here predicate-existential). Emits (subj, n_objs).
+
+    Scale shape: the predicate filter prunes at the scan; blocks collapse
+    to (subj, pred, n) partials; ONE subj-keyed exchange; the all-preds
+    test is a vectorized distinct-pred bincount per subject. Output is
+    bounded by the rarest predicate's subject count."""
+    import ray  # noqa: F401
+
+    from ..stages.materialize import _string_key_part
+    from ..util import map_partitions
+
+    want = sorted(set(preds))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["pred"], value_set=pa.array(want)))
+        g = (
+            t.select(["subj", "pred"])
+            .group_by(["subj", "pred"], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        g = g.rename_columns(["subj", "pred", "n"])
+        g = g.set_column(g.column_names.index("n"), "n", pc.cast(g["n"], pa.int64()))
+        return g.append_column("__part", _string_key_part(g, ["subj"]))
+
+    out_schema = pa.schema([("subj", pa.string()), ("n_objs", pa.int64())])
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["subj", "pred", "n"])
+            .group_by(["subj", "pred"], use_threads=False)
+            .aggregate([("n", "sum")])
+        )
+        subj = g["subj"].to_numpy(zero_copy_only=False)
+        n = g["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        subjs, codes = np.unique(subj, return_inverse=True)
+        n_preds = np.bincount(codes).astype(np.int64)  # rows are distinct (subj,pred)
+        n_objs = np.bincount(codes, weights=n).astype(np.int64)
+        keep = n_preds == len(want)
+        return pa.table(
+            {
+                "subj": pa.array(subjs[keep].tolist(), pa.string()),
+                "n_objs": pa.array(n_objs[keep]),
+            }
+        )
+
+    return map_partitions(
+        edges_agg.map_batches(
+            partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        ),
+        "__part",
+        fold,
+        out_schema,
+    )

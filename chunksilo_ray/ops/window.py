@@ -1535,3 +1535,91 @@ def conv_tool_chains(transcripts_path: str, k: int = 12, topn: int = 50) -> Data
     )
     top = agg.sort(["n_convs", "chain"], descending=[True, False]).limit(topn)
     return top
+
+
+def role_trigrams(transcripts_path: str) -> Dataset:
+    """Conversation-structure motif census: counts of every adjacent role
+    trigram (role at turn t, t+1, t+2 within one conversation) across the
+    corpus — the dialogue-shape profile a curation pass reads to spot
+    degenerate flows (assistant>assistant>assistant runs, tool storms).
+    Emits (r1, r2, r3, n_trigrams); adjacency is turn_idx arithmetic, so
+    the oracle is a double self-join on turn_idx+1 / turn_idx+2.
+
+    Scale shape: only (conv_id, turn_idx, role) light rows enter the
+    conv-hash exchange (role_transitions' contract, one more shift); per
+    partition the trigram detect is three aligned slices of one lexsort
+    and the count is np.unique over packed role codes; |roles|^3-bounded
+    partials meet in a tiny final combine."""
+    ds = rd.read_parquet(transcripts_path, columns=["conv_id", "turn_idx", "role"])
+
+    def light(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                "role": t["role"],
+            }
+        )
+        return _conv_tag(out)
+
+    out_schema = pa.schema(
+        [
+            ("r1", pa.string()),
+            ("r2", pa.string()),
+            ("r3", pa.string()),
+            ("n_trigrams", pa.int64()),
+        ]
+    )
+
+    def trigrams(t: pa.Table) -> pa.Table:
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        idx = t["turn_idx"].to_numpy(zero_copy_only=False)
+        role = t["role"].to_numpy(zero_copy_only=False)
+        _, codes = np.unique(conv, return_inverse=True)
+        order = np.lexsort((idx, codes))
+        codes, idx, role = codes[order], idx[order], role[order]
+        roles, rc = np.unique(role, return_inverse=True)
+        if len(rc) < 3:
+            return out_schema.empty_table()
+        ok = (
+            (codes[2:] == codes[:-2])
+            & (idx[1:-1] == idx[:-2] + 1)
+            & (idx[2:] == idx[:-2] + 2)
+        )
+        k = len(roles)
+        key = rc[:-2][ok] * k * k + rc[1:-1][ok] * k + rc[2:][ok]
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "r1": pa.array(roles[uk // (k * k)].tolist(), pa.string()),
+                "r2": pa.array(roles[(uk // k) % k].tolist(), pa.string()),
+                "r3": pa.array(roles[uk % k].tolist(), pa.string()),
+                "n_trigrams": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..util import map_partitions
+
+    agg = (
+        map_partitions(
+            ds.map_batches(
+                light, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+            ),
+            "__part",
+            trigrams,
+            out_schema,
+        )
+        .groupby(["r1", "r2", "r3"])
+        .aggregate(_Sum("n_trigrams", alias_name="n_trigrams"))
+    )
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("n_trigrams"),
+            "n_trigrams",
+            pc.cast(t["n_trigrams"], pa.int64()),
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
