@@ -416,6 +416,44 @@ def _role_trigrams(sf_dir: str) -> Any:
     return role_trigrams(f"{corpus}/transcripts.parquet")
 
 
+def _kg_temporal_growth(sf_dir: str) -> Any:
+    """KG growth curve: new distinct triples per day, dated by first
+    witness (inherits the big x big conv-hash join; days-bounded fold)."""
+    from chunksilo_ray import datagen
+    from chunksilo_ray.ops.graph import kg_temporal_growth
+
+    corpus = datagen.corpus_dir(datagen.sf_from_dir(sf_dir))
+    return kg_temporal_growth(
+        _kg_result(sf_dir)["edges"], f"{corpus}/transcripts.parquet"
+    )
+
+
+def _kg_entity_roles(sf_dir: str) -> Any:
+    """Per-predicate domain/range overlap card (distinct flag partials,
+    one (pred, entity) exchange, Max-folded membership)."""
+    from chunksilo_ray.ops.graph import kg_entity_roles
+
+    return kg_entity_roles(_kg_result(sf_dir)["edges_agg"])
+
+
+def _kg_degree_histogram(sf_dir: str) -> Any:
+    """Degree distribution (power-law sanity plot) over kg_node_degrees'
+    mergeable partials; only (degree, count) rows reach the combine."""
+    from chunksilo_ray.ops.graph import kg_degree_histogram
+
+    return kg_degree_histogram(_kg_result(sf_dir)["edges_agg"])
+
+
+def _tool_latency_profile(sf_dir: str) -> Any:
+    """Per-tool execution latency: assistant turn -> adjacent tool-result
+    turn gap (integer microseconds; Sum/Max mergeable partials)."""
+    from chunksilo_ray import datagen
+    from chunksilo_ray.ops.window import tool_latency_profile
+
+    corpus = datagen.corpus_dir(datagen.sf_from_dir(sf_dir))
+    return tool_latency_profile(f"{corpus}/transcripts.parquet")
+
+
 def _hybrid_search_rrf(sf_dir: str) -> Any:
     """Hybrid BM25 + dense-cosine retrieval fused by reciprocal rank
     (RRF, c=60) — the reference's vector+BM25 merge as one operator."""
@@ -932,6 +970,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_reciprocity": _kg_reciprocity,
         "kg_star_query": _kg_star_query,
         "role_trigrams": _role_trigrams,
+        # round-4 batch 17: temporal growth, role-overlap card, degree
+        # distribution, per-tool turnaround
+        "kg_temporal_growth": _kg_temporal_growth,
+        "kg_entity_roles": _kg_entity_roles,
+        "kg_degree_histogram": _kg_degree_histogram,
+        "tool_latency_profile": _tool_latency_profile,
         # round-4 batch 7: JSONL/CSV interchange sinks+sources — the query
         # answers from the roundtripped files, the oracle from the original
         # parquet, so a value match proves the roundtrip is lossless
@@ -2826,6 +2870,55 @@ def oracle_sql() -> dict[str, str]:
             WHERE pred IN ('asks_about', 'states', 'configures')
             GROUP BY subj
             HAVING COUNT(DISTINCT pred) = 3
+        """,
+        "kg_temporal_growth": f"""
+            WITH e AS (SELECT subj, pred, obj, conv_id, turn_idx
+                       FROM read_parquet('{_KG_OUT01}/edges/*.parquet')),
+            t AS (SELECT conv_id, turn_idx, epoch_us(ts) AS ts_us
+                  FROM read_parquet('/tmp/chunksilo_ray_testdata/sf0.01-seed42/transcripts.parquet')),
+            f AS (SELECT subj, pred, obj, MIN(ts_us) AS first_ts_us
+                  FROM e JOIN t USING (conv_id, turn_idx)
+                  GROUP BY subj, pred, obj)
+            SELECT CAST(first_ts_us // 86400000000 AS BIGINT) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_new_triples
+            FROM f GROUP BY day
+        """,
+        "kg_entity_roles": f"""
+            WITH ea AS (SELECT subj, pred, obj
+                        FROM read_parquet('{_KG_OUT01}/edges_agg/*.parquet')),
+            u AS (SELECT pred, e, MAX(is_s) AS is_s, MAX(is_o) AS is_o FROM (
+                    SELECT DISTINCT pred, subj AS e, 1 AS is_s, 0 AS is_o FROM ea
+                    UNION ALL
+                    SELECT DISTINCT pred, obj AS e, 0, 1 FROM ea)
+                  GROUP BY pred, e)
+            SELECT pred,
+                   CAST(SUM(is_s) AS BIGINT) AS n_subjects,
+                   CAST(SUM(is_o) AS BIGINT) AS n_objects,
+                   CAST(SUM(is_s * is_o) AS BIGINT) AS n_both
+            FROM u GROUP BY pred
+        """,
+        "kg_degree_histogram": f"""
+            WITH ea AS (SELECT subj, obj
+                        FROM read_parquet('{_KG_OUT01}/edges_agg/*.parquet')),
+            d AS (SELECT node, CAST(SUM(o) + SUM(i) AS BIGINT) AS degree FROM (
+                    SELECT subj AS node, COUNT(*) AS o, 0 AS i FROM ea GROUP BY subj
+                    UNION ALL
+                    SELECT obj, 0, COUNT(*) FROM ea GROUP BY obj)
+                  GROUP BY node)
+            SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+            FROM d GROUP BY degree
+        """,
+        "tool_latency_profile": """
+            WITH t AS (SELECT conv_id, turn_idx, role, tool, epoch_us(ts) AS ts_us
+                       FROM read_parquet('/tmp/chunksilo_ray_testdata/sf0.01-seed42/transcripts.parquet'))
+            SELECT b.tool,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(b.ts_us - a.ts_us) AS BIGINT) AS sum_gap_us,
+                   CAST(MAX(b.ts_us - a.ts_us) AS BIGINT) AS max_gap_us
+            FROM t a JOIN t b
+              ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx + 1
+            WHERE a.role = 'assistant' AND b.role = 'tool'
+            GROUP BY b.tool
         """,
         "role_trigrams": """
             WITH t AS (SELECT conv_id, turn_idx, role

@@ -2807,3 +2807,178 @@ def kg_star_query(
         fold,
         out_schema,
     )
+
+
+def kg_temporal_growth(edges: Dataset, transcripts_path: str) -> Dataset:
+    """KG growth curve: how many NEW distinct triples the graph learned per
+    day — each triple dated by its first witness timestamp (the
+    kg_edge_timestamps big x big join), then a days-bounded histogram.
+    The time-sliced-build QA a continuously-updated KG needs: a flat curve
+    means extraction saturated; a spike means a corpus drop landed. Emits
+    (day, n_new_triples) with day = epoch-days of the first witness.
+
+    Scale shape: inherits kg_edge_timestamps' ONE co-partitioned conv-hash
+    exchange; the growth fold adds only per-block (day, count) partials and
+    a days-bounded combine — no new data-sized exchange."""
+    ts = kg_edge_timestamps(edges, transcripts_path)
+
+    def part(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.divide(t["first_ts_us"], 86_400_000_000), pa.int64())
+        g = (
+            pa.table({"day": day})
+            .group_by("day", use_threads=False)
+            .aggregate([([], "count_all")])
+        ).rename_columns(["day", "n_new_triples"])
+        return g.set_column(
+            g.column_names.index("n_new_triples"),
+            "n_new_triples",
+            pc.cast(g["n_new_triples"], pa.int64()),
+        )
+
+    agg = (
+        ts.map_batches(part, batch_format="pyarrow", batch_size=None)
+        .groupby("day")
+        .aggregate(Sum("n_new_triples", alias_name="n_new_triples"))
+    )
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("n_new_triples"),
+            "n_new_triples",
+            pc.cast(t["n_new_triples"], pa.int64()),
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def kg_entity_roles(edges_agg: Dataset) -> Dataset:
+    """Per-predicate entity-role profile: how many distinct entities appear
+    as subject, as object, and as BOTH under each predicate — the
+    domain/range overlap card. High n_both on an ostensibly functional
+    predicate (a person 'configures' and is 'configured') flags extraction
+    noise. Emits (pred, n_subjects, n_objects, n_both).
+
+    Scale shape: per-block distinct (pred, entity) flag partials (one row
+    per side per block), ONE (pred, entity)-keyed exchange where Max-folded
+    flags make the membership test exact, per-partition per-pred counts,
+    |P|-row combine."""
+    import ray  # noqa: F401
+
+    from ..stages.materialize import _string_key_part
+    from ..util import map_partitions
+
+    def partial(t: pa.Table) -> pa.Table:
+        outs = []
+        for key, is_s in (("subj", True), ("obj", False)):
+            g = (
+                t.select([key, "pred"])
+                .group_by([key, "pred"], use_threads=False)
+                .aggregate([])
+            )
+            ones = pa.array(np.ones(g.num_rows, np.int64))
+            zeros = pa.array(np.zeros(g.num_rows, np.int64))
+            outs.append(
+                pa.table(
+                    {
+                        "pred": g["pred"],
+                        "entity": g[key],
+                        "is_s": ones if is_s else zeros,
+                        "is_o": zeros if is_s else ones,
+                    }
+                )
+            )
+        out = pa.concat_tables(outs)
+        return out.append_column("__part", _string_key_part(out, ["pred", "entity"]))
+
+    out_schema = pa.schema(
+        [
+            ("pred", pa.string()),
+            ("n_subjects", pa.int64()),
+            ("n_objects", pa.int64()),
+            ("n_both", pa.int64()),
+        ]
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["pred", "entity", "is_s", "is_o"])
+            .group_by(["pred", "entity"], use_threads=False)
+            .aggregate([("is_s", "max"), ("is_o", "max")])
+        )
+        pred = g["pred"].to_numpy(zero_copy_only=False)
+        s = g["is_s_max"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = g["is_o_max"].to_numpy(zero_copy_only=False).astype(np.int64)
+        preds, codes = np.unique(pred, return_inverse=True)
+        return pa.table(
+            {
+                "pred": pa.array(preds.tolist(), pa.string()),
+                "n_subjects": pa.array(np.bincount(codes, weights=s).astype(np.int64)),
+                "n_objects": pa.array(np.bincount(codes, weights=o).astype(np.int64)),
+                "n_both": pa.array(np.bincount(codes, weights=s * o).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        map_partitions(
+            edges_agg.map_batches(
+                partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+            ),
+            "__part",
+            fold,
+            out_schema,
+        )
+        .groupby("pred")
+        .aggregate(
+            Sum("n_subjects", alias_name="n_subjects"),
+            Sum("n_objects", alias_name="n_objects"),
+            Sum("n_both", alias_name="n_both"),
+        )
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "pred": t["pred"],
+                "n_subjects": pc.cast(t["n_subjects"], pa.int64()),
+                "n_objects": pc.cast(t["n_objects"], pa.int64()),
+                "n_both": pc.cast(t["n_both"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def kg_degree_histogram(edges_agg: Dataset) -> Dataset:
+    """Degree distribution of the KG: (total degree, n_nodes) where a
+    node's degree counts its distinct triples as subject plus as object —
+    the power-law sanity plot every constructed graph gets before anything
+    trains on it. Composes kg_node_degrees (node-keyed mergeable partials)
+    with a degree-bounded histogram fold; only (degree, count) rows reach
+    the final combine."""
+    deg = kg_node_degrees(edges_agg)
+
+    def part(t: pa.Table) -> pa.Table:
+        d = pc.add(
+            pc.cast(t["out_degree"], pa.int64()), pc.cast(t["in_degree"], pa.int64())
+        )
+        g = (
+            pa.table({"degree": d})
+            .group_by("degree", use_threads=False)
+            .aggregate([([], "count_all")])
+        ).rename_columns(["degree", "n_nodes"])
+        return g.set_column(
+            g.column_names.index("n_nodes"), "n_nodes", pc.cast(g["n_nodes"], pa.int64())
+        )
+
+    agg = (
+        deg.map_batches(part, batch_format="pyarrow", batch_size=None)
+        .groupby("degree")
+        .aggregate(Sum("n_nodes", alias_name="n_nodes"))
+    )
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("n_nodes"), "n_nodes", pc.cast(t["n_nodes"], pa.int64())
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

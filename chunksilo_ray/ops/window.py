@@ -1623,3 +1623,116 @@ def role_trigrams(transcripts_path: str) -> Dataset:
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def tool_latency_profile(transcripts_path: str) -> Dataset:
+    """Per-tool execution-latency profile: for every assistant turn
+    immediately followed (turn_idx + 1, same conversation) by a tool turn —
+    the assistant issued the call, the tool turn is its result — the gap
+    between the two timestamps, keyed by the TOOL turn's tool name: which
+    tools stall the agent. Emits (tool, n_pairs, sum_gap_us, max_gap_us);
+    all-integer microseconds (response_latency's contract), the mean is a
+    client-side division.
+
+    Scale shape: light rows only — (conv_id, turn_idx, role, tool, ts) with
+    text never read; conv-hash co-location, one lexsort + shift adjacency
+    mask, per-partition per-tool bincount/maximum.at partials, final
+    |tools|-row Sum/Max combine."""
+    from ray.data.aggregate import Max as _Max
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..util import map_partitions
+
+    ds = rd.read_parquet(
+        transcripts_path, columns=["conv_id", "turn_idx", "role", "tool", "ts"]
+    )
+
+    def light(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                "is_tool": pc.cast(pc.equal(t["role"], "tool"), pa.int8()),
+                "is_asst": pc.cast(pc.equal(t["role"], "assistant"), pa.int8()),
+                "tool": t["tool"],
+                "ts": t["ts"],
+            }
+        )
+        return _conv_tag(out)
+
+    out_schema = pa.schema(
+        [
+            ("tool", pa.string()),
+            ("n_pairs", pa.int64()),
+            ("sum_gap_us", pa.int64()),
+            ("max_gap_us", pa.int64()),
+        ]
+    )
+
+    def gaps(t: pa.Table) -> pa.Table:
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        idx = t["turn_idx"].to_numpy(zero_copy_only=False)
+        it = t["is_tool"].to_numpy(zero_copy_only=False)
+        ia = t["is_asst"].to_numpy(zero_copy_only=False)
+        tool = t["tool"].to_numpy(zero_copy_only=False)
+        ts = (
+            t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        )
+        _, codes = np.unique(conv, return_inverse=True)
+        order = np.lexsort((idx, codes))
+        codes, idx, it, ia, tool, ts = (
+            codes[order], idx[order], it[order], ia[order], tool[order], ts[order]
+        )
+        adj = (
+            (codes[1:] == codes[:-1])
+            & (idx[1:] == idx[:-1] + 1)
+            & (ia[:-1] == 1)
+            & (it[1:] == 1)
+        )
+        gap = ts[1:][adj] - ts[:-1][adj]
+        if (gap < 0).any():
+            raise ValueError("tool_latency_profile: negative gap — ts not monotone")
+        tools, tc = np.unique(tool[1:][adj], return_inverse=True)
+        if len(tools) == 0:
+            return out_schema.empty_table()
+        n = np.bincount(tc).astype(np.int64)
+        s = np.bincount(tc, weights=gap).astype(np.int64)
+        mx = np.zeros(len(tools), np.int64)
+        np.maximum.at(mx, tc, gap)
+        return pa.table(
+            {
+                "tool": pa.array(tools.tolist(), pa.string()),
+                "n_pairs": pa.array(n),
+                "sum_gap_us": pa.array(s),
+                "max_gap_us": pa.array(mx),
+            }
+        )
+
+    agg = (
+        map_partitions(
+            ds.map_batches(
+                light, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+            ),
+            "__part",
+            gaps,
+            out_schema,
+        )
+        .groupby("tool")
+        .aggregate(
+            _Sum("n_pairs", alias_name="n_pairs"),
+            _Sum("sum_gap_us", alias_name="sum_gap_us"),
+            _Max("max_gap_us", alias_name="max_gap_us"),
+        )
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "tool": t["tool"],
+                "n_pairs": pc.cast(t["n_pairs"], pa.int64()),
+                "sum_gap_us": pc.cast(t["sum_gap_us"], pa.int64()),
+                "max_gap_us": pc.cast(t["max_gap_us"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
