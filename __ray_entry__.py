@@ -454,6 +454,35 @@ def _tool_latency_profile(sf_dir: str) -> Any:
     return tool_latency_profile(f"{corpus}/transcripts.parquet")
 
 
+def _kg_incremental_update(sf_dir: str) -> Any:
+    """Incremental KG compaction: base corpus batch-aggregated, a digest-
+    split delta folded in via merge_edges_agg; additivity means the result
+    must equal the one-shot aggregate — the oracle's check."""
+    from chunksilo_ray.stages.materialize import incremental_update_by_conv
+
+    return incremental_update_by_conv(_kg_result(sf_dir)["edges"])
+
+
+def _transcript_sessionize(sf_dir: str) -> Any:
+    """Within-conversation sessionization at 30-min ts gaps; histogram of
+    session lengths (partition-local split, bounded combine)."""
+    from chunksilo_ray import datagen
+    from chunksilo_ray.ops.window import transcript_sessionize
+
+    corpus = datagen.corpus_dir(datagen.sf_from_dir(sf_dir))
+    return transcript_sessionize(f"{corpus}/transcripts.parquet")
+
+
+def _turn_integrity_audit(sf_dir: str) -> Any:
+    """One-row ingest-integrity card (dup / gapped / nonzero-start turn
+    indices) — the audit behind every adjacency kernel here."""
+    from chunksilo_ray import datagen
+    from chunksilo_ray.ops.window import turn_integrity_audit
+
+    corpus = datagen.corpus_dir(datagen.sf_from_dir(sf_dir))
+    return turn_integrity_audit(f"{corpus}/transcripts.parquet")
+
+
 def _hybrid_search_rrf(sf_dir: str) -> Any:
     """Hybrid BM25 + dense-cosine retrieval fused by reciprocal rank
     (RRF, c=60) — the reference's vector+BM25 merge as one operator."""
@@ -976,6 +1005,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_roles": _kg_entity_roles,
         "kg_degree_histogram": _kg_degree_histogram,
         "tool_latency_profile": _tool_latency_profile,
+        # round-4 batch 18: incremental compaction, sessionization, integrity
+        "kg_incremental_update": _kg_incremental_update,
+        "transcript_sessionize": _transcript_sessionize,
+        "turn_integrity_audit": _turn_integrity_audit,
         # round-4 batch 7: JSONL/CSV interchange sinks+sources — the query
         # answers from the roundtripped files, the oracle from the original
         # parquet, so a value match proves the roundtrip is lossless
@@ -2870,6 +2903,47 @@ def oracle_sql() -> dict[str, str]:
             WHERE pred IN ('asks_about', 'states', 'configures')
             GROUP BY subj
             HAVING COUNT(DISTINCT pred) = 3
+        """,
+        # additivity equivalence: incremental merge(base_agg, delta) must
+        # equal the one-shot aggregate of ALL per-mention edges
+        "kg_incremental_update": f"""
+            SELECT subj, pred, obj, CAST(SUM(weight) AS BIGINT) AS weight
+            FROM read_parquet('{_KG_OUT01}/edges/*.parquet')
+            GROUP BY subj, pred, obj
+        """,
+        "transcript_sessionize": """
+            WITH t AS (SELECT conv_id, turn_idx, epoch_us(ts) AS ts_us
+                       FROM read_parquet('/tmp/chunksilo_ray_testdata/sf0.01-seed42/transcripts.parquet')),
+            l AS (SELECT conv_id, turn_idx,
+                         CASE WHEN LAG(ts_us) OVER w IS NULL
+                                OR ts_us - LAG(ts_us) OVER w > 1800000000
+                              THEN 1 ELSE 0 END AS new_sess
+                  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+            s AS (SELECT conv_id,
+                         SUM(new_sess) OVER (PARTITION BY conv_id
+                                             ORDER BY turn_idx) AS sess
+                  FROM l),
+            c AS (SELECT conv_id, sess, COUNT(*) AS n_turns
+                  FROM s GROUP BY conv_id, sess)
+            SELECT CAST(n_turns AS BIGINT) AS session_turns,
+                   CAST(COUNT(*) AS BIGINT) AS n_sessions
+            FROM c GROUP BY n_turns
+        """,
+        "turn_integrity_audit": """
+            WITH c AS (SELECT conv_id,
+                              COUNT(*) AS n,
+                              COUNT(DISTINCT turn_idx) AS nd,
+                              MIN(turn_idx) AS mn, MAX(turn_idx) AS mx
+                       FROM read_parquet('/tmp/chunksilo_ray_testdata/sf0.01-seed42/transcripts.parquet')
+                       GROUP BY conv_id)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_convs,
+                   CAST(SUM(CASE WHEN nd < n THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dup_idx,
+                   CAST(SUM(CASE WHEN mx - mn + 1 <> nd THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_gapped,
+                   CAST(SUM(CASE WHEN mn <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_nonzero_start
+            FROM c
         """,
         "kg_temporal_growth": f"""
             WITH e AS (SELECT subj, pred, obj, conv_id, turn_idx

@@ -1736,3 +1736,153 @@ def tool_latency_profile(transcripts_path: str) -> Dataset:
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def transcript_sessionize(transcripts_path: str, gap_us: int = 1_800_000_000) -> Dataset:
+    """Within-conversation sessionization: split each conversation at
+    timestamp gaps > ``gap_us`` (default 30 min) and emit the histogram of
+    session lengths — (session_turns, n_sessions). The long-running-agent
+    analytics shape: one conv_id can span days of intermittent use, and
+    training-data packing wants natural session boundaries, not raw convs.
+
+    Scale shape: (conv_id, turn_idx, ts) light rows, conv-hash co-location;
+    sessions never straddle a conversation so the whole split is
+    partition-local — one lexsort, one gap compare, one cumsum for session
+    ids, np.unique for per-session turn counts; only the turns-bounded
+    (session_turns, n) histogram partials cross the final combine."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..util import map_partitions
+
+    ds = rd.read_parquet(transcripts_path, columns=["conv_id", "turn_idx", "ts"])
+
+    def light(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                "ts": t["ts"],
+            }
+        )
+        return _conv_tag(out)
+
+    out_schema = pa.schema(
+        [("session_turns", pa.int64()), ("n_sessions", pa.int64())]
+    )
+
+    def sessions(t: pa.Table) -> pa.Table:
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        idx = t["turn_idx"].to_numpy(zero_copy_only=False)
+        ts = (
+            t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        )
+        _, codes = np.unique(conv, return_inverse=True)
+        order = np.lexsort((idx, codes))
+        codes, ts = codes[order], ts[order]
+        new_sess = np.ones(len(codes), bool)
+        if len(codes) > 1:
+            new_sess[1:] = (codes[1:] != codes[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+        sess_id = np.cumsum(new_sess)
+        _, turns = np.unique(sess_id, return_counts=True)
+        lens, n = np.unique(turns, return_counts=True)
+        return pa.table(
+            {
+                "session_turns": pa.array(lens.astype(np.int64)),
+                "n_sessions": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        map_partitions(
+            ds.map_batches(
+                light, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+            ),
+            "__part",
+            sessions,
+            out_schema,
+        )
+        .groupby("session_turns")
+        .aggregate(_Sum("n_sessions", alias_name="n_sessions"))
+    )
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("n_sessions"),
+            "n_sessions",
+            pc.cast(t["n_sessions"], pa.int64()),
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def turn_integrity_audit(transcripts_path: str) -> "pa.Table":
+    """One-row ingest-integrity card for the transcripts table: total
+    conversations, conversations with duplicated turn_idx values, with
+    gapped (non-contiguous) indices, and with a nonzero first index — the
+    fail-fast audit a pipeline runs before trusting turn-adjacency
+    operators (every adjacency kernel here assumes idx arithmetic).
+    All-integer output.
+
+    Scale shape: (conv_id, turn_idx) light rows, conv-hash co-location;
+    per conversation the checks are vectorized segment folds (count,
+    distinct count, min, max) and only four counters per partition reach
+    the driver."""
+    from ..util import map_partitions
+
+    ds = rd.read_parquet(transcripts_path, columns=["conv_id", "turn_idx"])
+
+    def light(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {"conv_id": t["conv_id"], "turn_idx": pc.cast(t["turn_idx"], pa.int64())}
+        )
+        return _conv_tag(out)
+
+    out_schema = pa.schema(
+        [
+            ("n_convs", pa.int64()),
+            ("n_dup_idx", pa.int64()),
+            ("n_gapped", pa.int64()),
+            ("n_nonzero_start", pa.int64()),
+        ]
+    )
+
+    def audit(t: pa.Table) -> pa.Table:
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        idx = t["turn_idx"].to_numpy(zero_copy_only=False)
+        _, codes = np.unique(conv, return_inverse=True)
+        order = np.lexsort((idx, codes))
+        codes, idx = codes[order], idx[order]
+        n_convs = codes[-1] + 1 if len(codes) else 0
+        n = np.bincount(codes).astype(np.int64)
+        starts = np.zeros(n_convs, np.int64)
+        starts[1:] = np.cumsum(n)[:-1]
+        ends = np.cumsum(n) - 1
+        mn, mx = idx[starts], idx[ends]
+        # distinct idx per conv: adjacent-equal collapse within segments
+        same = np.zeros(len(idx), bool)
+        if len(idx) > 1:
+            same[1:] = (codes[1:] == codes[:-1]) & (idx[1:] == idx[:-1])
+        nd = np.bincount(codes, weights=~same).astype(np.int64)
+        dup = nd < n
+        gap = (mx - mn + 1) != nd
+        return pa.table(
+            {
+                "n_convs": pa.array([int(n_convs)], pa.int64()),
+                "n_dup_idx": pa.array([int(dup.sum())], pa.int64()),
+                "n_gapped": pa.array([int(gap.sum())], pa.int64()),
+                "n_nonzero_start": pa.array([int((mn != 0).sum())], pa.int64()),
+            }
+        )
+
+    parts = map_partitions(
+        ds.map_batches(
+            light, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        ),
+        "__part",
+        audit,
+        out_schema,
+    )
+    tot = parts.to_pandas().sum()
+    return pa.table(
+        {c: pa.array([int(tot[c])], pa.int64()) for c in out_schema.names}
+    )

@@ -246,3 +246,91 @@ def materialize_nodes(extracted: Dataset, cmap: dict[str, str]) -> Dataset:
         .groupby("__part")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def merge_edges_agg(base_agg: Dataset, delta_edges: Dataset) -> Dataset:
+    """Incremental KG update: fold a NEW batch of per-mention edges (a
+    day's freshly-extracted conversations) into an existing aggregated
+    triple table without rebuilding it — the continuously-updated-KG
+    compaction step (kg_sharded reprocesses only new shards; this merges
+    their output into the running aggregate). Returns the updated
+    (subj, pred, obj, weight) table; weights are additive, so
+    merge(agg(A), B) == agg(A + B) exactly — the equivalence the value
+    oracle gates.
+
+    Scale shape: the delta pre-aggregates per block (materialize_edges_agg's
+    partial) and the base is ALREADY one row per triple, so the union meets
+    in the same coarse int-keyed hash exchange as SHUFFLE #3; the base never
+    re-aggregates per block, it only re-partitions."""
+
+    def delta_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["subj", "pred", "obj"], use_threads=False).aggregate(
+            [("weight", "sum")]
+        )
+        g = g.rename_columns(["subj", "pred", "obj", "weight_sum"])
+        return g.append_column("__part", _string_key_part(g, ["subj", "pred", "obj"]))
+
+    def base_partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "subj": t["subj"],
+                "pred": t["pred"],
+                "obj": t["obj"],
+                "weight_sum": pc.cast(t["weight"], pa.int64()),
+            }
+        )
+        return g.append_column("__part", _string_key_part(g, ["subj", "pred", "obj"]))
+
+    def final(t: pa.Table) -> pa.Table:
+        g = t.group_by(["subj", "pred", "obj"], use_threads=False).aggregate(
+            [("weight_sum", "sum")]
+        )
+        return pa.table(
+            {
+                "subj": g.column("subj"),
+                "pred": g.column("pred"),
+                "obj": g.column("obj"),
+                "weight": pc.cast(g.column("weight_sum_sum"), pa.int64()),
+            }
+        )
+
+    merged = base_agg.map_batches(
+        base_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).union(
+        delta_edges.map_batches(
+            delta_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+    )
+    return merged.groupby("__part").map_groups(final, batch_format="pyarrow")
+
+
+def incremental_update_by_conv(
+    edges: Dataset, parts: int = 4, delta_part: int = 0
+) -> Dataset:
+    """Equivalence harness for ``merge_edges_agg``: deterministically carve
+    the per-mention edge table into a BASE corpus and a DELTA "new day"
+    (md5-60bit(conv_id) % parts == delta_part — the engine's digest
+    partitioner, so the split is reproducible anywhere), batch-aggregate
+    the base, then fold the delta in incrementally. Because triple weights
+    are additive, the result must equal the one-shot aggregate of ALL
+    edges — which is exactly what the value oracle checks."""
+    import hashlib
+
+    def split(t: pa.Table, want_delta: bool) -> pa.Table:
+        convs = t["conv_id"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(convs, return_inverse=True)
+        m = np.fromiter(
+            (int(hashlib.md5(c.encode()).hexdigest()[:15], 16) % parts for c in u),
+            np.int64,
+            len(u),
+        )
+        mask = pa.array((m[inv] == delta_part) == want_delta)
+        return t.filter(mask)
+
+    base = edges.map_batches(
+        lambda t: split(t, False), batch_format="pyarrow", batch_size=None
+    )
+    delta = edges.map_batches(
+        lambda t: split(t, True), batch_format="pyarrow", batch_size=None
+    )
+    return merge_edges_agg(materialize_edges_agg(base), delta)
