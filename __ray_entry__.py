@@ -483,6 +483,30 @@ def _turn_integrity_audit(sf_dir: str) -> Any:
     return turn_integrity_audit(f"{corpus}/transcripts.parquet")
 
 
+def _cohort_retention(sf_dir: str) -> Any:
+    """Weekly cohort retention over events (distinct (user, week) partials,
+    one user-hash exchange, calendar^2-bounded combine)."""
+    from chunksilo_ray.ops.window import cohort_retention
+
+    return cohort_retention(sf_dir)
+
+
+def _readability_scores(sf_dir: str) -> Any:
+    """Per-doc Flesch reading-ease card (three RE2 count kernels per block,
+    no exchange; oracle shares the regexes)."""
+    from chunksilo_ray.ops.textstats import readability_scores
+
+    return readability_scores(sf_dir)
+
+
+def _kg_pred_confusion(sf_dir: str) -> Any:
+    """Predicate-ambiguity card: unordered pred pairs sharing a (subj, obj)
+    entity pair (one (subj, obj)-keyed exchange, |P|^2-bounded)."""
+    from chunksilo_ray.ops.graph import kg_pred_confusion
+
+    return kg_pred_confusion(_kg_result(sf_dir)["edges_agg"])
+
+
 def _hybrid_search_rrf(sf_dir: str) -> Any:
     """Hybrid BM25 + dense-cosine retrieval fused by reciprocal rank
     (RRF, c=60) — the reference's vector+BM25 merge as one operator."""
@@ -1009,6 +1033,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_incremental_update": _kg_incremental_update,
         "transcript_sessionize": _transcript_sessionize,
         "turn_integrity_audit": _turn_integrity_audit,
+        # round-4 batch 19: cohort retention, readability, predicate confusion
+        "cohort_retention": _cohort_retention,
+        "readability_scores": _readability_scores,
+        "kg_pred_confusion": _kg_pred_confusion,
         # round-4 batch 7: JSONL/CSV interchange sinks+sources — the query
         # answers from the roundtripped files, the oracle from the original
         # parquet, so a value match proves the roundtrip is lossless
@@ -2903,6 +2931,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE pred IN ('asks_about', 'states', 'configures')
             GROUP BY subj
             HAVING COUNT(DISTINCT pred) = 3
+        """,
+        "cohort_retention": """
+            WITH a AS (SELECT DISTINCT user_id,
+                              CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week
+                       FROM events),
+            f AS (SELECT user_id, MIN(week) AS cohort_week FROM a GROUP BY user_id)
+            SELECT f.cohort_week,
+                   a.week - f.cohort_week AS offset_weeks,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM a JOIN f USING (user_id)
+            GROUP BY f.cohort_week, offset_weeks
+        """,
+        "readability_scores": """
+            WITH s AS (SELECT doc_id,
+                              CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_words,
+                              GREATEST(CAST(len(regexp_extract_all(lower(text), '[.!?]+')) AS BIGINT), 1) AS n_sentences,
+                              CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+                       FROM documents)
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   ROUND(206.835
+                         - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                         - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+                     + 0.0 AS flesch
+            FROM s WHERE n_words > 0
+        """,
+        "kg_pred_confusion": f"""
+            WITH ea AS (SELECT subj, pred, obj
+                        FROM read_parquet('{_KG_OUT01}/edges_agg/*.parquet'))
+            SELECT e1.pred AS pred1, e2.pred AS pred2,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM ea e1 JOIN ea e2
+              ON e2.subj = e1.subj AND e2.obj = e1.obj AND e1.pred < e2.pred
+            GROUP BY e1.pred, e2.pred
         """,
         # additivity equivalence: incremental merge(base_agg, delta) must
         # equal the one-shot aggregate of ALL per-mention edges

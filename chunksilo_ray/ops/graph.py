@@ -2982,3 +2982,65 @@ def kg_degree_histogram(edges_agg: Dataset) -> Dataset:
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def kg_pred_confusion(edges_agg: Dataset) -> Dataset:
+    """Predicate-ambiguity QA: for every unordered predicate pair
+    (pred1 < pred2), how many (subj, obj) entity pairs carry BOTH edges —
+    the confusion card that tells a schema owner which two relations the
+    extractor can't separate. Emits (pred1, pred2, n_pairs).
+
+    Scale shape: the aggregated table is already distinct triples, so
+    (subj, obj, pred) light rows cross ONE (subj, obj)-keyed exchange; a
+    group holds at most |P| rows, so the in-partition self-merge fans out
+    <= |P|^2 per entity pair (vocabulary-bounded, hub-safe); |P|^2-row
+    final combine."""
+    import ray  # noqa: F401
+
+    from ..stages.materialize import _string_key_part
+    from ..util import map_partitions
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(["subj", "obj", "pred"])
+        return g.append_column("__part", _string_key_part(g, ["subj", "obj"]))
+
+    out_schema = pa.schema(
+        [("pred1", pa.string()), ("pred2", pa.string()), ("n_pairs", pa.int64())]
+    )
+
+    def combos(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.select(["subj", "obj", "pred"]).to_pandas()
+        m = df.merge(df, on=["subj", "obj"], suffixes=("1", "2"))
+        m = m[m["pred1"] < m["pred2"]]
+        if m.empty:
+            return out_schema.empty_table()
+        p = m.groupby(["pred1", "pred2"], sort=False).size().reset_index(name="n_pairs")
+        return pa.table(
+            {
+                "pred1": pa.array(p["pred1"], pa.string()),
+                "pred2": pa.array(p["pred2"], pa.string()),
+                "n_pairs": pa.array(p["n_pairs"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    agg = (
+        map_partitions(
+            edges_agg.map_batches(
+                partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+            ),
+            "__part",
+            combos,
+            out_schema,
+        )
+        .groupby(["pred1", "pred2"])
+        .aggregate(Sum("n_pairs", alias_name="n_pairs"))
+    )
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("n_pairs"), "n_pairs", pc.cast(t["n_pairs"], pa.int64())
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

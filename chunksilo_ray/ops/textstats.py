@@ -664,3 +664,46 @@ def bpe_pair_counts(sf_dir: str, k: int = 50) -> Dataset:
     return rd.from_arrow(
         pa.table({"pair": pa.array(pairs, pa.string()), "n": pa.array(n[order])})
     )
+
+
+def readability_scores(sf_dir: str) -> Dataset:
+    """Per-document Flesch reading-ease card: word count ([a-z0-9]+ runs on
+    the lowered text — the engine's shared tokenizer), sentence count
+    ([.!?]+ runs, so "..." is one boundary, clamped to >= 1 — the standard
+    readability-library behavior for prose with no terminal punctuation),
+    syllable proxy ([aeiouy]+ vowel groups), and flesch = 206.835 -
+    1.015*(words/sentences) - 84.6*(syllables/words) rounded to 4 — the
+    classic readability quality signal for curation. Documents with zero
+    words are excluded (the formula is undefined there; the oracle filters
+    the same way). Embarrassingly parallel: three RE2 match-count kernels per
+    block, no exchange at all.
+
+    Reference parity: the reference scores text quality per document
+    (SURVEY.md §2.3); the formula is public (Flesch 1948)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t["text"])
+        words = pc.count_substring_regex(low, pattern=r"[a-z0-9]+")
+        sents = pc.count_substring_regex(low, pattern=r"[.!?]+")
+        syll = pc.count_substring_regex(low, pattern=r"[aeiouy]+")
+        w = words.to_numpy(zero_copy_only=False).astype(np.int64)
+        s = np.maximum(sents.to_numpy(zero_copy_only=False).astype(np.int64), 1)
+        y = syll.to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = w > 0
+        flesch = np.round(
+            206.835 - 1.015 * (w[keep] / s[keep]) - 84.6 * (y[keep] / w[keep]), 4
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()).filter(pa.array(keep)),
+                "n_words": pa.array(w[keep]),
+                "n_sentences": pa.array(s[keep]),
+                "n_syllables": pa.array(y[keep]),
+                "flesch": pa.array(flesch + 0.0, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(
+        score, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )

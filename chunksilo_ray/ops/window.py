@@ -1886,3 +1886,85 @@ def turn_integrity_audit(transcripts_path: str) -> "pa.Table":
     return pa.table(
         {c: pa.array([int(tot[c])], pa.int64()) for c in out_schema.names}
     )
+
+
+def cohort_retention(sf_dir: str) -> Dataset:
+    """Weekly cohort retention over events: users grouped by first-seen
+    epoch-week (cohort), counted as retained in every later week they were
+    active — (cohort_week, offset_weeks, n_users). The product-analytics
+    wide op; weekly buckets keep the output calendar^2-bounded.
+
+    Scale shape: per-block distinct (user, week) partials collapse the
+    event stream before anything moves; ONE user-hash exchange co-locates
+    each user's week set; cohort = segment min after one lexsort and the
+    (cohort, offset) counts are a vectorized unique — only calendar^2 rows
+    reach the final combine."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..util import map_partitions
+
+    WEEK_US = 7 * 86_400_000_000
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        week = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // WEEK_US
+        g = (
+            pa.table({"user_id": t["user_id"], "week": pa.array(week.astype(np.int64))})
+            .group_by(["user_id", "week"], use_threads=False)
+            .aggregate([])
+        )
+        return g
+
+    out_schema = pa.schema(
+        [
+            ("cohort_week", pa.int64()),
+            ("offset_weeks", pa.int64()),
+            ("n_users", pa.int64()),
+        ]
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["user_id", "week"])
+            .group_by(["user_id", "week"], use_threads=False)
+            .aggregate([])
+        )
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        week = g["week"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((week, uid))
+        uid, week = uid[order], week[order]
+        first = np.ones(len(uid), bool)
+        if len(uid) > 1:
+            first[1:] = uid[1:] != uid[:-1]
+        cohort = week[first][np.cumsum(first) - 1]  # broadcast segment min
+        key = np.stack([cohort, week - cohort], axis=1)
+        uk, cnt = np.unique(key, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "cohort_week": pa.array(uk[:, 0].astype(np.int64)),
+                "offset_weeks": pa.array(uk[:, 1].astype(np.int64)),
+                "n_users": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        map_partitions(
+            _user_partitioned(
+                ds.map_batches(
+                    partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+                )
+            ),
+            "__part",
+            fold,
+            out_schema,
+        )
+        .groupby(["cohort_week", "offset_weeks"])
+        .aggregate(_Sum("n_users", alias_name="n_users"))
+    )
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("n_users"), "n_users", pc.cast(t["n_users"], pa.int64())
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
