@@ -507,6 +507,24 @@ def _kg_pred_confusion(sf_dir: str) -> Any:
     return kg_pred_confusion(_kg_result(sf_dir)["edges_agg"])
 
 
+def _q5_revenue_by_nation(sf_dir: str) -> Any:
+    """TPC-H Q5 shape: one big x big lineitem x orders exchange + broadcast
+    dims; integer-cents revenue so the float never depends on sum order."""
+    from chunksilo_ray.ops.relational import q5_revenue_by_nation
+
+    return q5_revenue_by_nation(sf_dir)
+
+
+def _echo_rate_histogram(sf_dir: str) -> Any:
+    """Assistant echo-rate (user->assistant token Jaccard) histogram;
+    integer bucket boundaries shared with the oracle."""
+    from chunksilo_ray import datagen
+    from chunksilo_ray.ops.window import echo_rate_histogram
+
+    corpus = datagen.corpus_dir(datagen.sf_from_dir(sf_dir))
+    return echo_rate_histogram(f"{corpus}/transcripts.parquet")
+
+
 def _hybrid_search_rrf(sf_dir: str) -> Any:
     """Hybrid BM25 + dense-cosine retrieval fused by reciprocal rank
     (RRF, c=60) — the reference's vector+BM25 merge as one operator."""
@@ -1037,6 +1055,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": _cohort_retention,
         "readability_scores": _readability_scores,
         "kg_pred_confusion": _kg_pred_confusion,
+        # round-4 batch 20: TPC-H Q5 multi-way join, assistant echo rate
+        "q5_revenue_by_nation": _q5_revenue_by_nation,
+        "echo_rate_histogram": _echo_rate_histogram,
         # round-4 batch 7: JSONL/CSV interchange sinks+sources — the query
         # answers from the roundtripped files, the oracle from the original
         # parquet, so a value match proves the roundtrip is lossless
@@ -2931,6 +2952,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE pred IN ('asks_about', 'states', 'configures')
             GROUP BY subj
             HAVING COUNT(DISTINCT pred) = 3
+        """,
+        # revenue accumulates as int64 cents x discount-percent on BOTH
+        # engines; the single final division makes the float deterministic
+        "q5_revenue_by_nation": """
+            SELECT n.n_name AS n_name,
+                   ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                             * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                         / 10000.0, 4) AS revenue
+            FROM lineitem l
+            JOIN orders o   ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n   ON n.n_nationkey = s.s_nationkey
+                           AND c.c_nationkey = s.s_nationkey
+            JOIN region r   ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n.n_name
+        """,
+        "echo_rate_histogram": """
+            WITH t AS (SELECT conv_id, turn_idx, role,
+                              list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks
+                       FROM read_parquet('/tmp/chunksilo_ray_testdata/sf0.01-seed42/transcripts.parquet')),
+            p AS (SELECT a.toks AS ta, b.toks AS tb
+                  FROM t a JOIN t b
+                    ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx + 1
+                  WHERE a.role = 'user' AND b.role = 'assistant'),
+            j AS (SELECT CAST(len(list_intersect(ta, tb)) AS BIGINT) AS ni,
+                         CAST(len(list_distinct(list_concat(ta, tb))) AS BIGINT) AS nu
+                  FROM p)
+            SELECT CAST(10 * ni // nu AS BIGINT) AS echo_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM j WHERE nu > 0 GROUP BY echo_bucket
         """,
         "cohort_retention": """
             WITH a AS (SELECT DISTINCT user_id,

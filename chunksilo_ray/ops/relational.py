@@ -1188,3 +1188,146 @@ def full_outer_daily_activity(sf_dir: str) -> Dataset:
         )
 
     return merged.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def q5_revenue_by_nation(
+    sf_dir: str,
+    region: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> Dataset:
+    """TPC-H Q5-style local-supplier volume: revenue per nation where the
+    customer and the supplier sit in the SAME nation of one region, over a
+    one-year order window — the engine's canonical multi-way join demo
+    (one big x big exchange + three broadcast dimensions).
+
+    Revenue is summed EXACTLY: per item the integer
+    round(price*100) * (100 - round(disc*100)) (TPC-H money is cents-exact)
+    accumulates in int64 and one final /10000.0 + ROUND(4) happens per
+    nation — no float-sum-order sensitivity anywhere, so the SQL oracle is
+    bit-identical.
+
+    Scale shape: lineitem pre-shrinks to (orderkey, suppkey, cents) in its
+    scan; orders prune on the date BEFORE the exchange; the only all-to-all
+    is the lineitem x orders equi-join through the tagged-union coarse-hash
+    exchange. Customer/supplier/nation/region ride a ray.put broadcast
+    (sorted-key searchsorted lookups) — at 100 TB customer outgrows a
+    broadcast and its hop becomes a second `_shuffle_inner_join` on
+    o_custkey; the swap is local to this function."""
+    import ray
+
+    from ..util import cached_get
+
+    import pyarrow.dataset as pads
+
+    nation = pads.dataset(f"{sf_dir}/nation.parquet").to_table()
+    reg = pads.dataset(f"{sf_dir}/region.parquet").to_table()
+    rkey = {
+        n: k for k, n in zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist())
+    }[region]
+    nk = np.asarray(nation["n_nationkey"].to_pylist(), dtype=np.int64)
+    nreg = np.asarray(nation["n_regionkey"].to_pylist(), dtype=np.int64)
+    nname = np.asarray(nation["n_name"].to_pylist(), dtype=object)
+    in_region = np.zeros(nk.max() + 1, bool)
+    in_region[nk[nreg == rkey]] = True
+    names = np.empty(nk.max() + 1, object)
+    names[nk] = nname
+
+    supp = pads.dataset(f"{sf_dir}/supplier.parquet").to_table(
+        columns=["s_suppkey", "s_nationkey"]
+    )
+    cust = pads.dataset(f"{sf_dir}/customer.parquet").to_table(
+        columns=["c_custkey", "c_nationkey"]
+    )
+
+    def _sorted_map(keys, vals):
+        k = np.asarray(keys, dtype=np.int64)
+        v = np.asarray(vals, dtype=np.int64)
+        o = np.argsort(k)
+        return k[o], v[o]
+
+    side = ray.put(
+        (
+            _sorted_map(supp["s_suppkey"].to_pylist(), supp["s_nationkey"].to_pylist()),
+            _sorted_map(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()),
+            in_region,
+        )
+    )
+
+    lo = np.datetime64(date_from, "us").astype("int64")
+    hi = np.datetime64(date_to, "us").astype("int64")
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_filter(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].cast(pa.int64())
+        keep = pc.and_(pc.greater_equal(d, pa.scalar(lo)), pc.less(d, pa.scalar(hi)))
+        return t.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    orders = orders.map_batches(
+        o_filter, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def li_shrink(t: pa.Table) -> pa.Table:
+        p = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        d = np.rint(t["l_discount"].to_numpy(zero_copy_only=False) * 100.0).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                "cents": pa.array(p * (100 - d)),
+            }
+        )
+
+    li = li.map_batches(
+        li_shrink, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+    joined = _shuffle_inner_join(
+        li, "l_orderkey", ["l_suppkey", "cents"], orders, "o_orderkey", ["o_custkey"]
+    )
+
+    def nation_partial(t: pa.Table) -> pa.Table:
+        (sk, sv), (ck, cv), in_reg = cached_get(side)
+        supp_keys = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cust_keys = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        si = np.searchsorted(sk, supp_keys)
+        ci = np.searchsorted(ck, cust_keys)
+        if (sk[si] != supp_keys).any() or (ck[ci] != cust_keys).any():
+            raise ValueError("q5: dangling supplier/customer key")
+        s_nat, c_nat = sv[si], cv[ci]
+        keep = (s_nat == c_nat) & in_reg[s_nat]
+        g = (
+            pa.table(
+                {
+                    "nationkey": pa.array(s_nat[keep]),
+                    "cents": t["cents"].filter(pa.array(keep)),
+                }
+            )
+            .group_by("nationkey", use_threads=False)
+            .aggregate([("cents", "sum")])
+        )
+        return g.rename_columns(["nationkey", "cents"])
+
+    agg = (
+        joined.map_batches(nation_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("nationkey")
+        .aggregate(Sum("cents", alias_name="cents"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nkey = t["nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = t["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n_name": pa.array([str(x) for x in names[nkey]], pa.string()),
+                "revenue": pa.array(np.round(cents / 10000.0, 4), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)

@@ -1968,3 +1968,97 @@ def cohort_retention(sf_dir: str) -> Dataset:
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def echo_rate_histogram(transcripts_path: str) -> Dataset:
+    """Assistant echo-rate audit: for every adjacent user -> assistant turn
+    pair, the Jaccard overlap of their distinct token sets ([a-z0-9]+ on
+    the lowered text — the engine's shared tokenizer), folded into the
+    bounded histogram (echo_bucket, n_pairs) with bucket =
+    10 * |intersection| // |union| (integer arithmetic, 0..10, so the
+    boundary is exact on both engines; pairs where both sides tokenize to
+    nothing are excluded). High buckets flag parroting assistants — a
+    standard SFT-curation reject signal.
+
+    Scale shape: sft_pairs' contract — text crosses the conv-hash exchange
+    ONCE to meet its reply, then only 11-row histogram partials move; the
+    per-pair set work is bounded by turn length and embarrassingly parallel
+    within partitions."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..util import map_partitions
+
+    import re
+
+    tok_re = re.compile(r"[a-z0-9]+")
+    ds = rd.read_parquet(
+        transcripts_path, columns=["conv_id", "turn_idx", "role", "text"]
+    )
+
+    def light(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                "is_user": pc.cast(pc.equal(t["role"], "user"), pa.int8()),
+                "is_asst": pc.cast(pc.equal(t["role"], "assistant"), pa.int8()),
+                "text": pc.utf8_lower(t["text"]),
+            }
+        )
+        return _conv_tag(out)
+
+    out_schema = pa.schema([("echo_bucket", pa.int64()), ("n_pairs", pa.int64())])
+
+    def buckets(t: pa.Table) -> pa.Table:
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        idx = t["turn_idx"].to_numpy(zero_copy_only=False)
+        iu = t["is_user"].to_numpy(zero_copy_only=False)
+        ia = t["is_asst"].to_numpy(zero_copy_only=False)
+        txt = t["text"].to_numpy(zero_copy_only=False)
+        _, codes = np.unique(conv, return_inverse=True)
+        order = np.lexsort((idx, codes))
+        codes, idx, iu, ia, txt = (
+            codes[order], idx[order], iu[order], ia[order], txt[order]
+        )
+        adj = (
+            (codes[1:] == codes[:-1])
+            & (idx[1:] == idx[:-1] + 1)
+            & (iu[:-1] == 1)
+            & (ia[1:] == 1)
+        )
+        left = np.flatnonzero(adj)
+        counts = np.zeros(11, np.int64)
+        for i in left:
+            ta = set(tok_re.findall(txt[i]))
+            tb = set(tok_re.findall(txt[i + 1]))
+            nu = len(ta | tb)
+            if nu == 0:
+                continue
+            counts[10 * len(ta & tb) // nu] += 1
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "echo_bucket": pa.array(nz.astype(np.int64)),
+                "n_pairs": pa.array(counts[nz]),
+            }
+        )
+
+    agg = (
+        map_partitions(
+            ds.map_batches(
+                light, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+            ),
+            "__part",
+            buckets,
+            out_schema,
+        )
+        .groupby("echo_bucket")
+        .aggregate(_Sum("n_pairs", alias_name="n_pairs"))
+    )
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("n_pairs"), "n_pairs", pc.cast(t["n_pairs"], pa.int64())
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
