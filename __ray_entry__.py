@@ -525,6 +525,35 @@ def _echo_rate_histogram(sf_dir: str) -> Any:
     return echo_rate_histogram(f"{corpus}/transcripts.parquet")
 
 
+def _q6_revenue_filtered(sf_dir: str) -> Any:
+    """TPC-H Q6 shape: one filtered 4-column scan, exact integer-cents
+    accumulation, zero exchange."""
+    from chunksilo_ray.ops.relational import q6_revenue_filtered
+
+    return q6_revenue_filtered(sf_dir)
+
+
+def _event_type_bigrams(sf_dir: str) -> Any:
+    """Adjacent event-type bigram counts per user under (ts, event_id)
+    order (one user-hash exchange, |types|^2 partials)."""
+    from chunksilo_ray.ops.window import event_type_bigrams
+
+    return event_type_bigrams(sf_dir)
+
+
+def _partitioned_export_roundtrip(sf_dir: str) -> Any:
+    """Hive-partitioned Parquet sink+source over the aggregated KG
+    (partition_cols=['pred']); oracle answers from the ORIGINAL checkpoint
+    so a value match proves the partitioned roundtrip lossless."""
+    from chunksilo_ray import datagen
+    from chunksilo_ray.sources.interchange import partitioned_parquet_roundtrip
+
+    sf = datagen.sf_from_dir(sf_dir)
+    return partitioned_parquet_roundtrip(
+        _kg_result(sf_dir)["edges_agg"], f"sf{sf:g}"
+    )
+
+
 def _hybrid_search_rrf(sf_dir: str) -> Any:
     """Hybrid BM25 + dense-cosine retrieval fused by reciprocal rank
     (RRF, c=60) — the reference's vector+BM25 merge as one operator."""
@@ -1058,6 +1087,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 batch 20: TPC-H Q5 multi-way join, assistant echo rate
         "q5_revenue_by_nation": _q5_revenue_by_nation,
         "echo_rate_histogram": _echo_rate_histogram,
+        # round-4 batch 21: Q6 scan, event bigrams, partitioned export
+        "q6_revenue_filtered": _q6_revenue_filtered,
+        "event_type_bigrams": _event_type_bigrams,
+        "partitioned_export_roundtrip": _partitioned_export_roundtrip,
         # round-4 batch 7: JSONL/CSV interchange sinks+sources — the query
         # answers from the roundtripped files, the oracle from the original
         # parquet, so a value match proves the roundtrip is lossless
@@ -2952,6 +2985,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE pred IN ('asks_about', 'states', 'configures')
             GROUP BY subj
             HAVING COUNT(DISTINCT pred) = 3
+        """,
+        "q6_revenue_filtered": """
+            SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                             * CAST(ROUND(l_discount * 100) AS BIGINT))
+                         / 10000.0, 4) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+              AND l_quantity < 24
+        """,
+        "event_type_bigrams": """
+            WITH s AS (SELECT user_id, event_type,
+                              LEAD(event_type) OVER (PARTITION BY user_id
+                                                     ORDER BY ts, event_id)
+                                AS next_type
+                       FROM events)
+            SELECT event_type AS t1, next_type AS t2,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams
+            FROM s WHERE next_type IS NOT NULL
+            GROUP BY t1, t2
+        """,
+        "partitioned_export_roundtrip": f"""
+            WITH per_subj AS (SELECT pred, subj,
+                                     SUM(weight) AS w, COUNT(*) AS n
+                              FROM read_parquet('{_KG_OUT01}/edges_agg/*.parquet')
+                              GROUP BY pred, subj)
+            SELECT pred,
+                   CAST(SUM(n) AS BIGINT) AS n_triples,
+                   CAST(SUM(w) AS BIGINT) AS total_weight,
+                   CAST(COUNT(*) AS BIGINT) AS n_subjects
+            FROM per_subj GROUP BY pred
         """,
         # revenue accumulates as int64 cents x discount-percent on BOTH
         # engines; the single final division makes the float deterministic

@@ -1331,3 +1331,57 @@ def q5_revenue_by_nation(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def q6_revenue_filtered(
+    sf_dir: str,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    disc_lo: int = 5,
+    disc_hi: int = 7,
+    qty_lt: int = 24,
+) -> "pa.Table":
+    """TPC-H Q6-style forecasting-revenue change: one filtered scan, one
+    exact sum — SUM(extendedprice * discount) over a shipdate year, a
+    discount band and a quantity cap. The discount band compares INTEGER
+    percents (round(l_discount*100) in [5, 7]) and revenue accumulates as
+    int64 cents x percent with a single final /10000.0 + ROUND(4) — the
+    q5 exactness contract. Emits one row (revenue, n_items).
+
+    Scale shape: zero exchange — per-block (cents_sum, count) partials fold
+    on the driver; the scan reads only the four needed columns."""
+    lo = np.datetime64(date_from, "us").astype("int64")
+    hi = np.datetime64(date_to, "us").astype("int64")
+
+    ds = _pq(sf_dir, "lineitem", ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        disc = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        price = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        keep = (
+            (d >= lo) & (d < hi) & (disc >= disc_lo) & (disc <= disc_hi) & (qty < qty_lt)
+        )
+        return pa.table(
+            {
+                "cents": pa.array([int((price[keep] * disc[keep]).sum())], pa.int64()),
+                "n_items": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    tot = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .to_pandas()
+        .sum()
+    )
+    return pa.table(
+        {
+            "revenue": pa.array([round(int(tot["cents"]) / 10000.0, 4)], pa.float64()),
+            "n_items": pa.array([int(tot["n_items"])], pa.int64()),
+        }
+    )

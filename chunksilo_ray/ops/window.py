@@ -2062,3 +2062,61 @@ def echo_rate_histogram(transcripts_path: str) -> Dataset:
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def event_type_bigrams(sf_dir: str) -> Dataset:
+    """Sequential pattern mining over the event stream: counts of adjacent
+    event-type bigrams per user under the deterministic (ts, event_id)
+    order — which action follows which. Emits (t1, t2, n_bigrams),
+    |types|^2-bounded.
+
+    Scale shape: (user_id, ts, event_id, event_type) light rows, ONE
+    user-hash exchange; per partition one lexsort + shift adjacency and a
+    packed-code np.unique; the event_id tie-break makes same-timestamp
+    ordering identical on both engines."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..util import map_partitions
+
+    ds = _user_partitioned(_events(sf_dir, ["user_id", "ts", "event_id", "event_type"]))
+
+    out_schema = pa.schema(
+        [("t1", pa.string()), ("t2", pa.string()), ("n_bigrams", pa.int64())]
+    )
+
+    def bigrams(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        ty = t["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, ty = uid[order], ty[order]
+        if len(uid) < 2:
+            return out_schema.empty_table()
+        adj = uid[1:] == uid[:-1]
+        types, tc = np.unique(ty, return_inverse=True)
+        k = len(types)
+        key = tc[:-1][adj] * k + tc[1:][adj]
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "t1": pa.array(types[uk // k].tolist(), pa.string()),
+                "t2": pa.array(types[uk % k].tolist(), pa.string()),
+                "n_bigrams": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        map_partitions(ds, "__part", bigrams, out_schema)
+        .groupby(["t1", "t2"])
+        .aggregate(_Sum("n_bigrams", alias_name="n_bigrams"))
+    )
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("n_bigrams"),
+            "n_bigrams",
+            pc.cast(t["n_bigrams"], pa.int64()),
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

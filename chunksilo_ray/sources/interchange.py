@@ -157,3 +157,89 @@ def csv_roundtrip_events(sf_dir: str) -> Dataset:
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def partitioned_parquet_roundtrip(edges_agg: Dataset, cache_key: str) -> Dataset:
+    """Hive-partitioned Parquet sink + source: the aggregated KG triple
+    table exported with ``write_parquet(partition_cols=["pred"])`` — one
+    directory per predicate, the RESUMABLE layout (a failed export rerun
+    skips or rewrites whole partitions, never splices files) and the
+    pruning layout (a predicate-filtered reader opens one directory) —
+    then re-read with partition-column recovery and collapsed to the
+    per-predicate profile (pred, n_triples, total_weight, n_subjects).
+    The oracle computes the same profile from the ORIGINAL checkpoint, so
+    a value match proves the partitioned roundtrip preserved every row,
+    the partition key included."""
+    out = f"{_EXPORT_ROOT}/part_edges_{cache_key}"
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        edges_agg.write_parquet(out, partition_cols=["pred"])
+        with open(marker, "w") as f:
+            f.write("ok")
+    ds = rd.read_parquet(out)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "pred": t["pred"],
+                    "subj": t["subj"],
+                    "total_weight": pc.cast(t["weight"], pa.int64()),
+                }
+            )
+            .group_by(["pred", "subj"], use_threads=False)
+            .aggregate([("total_weight", "sum"), ([], "count_all")])
+        )
+        return g.rename_columns(["pred", "subj", "total_weight", "n_triples"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["pred", "subj"])
+        .aggregate(
+            Sum("total_weight", alias_name="total_weight"),
+            Sum("n_triples", alias_name="n_triples"),
+        )
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "pred": t["pred"],
+                    "total_weight": pc.cast(t["total_weight"], pa.int64()),
+                    "n_triples": pc.cast(t["n_triples"], pa.int64()),
+                }
+            )
+            .group_by("pred", use_threads=False)
+            .aggregate(
+                [("total_weight", "sum"), ("n_triples", "sum"), ([], "count_all")]
+            )
+        )
+        return g.rename_columns(["pred", "total_weight", "n_triples", "n_subjects"])
+
+    from ray.data.aggregate import Count  # noqa: F401  (profile stays distributed)
+
+    out_ds = (
+        agg.map_batches(fold, batch_format="pyarrow", batch_size=None)
+        .groupby("pred")
+        .aggregate(
+            Sum("total_weight", alias_name="total_weight"),
+            Sum("n_triples", alias_name="n_triples"),
+            Sum("n_subjects", alias_name="n_subjects"),
+        )
+    )
+    return out_ds.map_batches(
+        lambda t: pa.table(
+            {
+                "pred": t["pred"],
+                "n_triples": pc.cast(t["n_triples"], pa.int64()),
+                "total_weight": pc.cast(t["total_weight"], pa.int64()),
+                "n_subjects": pc.cast(t["n_subjects"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
