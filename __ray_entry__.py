@@ -554,6 +554,30 @@ def _partitioned_export_roundtrip(sf_dir: str) -> Any:
     )
 
 
+def _conv_entity_richness(sf_dir: str) -> Any:
+    """Top-50 knowledge-dense conversations by distinct extracted entities
+    (distinct (conv, entity) partials, one conv exchange, partial top-n)."""
+    from chunksilo_ray.ops.graph import conv_entity_richness
+
+    return conv_entity_richness(_kg_result(sf_dir)["edges"])
+
+
+def _kg_edge_confidence(sf_dir: str) -> Any:
+    """Per-triple p(obj | subj, pred) confidence (one (subj, pred) exchange,
+    bincount totals broadcast back by inverse index)."""
+    from chunksilo_ray.ops.graph import kg_edge_confidence
+
+    return kg_edge_confidence(_kg_result(sf_dir)["edges_agg"])
+
+
+def _lang_source_crosstab(sf_dir: str) -> Any:
+    """Language x source composition crosstab (wide fixed-width partials —
+    the PIVOT contract over documents)."""
+    from chunksilo_ray.ops.textstats import lang_source_crosstab
+
+    return lang_source_crosstab(sf_dir)
+
+
 def _hybrid_search_rrf(sf_dir: str) -> Any:
     """Hybrid BM25 + dense-cosine retrieval fused by reciprocal rank
     (RRF, c=60) — the reference's vector+BM25 merge as one operator."""
@@ -1091,6 +1115,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_revenue_filtered": _q6_revenue_filtered,
         "event_type_bigrams": _event_type_bigrams,
         "partitioned_export_roundtrip": _partitioned_export_roundtrip,
+        # round-4 batch 22: KG density/confidence + corpus crosstab
+        "conv_entity_richness": _conv_entity_richness,
+        "kg_edge_confidence": _kg_edge_confidence,
+        "lang_source_crosstab": _lang_source_crosstab,
         # round-4 batch 7: JSONL/CSV interchange sinks+sources — the query
         # answers from the roundtripped files, the oracle from the original
         # parquet, so a value match proves the roundtrip is lossless
@@ -2985,6 +3013,53 @@ def oracle_sql() -> dict[str, str]:
             WHERE pred IN ('asks_about', 'states', 'configures')
             GROUP BY subj
             HAVING COUNT(DISTINCT pred) = 3
+        """,
+        "conv_entity_richness": f"""
+            WITH m AS (SELECT conv_id, subj AS entity, weight
+                       FROM read_parquet('{_KG_OUT01}/edges/*.parquet')
+                       UNION ALL
+                       SELECT conv_id, obj, weight
+                       FROM read_parquet('{_KG_OUT01}/edges/*.parquet')),
+            c AS (SELECT conv_id,
+                         COUNT(DISTINCT entity) AS n_entities,
+                         SUM(weight) // 2 AS n_mentions
+                  FROM m GROUP BY conv_id)
+            SELECT conv_id,
+                   CAST(n_entities AS BIGINT) AS n_entities,
+                   CAST(n_mentions AS BIGINT) AS n_mentions
+            FROM c ORDER BY n_entities DESC, conv_id LIMIT 50
+        """,
+        "kg_edge_confidence": f"""
+            SELECT subj, pred, obj, CAST(weight AS BIGINT) AS weight,
+                   ROUND(CAST(weight AS DOUBLE)
+                         / SUM(weight) OVER (PARTITION BY subj, pred), 6)
+                     + 0.0 AS confidence
+            FROM read_parquet('{_KG_OUT01}/edges_agg/*.parquet')
+        """,
+        "lang_source_crosstab": """
+            SELECT lang,
+                   CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS n_src0,
+                   CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS n_src1,
+                   CAST(SUM(CASE WHEN source = 'src10' THEN 1 ELSE 0 END) AS BIGINT) AS n_src10,
+                   CAST(SUM(CASE WHEN source = 'src11' THEN 1 ELSE 0 END) AS BIGINT) AS n_src11,
+                   CAST(SUM(CASE WHEN source = 'src12' THEN 1 ELSE 0 END) AS BIGINT) AS n_src12,
+                   CAST(SUM(CASE WHEN source = 'src13' THEN 1 ELSE 0 END) AS BIGINT) AS n_src13,
+                   CAST(SUM(CASE WHEN source = 'src14' THEN 1 ELSE 0 END) AS BIGINT) AS n_src14,
+                   CAST(SUM(CASE WHEN source = 'src15' THEN 1 ELSE 0 END) AS BIGINT) AS n_src15,
+                   CAST(SUM(CASE WHEN source = 'src16' THEN 1 ELSE 0 END) AS BIGINT) AS n_src16,
+                   CAST(SUM(CASE WHEN source = 'src17' THEN 1 ELSE 0 END) AS BIGINT) AS n_src17,
+                   CAST(SUM(CASE WHEN source = 'src18' THEN 1 ELSE 0 END) AS BIGINT) AS n_src18,
+                   CAST(SUM(CASE WHEN source = 'src19' THEN 1 ELSE 0 END) AS BIGINT) AS n_src19,
+                   CAST(SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS BIGINT) AS n_src2,
+                   CAST(SUM(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS BIGINT) AS n_src3,
+                   CAST(SUM(CASE WHEN source = 'src4' THEN 1 ELSE 0 END) AS BIGINT) AS n_src4,
+                   CAST(SUM(CASE WHEN source = 'src5' THEN 1 ELSE 0 END) AS BIGINT) AS n_src5,
+                   CAST(SUM(CASE WHEN source = 'src6' THEN 1 ELSE 0 END) AS BIGINT) AS n_src6,
+                   CAST(SUM(CASE WHEN source = 'src7' THEN 1 ELSE 0 END) AS BIGINT) AS n_src7,
+                   CAST(SUM(CASE WHEN source = 'src8' THEN 1 ELSE 0 END) AS BIGINT) AS n_src8,
+                   CAST(SUM(CASE WHEN source = 'src9' THEN 1 ELSE 0 END) AS BIGINT) AS n_src9,
+                   CAST(COUNT(*) AS BIGINT) AS n_total
+            FROM documents GROUP BY lang
         """,
         "q6_revenue_filtered": """
             SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)

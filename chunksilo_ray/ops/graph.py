@@ -3044,3 +3044,142 @@ def kg_pred_confusion(edges_agg: Dataset) -> Dataset:
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def conv_entity_richness(edges: Dataset, topn: int = 50) -> Dataset:
+    """Conversation ranking by KG yield: the ``topn`` conversations whose
+    extractions touch the most DISTINCT entities (subjects and objects
+    pooled) — the "which dialogues are knowledge-dense" selector a
+    curation pass uses to pick training conversations. Emits
+    (conv_id, n_entities, n_mentions) ranked (n_entities DESC, conv_id).
+
+    Scale shape: per-block distinct (conv, entity) flag partials with the
+    mention count riding along; ONE conv-keyed exchange; per-partition
+    counts are segment folds and only per-block top-n candidates reach the
+    driver merge."""
+    import ray  # noqa: F401
+
+    from ..stages.materialize import _string_key_part
+    from ..util import map_partitions
+
+    def partial(t: pa.Table) -> pa.Table:
+        outs = []
+        for key in ("subj", "obj"):
+            g = (
+                pa.table({"conv_id": t["conv_id"], "entity": t[key], "w": t["weight"]})
+                .group_by(["conv_id", "entity"], use_threads=False)
+                .aggregate([("w", "sum")])
+            )
+            outs.append(g.rename_columns(["conv_id", "entity", "w"]))
+        out = pa.concat_tables(outs)
+        return out.append_column("__part", _string_key_part(out, ["conv_id"]))
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("n_entities", pa.int64()),
+            ("n_mentions", pa.int64()),
+        ]
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["conv_id", "entity", "w"])
+            .group_by(["conv_id", "entity"], use_threads=False)
+            .aggregate([("w", "sum")])
+        )
+        conv = g["conv_id"].to_numpy(zero_copy_only=False)
+        w = g["w_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        convs, codes = np.unique(conv, return_inverse=True)
+        n_ent = np.bincount(codes).astype(np.int64)
+        # each mention contributes to BOTH its subject and object rows, so
+        # the per-conv mention count is the halved weight mass
+        tw = np.bincount(codes, weights=w).astype(np.int64)
+        if (tw % 2).any():
+            raise ValueError("conv_entity_richness: odd pooled weight mass")
+        n_men = tw // 2
+        out = pa.table(
+            {
+                "conv_id": pa.array(convs.tolist(), pa.string()),
+                "n_entities": pa.array(n_ent),
+                "n_mentions": pa.array(n_men),
+            }
+        )
+        if out.num_rows > topn:  # per-partition partial top-n
+            idx = pc.select_k_unstable(
+                out,
+                topn,
+                sort_keys=[("n_entities", "descending"), ("conv_id", "ascending")],
+            )
+            out = out.take(idx)
+        return out
+
+    cand = map_partitions(
+        edges.map_batches(
+            partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        ),
+        "__part",
+        fold,
+        out_schema,
+    )
+    return cand.sort(["n_entities", "conv_id"], descending=[True, False]).limit(topn)
+
+
+def kg_edge_confidence(edges_agg: Dataset) -> Dataset:
+    """Per-triple relative confidence: weight / total weight of the triple's
+    (subj, pred) group — the conditional p(obj | subj, pred) a KG consumer
+    reads as "of everything this subject 'states', how often is it THIS
+    object". Emits (subj, pred, obj, weight, confidence) with confidence
+    ROUND(6); the division is one float op per row on an integer ratio, so
+    both engines agree bit-for-bit before the shared ROUND.
+
+    Scale shape: ONE (subj, pred)-keyed exchange of the already-distinct
+    triples; per partition the group totals are a bincount broadcast back
+    by inverse index — no second pass, no driver state."""
+    import ray  # noqa: F401
+
+    from ..stages.materialize import _string_key_part
+    from ..util import map_partitions
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(["subj", "pred", "obj", "weight"])
+        return g.append_column("__part", _string_key_part(g, ["subj", "pred"]))
+
+    out_schema = pa.schema(
+        [
+            ("subj", pa.string()),
+            ("pred", pa.string()),
+            ("obj", pa.string()),
+            ("weight", pa.int64()),
+            ("confidence", pa.float64()),
+        ]
+    )
+
+    def conf(t: pa.Table) -> pa.Table:
+        subj = t["subj"].to_numpy(zero_copy_only=False)
+        pred = t["pred"].to_numpy(zero_copy_only=False)
+        w = t["weight"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.char.add(np.char.add(subj.astype(str), "\x1f"), pred.astype(str))
+        _, codes = np.unique(key, return_inverse=True)
+        tot = np.bincount(codes, weights=w)
+        # half-away-from-zero rounding (SQL ROUND), not numpy's banker's —
+        # integer-ratio confidences land exactly on half boundaries
+        c = np.floor(w / tot[codes] * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "subj": t["subj"],
+                "pred": t["pred"],
+                "obj": t["obj"],
+                "weight": pa.array(w),
+                "confidence": pa.array(c, pa.float64()),
+            }
+        )
+
+    return map_partitions(
+        edges_agg.map_batches(
+            partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        ),
+        "__part",
+        conf,
+        out_schema,
+    )

@@ -707,3 +707,49 @@ def readability_scores(sf_dir: str) -> Dataset:
     return ds.map_batches(
         score, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
+
+
+def lang_source_crosstab(sf_dir: str) -> Dataset:
+    """Corpus composition crosstab: one row per language, one count column
+    per source plus a row total — the datasheet table a mixing plan reads.
+    Sources form a closed vocabulary (the PIVOT contract:
+    pivot_events_daily's wide-partial shape re-used over documents), so
+    each block collapses to |langs| fixed-width rows before the exchange."""
+    import pyarrow.dataset as pads
+
+    srcs = sorted(
+        pads.dataset(f"{sf_dir}/documents.parquet")
+        .to_table(columns=["source"])["source"]
+        .unique()
+        .to_pylist()
+    )
+    ds = _docs(sf_dir, ["lang", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {"lang": t["lang"]}
+        for s in srcs:
+            cols[f"n_{s}"] = pc.cast(pc.equal(t["source"], s), pa.int64())
+        g = (
+            pa.table(cols)
+            .group_by("lang", use_threads=False)
+            .aggregate([(f"n_{s}", "sum") for s in srcs])
+        )
+        return g.rename_columns(["lang"] + [f"n_{s}" for s in srcs])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(*[Sum(f"n_{s}", alias_name=f"n_{s}") for s in srcs])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = {"lang": t["lang"]}
+        tot = np.zeros(t.num_rows, np.int64)
+        for s in srcs:
+            v = pc.cast(t[f"n_{s}"], pa.int64())
+            cols[f"n_{s}"] = v
+            tot += v.to_numpy(zero_copy_only=False)
+        cols["n_total"] = pa.array(tot)
+        return pa.table(cols)
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
