@@ -578,6 +578,22 @@ def _lang_source_crosstab(sf_dir: str) -> Any:
     return lang_source_crosstab(sf_dir)
 
 
+def _kg_entity_card(sf_dir: str) -> Any:
+    """GraphRAG point lookup: one entity's edges tagged by direction
+    (zero-exchange pruned scan)."""
+    from chunksilo_ray.ops.graph import kg_entity_card
+
+    return kg_entity_card(_kg_result(sf_dir)["edges_agg"])
+
+
+def _kg_ego_subgraph(sf_dir: str) -> Any:
+    """2-hop ego subgraph of a seed entity — two pruned scans with a
+    bounded frontier broadcast, no exchange."""
+    from chunksilo_ray.ops.graph import kg_ego_subgraph
+
+    return kg_ego_subgraph(_kg_result(sf_dir)["edges_agg"])
+
+
 def _hybrid_search_rrf(sf_dir: str) -> Any:
     """Hybrid BM25 + dense-cosine retrieval fused by reciprocal rank
     (RRF, c=60) — the reference's vector+BM25 merge as one operator."""
@@ -1119,6 +1135,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_entity_richness": _conv_entity_richness,
         "kg_edge_confidence": _kg_edge_confidence,
         "lang_source_crosstab": _lang_source_crosstab,
+        # round-4 batch 23: GraphRAG point lookup + ego retrieval
+        "kg_entity_card": _kg_entity_card,
+        "kg_ego_subgraph": _kg_ego_subgraph,
         # round-4 batch 7: JSONL/CSV interchange sinks+sources — the query
         # answers from the roundtripped files, the oracle from the original
         # parquet, so a value match proves the roundtrip is lossless
@@ -3013,6 +3032,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE pred IN ('asks_about', 'states', 'configures')
             GROUP BY subj
             HAVING COUNT(DISTINCT pred) = 3
+        """,
+        "kg_entity_card": f"""
+            WITH ea AS (SELECT subj, pred, obj, weight
+                        FROM read_parquet('{_KG_OUT01}/edges_agg/*.parquet'))
+            SELECT 'out' AS direction, pred, obj AS other,
+                   CAST(weight AS BIGINT) AS weight
+            FROM ea WHERE subj = 'tool:bash'
+            UNION ALL
+            SELECT 'in', pred, subj, CAST(weight AS BIGINT)
+            FROM ea WHERE obj = 'tool:bash'
+            ORDER BY direction, pred, other
+        """,
+        "kg_ego_subgraph": f"""
+            WITH ea AS (SELECT subj, pred, obj, weight
+                        FROM read_parquet('{_KG_OUT01}/edges_agg/*.parquet')),
+            n1 AS (SELECT obj AS e FROM ea WHERE subj = 'tool:bash'
+                   UNION
+                   SELECT subj FROM ea WHERE obj = 'tool:bash'
+                   UNION
+                   SELECT 'tool:bash')
+            SELECT subj, pred, obj, CAST(weight AS BIGINT) AS weight
+            FROM ea
+            WHERE subj IN (SELECT e FROM n1) OR obj IN (SELECT e FROM n1)
         """,
         "conv_entity_richness": f"""
             WITH m AS (SELECT conv_id, subj AS entity, weight

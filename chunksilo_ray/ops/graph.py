@@ -3183,3 +3183,77 @@ def kg_edge_confidence(edges_agg: Dataset) -> Dataset:
         conf,
         out_schema,
     )
+
+
+def kg_entity_card(edges_agg: Dataset, entity: str = "tool:bash") -> Dataset:
+    """Point lookup — the GraphRAG entity card: every edge touching one
+    entity, tagged by direction, ranked (direction, pred, other). Emits
+    (direction, pred, other, weight). Zero exchange: the membership filter
+    runs inside each scan block (and prunes at the Parquet reader where
+    the source is the partitioned checkpoint); output is bounded by the
+    entity's degree."""
+
+    def card(t: pa.Table) -> pa.Table:
+        outs = []
+        for key, other, tag in (("subj", "obj", "out"), ("obj", "subj", "in")):
+            f = t.filter(pc.equal(t[key], entity))
+            outs.append(
+                pa.table(
+                    {
+                        "direction": pa.array([tag] * f.num_rows, pa.string()),
+                        "pred": f["pred"],
+                        "other": f[other],
+                        "weight": pc.cast(f["weight"], pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    return edges_agg.map_batches(
+        card, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).sort(["direction", "pred", "other"])
+
+
+def kg_ego_subgraph(edges_agg: Dataset, seed: str = "tool:bash") -> Dataset:
+    """2-hop ego subgraph — the GraphRAG retrieval unit: all triples with
+    an endpoint in {seed} ∪ neighbors(seed) (undirected adjacency). Emits
+    the (subj, pred, obj, weight) slice.
+
+    Scale shape: pass 1 is the entity-card filter collapsing to the
+    DISTINCT 1-hop frontier (bounded by the seed's degree — the budget is
+    the frontier broadcast, same argument as the canonical-map broadcast);
+    pass 2 is one vectorized is_in membership filter per scan block. No
+    exchange at all — ego retrieval is two pruned scans."""
+    import ray
+
+    from ..util import cached_get
+
+    def hop1(t: pa.Table) -> pa.Table:
+        a = t.filter(pc.equal(t["subj"], seed))["obj"].combine_chunks().cast(pa.string())
+        b = t.filter(pc.equal(t["obj"], seed))["subj"].combine_chunks().cast(pa.string())
+        return pa.table({"e": pa.concat_arrays([a, b])})
+
+    frontier = (
+        edges_agg.map_batches(hop1, batch_format="pyarrow", batch_size=None,
+                              zero_copy_batch=True)
+        .unique("e")
+    )
+    members = pa.array(sorted(set(frontier) | {seed}), pa.string())
+    members_ref = ray.put(members)
+
+    def member_filter(t: pa.Table) -> pa.Table:
+        m = cached_get(members_ref)
+        keep = pc.or_(pc.is_in(t["subj"], value_set=m), pc.is_in(t["obj"], value_set=m))
+        f = t.filter(keep)
+        return pa.table(
+            {
+                "subj": f["subj"],
+                "pred": f["pred"],
+                "obj": f["obj"],
+                "weight": pc.cast(f["weight"], pa.int64()),
+            }
+        )
+
+    return edges_agg.map_batches(
+        member_filter, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
