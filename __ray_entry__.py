@@ -99,6 +99,7 @@ def _docs_dir_scan(sf_dir: str, n_docs: int = 200) -> Any:
 # DuckDB oracles can recompute features/frames from the same input (the
 # docs_dir_scan pattern); recreated on every call — no stale file risk
 _MEDIA_PQ = "/tmp/chunksilo_ray_media/media.parquet"
+_MEDIA_DUP_PQ = "/tmp/chunksilo_ray_media/media_dups.parquet"
 
 
 def _media_features(sf_dir: str) -> Any:
@@ -592,6 +593,35 @@ def _kg_ego_subgraph(sf_dir: str) -> Any:
     from chunksilo_ray.ops.graph import kg_ego_subgraph
 
     return kg_ego_subgraph(_kg_result(sf_dir)["edges_agg"])
+
+
+def _kg_evidence_text(sf_dir: str) -> Any:
+    """Evidence retrieval: top-100 triples by weight joined to the full
+    text of their FIRST witness turn (broadcast witness set, one pruned
+    transcripts scan — text for exactly k turns leaves the scan)."""
+    from chunksilo_ray import datagen
+    from chunksilo_ray.ops.graph import kg_evidence_text
+
+    corpus = datagen.corpus_dir(datagen.sf_from_dir(sf_dir))
+    return kg_evidence_text(
+        _kg_result(sf_dir)["edges"], f"{corpus}/transcripts.parquet"
+    )
+
+
+def _media_dup_groups(sf_dir: str) -> Any:
+    """Exact dedup over opaque binary media payloads by 16-hex content
+    fingerprint (payloads never cross an exchange)."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+    from chunksilo_ray.ops import multimodal
+
+    p = pathlib.Path(_MEDIA_DUP_PQ)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    if p.exists():
+        p.unlink()
+    pq.write_table(multimodal.synth_media_with_dups(), p)
+    return multimodal.media_dup_groups(str(p))
 
 
 def _hybrid_search_rrf(sf_dir: str) -> Any:
@@ -1138,6 +1168,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 batch 23: GraphRAG point lookup + ego retrieval
         "kg_entity_card": _kg_entity_card,
         "kg_ego_subgraph": _kg_ego_subgraph,
+        # round-4 batch 24: evidence retrieval + binary media dedup
+        "kg_evidence_text": _kg_evidence_text,
+        "media_dup_groups": _media_dup_groups,
         # round-4 batch 7: JSONL/CSV interchange sinks+sources — the query
         # answers from the roundtripped files, the oracle from the original
         # parquet, so a value match proves the roundtrip is lossless
@@ -3032,6 +3065,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE pred IN ('asks_about', 'states', 'configures')
             GROUP BY subj
             HAVING COUNT(DISTINCT pred) = 3
+        """,
+        "kg_evidence_text": f"""
+            WITH prov AS (SELECT subj, pred, obj,
+                                 CAST(SUM(weight) AS BIGINT) AS weight,
+                                 MIN(conv_id || ':' ||
+                                     lpad(CAST(turn_idx AS VARCHAR), 6, '0'))
+                                   AS first_witness
+                          FROM read_parquet('{_KG_OUT01}/edges/*.parquet')
+                          GROUP BY subj, pred, obj),
+            top AS (SELECT * FROM prov
+                    ORDER BY weight DESC, subj, pred, obj LIMIT 100),
+            t AS (SELECT conv_id || ':' ||
+                         lpad(CAST(turn_idx AS VARCHAR), 6, '0') AS first_witness,
+                         text AS evidence
+                  FROM read_parquet('/tmp/chunksilo_ray_testdata/sf0.01-seed42/transcripts.parquet'))
+            SELECT subj, pred, obj, weight, first_witness, evidence
+            FROM top JOIN t USING (first_witness)
+        """,
+        "media_dup_groups": f"""
+            WITH f AS (SELECT media_id,
+                              substr(md5(lower(hex(payload))), 1, 16) AS content_md5
+                       FROM read_parquet('{_MEDIA_DUP_PQ}'))
+            SELECT content_md5,
+                   CAST(COUNT(*) AS BIGINT) AS n_assets,
+                   MIN(media_id) AS min_media_id
+            FROM f GROUP BY content_md5 HAVING COUNT(*) > 1
         """,
         "kg_entity_card": f"""
             WITH ea AS (SELECT subj, pred, obj, weight

@@ -3257,3 +3257,73 @@ def kg_ego_subgraph(edges_agg: Dataset, seed: str = "tool:bash") -> Dataset:
     return edges_agg.map_batches(
         member_filter, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
+
+
+def kg_evidence_text(
+    edges: Dataset, transcripts_path: str, k: int = 100
+) -> "pa.Table":
+    """Evidence retrieval for the KG's strongest facts: the top ``k``
+    triples by (weight DESC, subj, pred, obj) each joined back to the FULL
+    TEXT of their first witness turn — the audit-trail view a human (or a
+    grounding check) reads to decide whether the extractor told the truth.
+    Emits (subj, pred, obj, weight, first_witness, evidence).
+
+    Scale shape: provenance reuses kg_edge_provenance's mergeable
+    Sum/Min partials (one triple-keyed exchange); the top-k is per-block
+    partial top-k then a k-row driver merge; evidence fetch is ONE
+    transcripts scan filtered by the broadcast k-row witness set — text
+    for exactly k turns leaves the scan, never the corpus."""
+    import ray
+
+    from ..util import cached_get
+
+    prov = kg_edge_provenance(edges)
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        idx = pc.select_k_unstable(
+            t,
+            k,
+            sort_keys=[
+                ("weight", "descending"),
+                ("subj", "ascending"),
+                ("pred", "ascending"),
+                ("obj", "ascending"),
+            ],
+        )
+        return t.take(idx)
+
+    top = pa.Table.from_pylist(
+        prov.map_batches(partial_topk, batch_format="pyarrow", batch_size=None)
+        .sort(["weight", "subj", "pred", "obj"], descending=[True, False, False, False])
+        .limit(k)
+        .take_all()
+    )
+    witnesses = np.sort(np.asarray(top["first_witness"].to_pylist(), dtype=object).astype(str))
+    wit_ref = ray.put(witnesses)
+
+    import ray.data as rd
+
+    tr = rd.read_parquet(transcripts_path, columns=["conv_id", "turn_idx", "text"])
+
+    def fetch(t: pa.Table) -> pa.Table:
+        w = cached_get(wit_ref)
+        key = pc.binary_join_element_wise(
+            t["conv_id"].cast(pa.string()),
+            pc.utf8_lpad(pc.cast(t["turn_idx"], pa.string()), 6, "0"),
+            ":",
+        )
+        keep = pc.is_in(key, value_set=pa.array(w, pa.string()))
+        f = pa.table({"first_witness": key, "evidence": t["text"]}).filter(keep)
+        return f
+
+    ev = pa.Table.from_pylist(tr.map_batches(fetch, batch_format="pyarrow", batch_size=None).take_all())
+    lut = dict(zip(ev["first_witness"].to_pylist(), ev["evidence"].to_pylist()))
+    fw = top["first_witness"].to_pylist()
+    missing = [x for x in fw if x not in lut]
+    if missing:
+        raise ValueError(f"kg_evidence_text: witnesses without turns: {missing[:3]}")
+    return top.select(["subj", "pred", "obj", "weight", "first_witness"]).append_column(
+        "evidence", pa.array([lut[x] for x in fw], pa.string())
+    )

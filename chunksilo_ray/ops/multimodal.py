@@ -19,6 +19,7 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 from ray.data import Dataset
 
@@ -184,3 +185,67 @@ def video_frames(media: pa.Table | None = None) -> Dataset:
         FrameSampleActor, batch_format="pyarrow", batch_size=16, concurrency=(1, 2),
         zero_copy_batch=True
     )
+
+
+def synth_media_with_dups(n: int = 64, seed: int = 7, n_dups: int = 8) -> pa.Table:
+    """Deterministic media corpus WITH exact duplicates: the base synth
+    table plus re-identified copies of its first ``n_dups`` payloads —
+    the fixture for content-hash dedup over opaque binary columns."""
+    base = synth_media_table(n=n, seed=seed)
+    dup = base.slice(0, n_dups)
+    dup = dup.set_column(
+        dup.column_names.index("media_id"),
+        "media_id",
+        pa.array([f"zdup-{i:04d}" for i in range(n_dups)], pa.string()),
+    )
+    return pa.concat_tables([base, dup])
+
+
+def media_dup_groups(media_path: str) -> Dataset:
+    """Exact duplicate detection over an opaque binary media column: group
+    payloads by 16-hex content fingerprint, keep groups with > 1 asset and
+    report (content_md5, n_assets, min_media_id) — the canonical-asset
+    pick. The payload itself never crosses an exchange: each scan block
+    collapses to (fingerprint, count, min_id) partials and only those meet
+    in the hash-keyed combine — the exact_dedup_docs contract applied to
+    binary media."""
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    ds = rd.read_parquet(media_path, columns=["media_id", "payload"])
+
+    def part(t: pa.Table) -> pa.Table:
+        fps = [content_md5_16(p) for p in t["payload"].to_pylist()]
+        g = (
+            pa.table(
+                {
+                    "content_md5": pa.array(fps, pa.string()),
+                    "n_assets": pa.array(np.ones(t.num_rows, np.int64)),
+                    "min_media_id": t["media_id"].cast(pa.string()),
+                }
+            )
+            .group_by("content_md5", use_threads=False)
+            .aggregate([("n_assets", "sum"), ("min_media_id", "min")])
+        )
+        return g.rename_columns(["content_md5", "n_assets", "min_media_id"])
+
+    agg = (
+        ds.map_batches(part, batch_format="pyarrow", batch_size=None)
+        .groupby("content_md5")
+        .aggregate(
+            Sum("n_assets", alias_name="n_assets"),
+            Min("min_media_id", alias_name="min_media_id"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "content_md5": t["content_md5"],
+                "n_assets": pc.cast(t["n_assets"], pa.int64()),
+                "min_media_id": t["min_media_id"].cast(pa.string()),
+            }
+        )
+        return t.filter(pc.greater(t["n_assets"], 1))
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
