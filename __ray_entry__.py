@@ -624,6 +624,22 @@ def _media_dup_groups(sf_dir: str) -> Any:
     return multimodal.media_dup_groups(str(p))
 
 
+def _kg_type_signature(sf_dir: str) -> Any:
+    """Implicit-schema census: per-predicate (subj_type, obj_type)
+    signature distribution (one RE2 prefix kernel, bounded combine)."""
+    from chunksilo_ray.ops.graph import kg_type_signature
+
+    return kg_type_signature(_kg_result(sf_dir)["edges_agg"])
+
+
+def _segment_priority_chi2(sf_dir: str) -> Any:
+    """Chi-square independence of customer segment vs order priority
+    (broadcast segment map, bounded contingency partials)."""
+    from chunksilo_ray.ops.relational import segment_priority_chi2
+
+    return segment_priority_chi2(sf_dir)
+
+
 def _hybrid_search_rrf(sf_dir: str) -> Any:
     """Hybrid BM25 + dense-cosine retrieval fused by reciprocal rank
     (RRF, c=60) — the reference's vector+BM25 merge as one operator."""
@@ -1171,6 +1187,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 batch 24: evidence retrieval + binary media dedup
         "kg_evidence_text": _kg_evidence_text,
         "media_dup_groups": _media_dup_groups,
+        # round-4 batch 25: type-signature census + chi-square independence
+        "kg_type_signature": _kg_type_signature,
+        "segment_priority_chi2": _segment_priority_chi2,
         # round-4 batch 7: JSONL/CSV interchange sinks+sources — the query
         # answers from the roundtripped files, the oracle from the original
         # parquet, so a value match proves the roundtrip is lossless
@@ -3065,6 +3084,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE pred IN ('asks_about', 'states', 'configures')
             GROUP BY subj
             HAVING COUNT(DISTINCT pred) = 3
+        """,
+        "kg_type_signature": f"""
+            SELECT pred,
+                   COALESCE(NULLIF(split_part(subj, ':', 1), subj), 'untyped')
+                     AS subj_type,
+                   COALESCE(NULLIF(split_part(obj, ':', 1), obj), 'untyped')
+                     AS obj_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_triples,
+                   CAST(SUM(weight) AS BIGINT) AS total_weight
+            FROM read_parquet('{_KG_OUT01}/edges_agg/*.parquet')
+            GROUP BY pred, subj_type, obj_type
+        """,
+        "segment_priority_chi2": """
+            WITH c AS (SELECT cu.c_mktsegment AS segment,
+                              o.o_orderpriority AS priority,
+                              CAST(COUNT(*) AS DOUBLE) AS n
+                       FROM orders o
+                       JOIN customer cu ON cu.c_custkey = o.o_custkey
+                       GROUP BY segment, priority),
+            st AS (SELECT segment, SUM(n) AS sn FROM c GROUP BY segment),
+            pt AS (SELECT priority, SUM(n) AS pn FROM c GROUP BY priority),
+            tot AS (SELECT SUM(n) AS t FROM c)
+            SELECT ROUND(SUM((n - sn * pn / t) * (n - sn * pn / t)
+                             / (sn * pn / t)), 6) AS chi2,
+                   CAST((SELECT COUNT(*) - 1 FROM st)
+                        * (SELECT COUNT(*) - 1 FROM pt) AS BIGINT) AS dof,
+                   CAST(t AS BIGINT) AS n_orders
+            FROM c JOIN st USING (segment) JOIN pt USING (priority)
+                 CROSS JOIN tot
+            GROUP BY t
         """,
         "kg_evidence_text": f"""
             WITH prov AS (SELECT subj, pred, obj,

@@ -3327,3 +3327,64 @@ def kg_evidence_text(
     return top.select(["subj", "pred", "obj", "weight", "first_witness"]).append_column(
         "evidence", pa.array([lut[x] for x in fw], pa.string())
     )
+
+
+def kg_type_signature(edges_agg: Dataset) -> Dataset:
+    """Implicit-schema census: every predicate's (subject type, object
+    type) signature distribution, where an entity's type is its namespace
+    prefix before ':' (person:, tool:, system:, artifact:, ent:, role: in
+    this corpus — the typed-entity convention the extractor emits). The
+    kg_construct QA card: a predicate whose signature smears across type
+    pairs is under-constrained. Emits (pred, subj_type, obj_type,
+    n_triples, total_weight).
+
+    Scale shape: type extraction is one RE2 kernel per block (shared with
+    the oracle's split_part), partials collapse to the |P| x |T|^2-bounded
+    signature rows before ONE tiny keyed combine."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        st = pc.struct_field(
+            pc.extract_regex(t["subj"], pattern=r"^(?P<t>[^:]*):"), "t"
+        )
+        ot = pc.struct_field(
+            pc.extract_regex(t["obj"], pattern=r"^(?P<t>[^:]*):"), "t"
+        )
+        g = (
+            pa.table(
+                {
+                    "pred": t["pred"],
+                    "subj_type": pc.fill_null(st, "untyped"),
+                    "obj_type": pc.fill_null(ot, "untyped"),
+                    "w": pc.cast(t["weight"], pa.int64()),
+                }
+            )
+            .group_by(["pred", "subj_type", "obj_type"], use_threads=False)
+            .aggregate([("w", "sum"), ([], "count_all")])
+        )
+        return g.rename_columns(
+            ["pred", "subj_type", "obj_type", "total_weight", "n_triples"]
+        )
+
+    agg = (
+        edges_agg.map_batches(
+            partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+        .groupby(["pred", "subj_type", "obj_type"])
+        .aggregate(
+            Sum("n_triples", alias_name="n_triples"),
+            Sum("total_weight", alias_name="total_weight"),
+        )
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "pred": t["pred"],
+                "subj_type": t["subj_type"],
+                "obj_type": t["obj_type"],
+                "n_triples": pc.cast(t["n_triples"], pa.int64()),
+                "total_weight": pc.cast(t["total_weight"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

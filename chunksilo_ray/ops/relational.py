@@ -1385,3 +1385,74 @@ def q6_revenue_filtered(
             "n_items": pa.array([int(tot["n_items"])], pa.int64()),
         }
     )
+
+
+def segment_priority_chi2(sf_dir: str) -> "pa.Table":
+    """Independence test between customer market segment and order
+    priority: the Pearson chi-square statistic over the (segment,
+    priority) contingency table — does WHO the customer is predict HOW
+    urgent their orders are. Emits one row (chi2, dof, n_orders) with chi2
+    ROUND(6). Both engines fold the SAME integer contingency counts
+    through the same formula in the same sorted-cell order (the SQL
+    aggregates an ORDER-BY'd CTE), so the float is reproducible.
+
+    Scale shape: the orders scan joins the broadcast customer segment map
+    and collapses to |segments| x |priorities| integer partials per block;
+    ONE tiny keyed combine; the chi-square fold happens on the driver over
+    the bounded contingency table."""
+    import ray
+
+    from ..util import cached_get
+
+    import pyarrow.dataset as pads
+
+    cust = pads.dataset(f"{sf_dir}/customer.parquet").to_table(
+        columns=["c_custkey", "c_mktsegment"]
+    )
+    ck = np.asarray(cust["c_custkey"].to_pylist(), dtype=np.int64)
+    seg = np.asarray(cust["c_mktsegment"].to_pylist(), dtype=object)
+    o = np.argsort(ck)
+    side = ray.put((ck[o], seg[o]))
+
+    ds = _pq(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        k, s = cached_get(side)
+        keys = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = np.searchsorted(k, keys)
+        if (k[i] != keys).any():
+            raise ValueError("segment_priority_chi2: dangling custkey")
+        g = (
+            pa.table(
+                {
+                    "segment": pa.array(s[i].tolist(), pa.string()),
+                    "priority": t["o_orderpriority"],
+                }
+            )
+            .group_by(["segment", "priority"], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["segment", "priority", "n"])
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby(["segment", "priority"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["segment", "priority"], kind="mergesort")
+    )
+    seg_tot = cells.groupby("segment")["n"].sum()
+    pri_tot = cells.groupby("priority")["n"].sum()
+    total = float(cells["n"].sum())
+    chi2 = 0.0
+    for _, r in cells.iterrows():  # sorted-cell order, mirrored by the SQL
+        e = float(seg_tot[r["segment"]]) * float(pri_tot[r["priority"]]) / total
+        chi2 += (float(r["n"]) - e) ** 2 / e
+    dof = (len(seg_tot) - 1) * (len(pri_tot) - 1)
+    return pa.table(
+        {
+            "chi2": pa.array([round(chi2, 6)], pa.float64()),
+            "dof": pa.array([int(dof)], pa.int64()),
+            "n_orders": pa.array([int(total)], pa.int64()),
+        }
+    )
