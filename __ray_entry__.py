@@ -640,6 +640,26 @@ def _segment_priority_chi2(sf_dir: str) -> Any:
     return segment_priority_chi2(sf_dir)
 
 
+def _conversion_within_window(sf_dir: str) -> Any:
+    """7-day signup -> purchase funnel conversion (one user-hash exchange,
+    two integer counters per partition)."""
+    from chunksilo_ray.ops.window import conversion_within_window
+
+    return conversion_within_window(sf_dir)
+
+
+def _kg_alias_coverage(sf_dir: str) -> Any:
+    """Extraction-recall proxy: known alias-index entities present in the
+    graph, per entity type (distributed node fold + tiny driver join)."""
+    from chunksilo_ray import datagen
+    from chunksilo_ray.ops.graph import kg_alias_coverage
+
+    corpus = datagen.corpus_dir(datagen.sf_from_dir(sf_dir))
+    return kg_alias_coverage(
+        _kg_result(sf_dir)["edges_agg"], f"{corpus}/alias_index.parquet"
+    )
+
+
 def _hybrid_search_rrf(sf_dir: str) -> Any:
     """Hybrid BM25 + dense-cosine retrieval fused by reciprocal rank
     (RRF, c=60) — the reference's vector+BM25 merge as one operator."""
@@ -1190,6 +1210,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 batch 25: type-signature census + chi-square independence
         "kg_type_signature": _kg_type_signature,
         "segment_priority_chi2": _segment_priority_chi2,
+        # round-4 batch 26: windowed funnel conversion + alias coverage
+        "conversion_within_window": _conversion_within_window,
+        "kg_alias_coverage": _kg_alias_coverage,
         # round-4 batch 7: JSONL/CSV interchange sinks+sources — the query
         # answers from the roundtripped files, the oracle from the original
         # parquet, so a value match proves the roundtrip is lossless
@@ -3084,6 +3107,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE pred IN ('asks_about', 'states', 'configures')
             GROUP BY subj
             HAVING COUNT(DISTINCT pred) = 3
+        """,
+        "conversion_within_window": """
+            WITH s AS (SELECT user_id, MIN(epoch_us(ts)) AS s_ts
+                       FROM events WHERE event_type = 'signup'
+                       GROUP BY user_id),
+            c AS (SELECT DISTINCT s.user_id
+                  FROM s JOIN events p
+                    ON p.user_id = s.user_id
+                   AND p.event_type = 'purchase'
+                   AND epoch_us(p.ts) > s.s_ts
+                   AND epoch_us(p.ts) <= s.s_ts + 604800000000)
+            SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_signup_users,
+                   CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_converted
+        """,
+        "kg_alias_coverage": f"""
+            WITH nodes AS (SELECT subj AS node
+                           FROM read_parquet('{_KG_OUT01}/edges_agg/*.parquet')
+                           UNION
+                           SELECT obj
+                           FROM read_parquet('{_KG_OUT01}/edges_agg/*.parquet')),
+            known AS (SELECT DISTINCT entity_id, entity_type
+                      FROM read_parquet('/tmp/chunksilo_ray_testdata/sf0.01-seed42/alias_index.parquet'))
+            SELECT entity_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_known,
+                   CAST(SUM(CASE WHEN nodes.node IS NOT NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_in_graph
+            FROM known LEFT JOIN nodes ON nodes.node = known.entity_id
+            GROUP BY entity_type
         """,
         "kg_type_signature": f"""
             SELECT pred,

@@ -3388,3 +3388,57 @@ def kg_type_signature(edges_agg: Dataset) -> Dataset:
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def kg_alias_coverage(edges_agg: Dataset, alias_path: str) -> "pa.Table":
+    """Extraction-recall proxy: for each entity type in the alias index
+    (the KNOWN vocabulary the linker was given), how many of its entities
+    actually appear in the constructed graph as a subject or object.
+    Emits (entity_type, n_known, n_in_graph) — a type with low coverage
+    means the extractor is blind to it.
+
+    Scale shape: the graph's distinct node set folds per block and the
+    tiny alias table is driver-side; the membership test is one vectorized
+    isin against the node union — the alias index is vocabulary-bounded by
+    construction (it was broadcast into the linker the same way)."""
+    import pyarrow.dataset as pads
+
+    alias = pads.dataset(alias_path).to_table(columns=["entity_id", "entity_type"])
+
+    def nodes(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        t["subj"].combine_chunks().cast(pa.string()),
+                        t["obj"].combine_chunks().cast(pa.string()),
+                    ]
+                )
+            }
+        )
+
+    present = set(
+        edges_agg.map_batches(
+            nodes, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        ).unique("node")
+    )
+    ent = np.asarray(alias["entity_id"].to_pylist(), dtype=object)
+    ety = np.asarray(alias["entity_type"].to_pylist(), dtype=object)
+    # the alias index may map several surface forms to one entity
+    uniq = {}
+    for e, ty in zip(ent, ety):
+        uniq[e] = ty
+    types = sorted(set(uniq.values()))
+    n_known = {ty: 0 for ty in types}
+    n_in = {ty: 0 for ty in types}
+    for e, ty in uniq.items():
+        n_known[ty] += 1
+        if e in present:
+            n_in[ty] += 1
+    return pa.table(
+        {
+            "entity_type": pa.array(types, pa.string()),
+            "n_known": pa.array([n_known[t] for t in types], pa.int64()),
+            "n_in_graph": pa.array([n_in[t] for t in types], pa.int64()),
+        }
+    )

@@ -2120,3 +2120,76 @@ def event_type_bigrams(sf_dir: str) -> Dataset:
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def conversion_within_window(
+    sf_dir: str, window_us: int = 7 * 86_400_000_000
+) -> "pa.Table":
+    """Windowed funnel conversion: of users whose FIRST signup event exists,
+    how many made a purchase within ``window_us`` (default 7 days) AFTER
+    that signup. Emits one row (n_signup_users, n_converted) — the rate is
+    a client-side division (all-integer oracle compare).
+
+    Scale shape: the scan keeps only signup/purchase light rows; ONE
+    user-hash exchange co-locates each user's events; per partition the
+    first-signup is a segment min and the conversion test one
+    searchsorted-free vectorized mask fold; two counters per partition
+    reach the driver."""
+    from ..util import map_partitions
+
+    ds = _events(sf_dir, ["user_id", "ts", "event_type"])
+
+    def light(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            t["event_type"], value_set=pa.array(["signup", "purchase"])
+        )
+        f = t.filter(keep)
+        return pa.table(
+            {
+                "user_id": f["user_id"],
+                "ts": pc.cast(f["ts"].cast(pa.int64()), pa.int64()),
+                "is_signup": pc.cast(pc.equal(f["event_type"], "signup"), pa.int8()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [("n_signup_users", pa.int64()), ("n_converted", pa.int64())]
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        sg = t["is_signup"].to_numpy(zero_copy_only=False) == 1
+        users, codes = np.unique(uid, return_inverse=True)
+        big = np.iinfo(np.int64).max
+        first_signup = np.full(len(users), big, np.int64)
+        np.minimum.at(first_signup, codes[sg], ts[sg])
+        has_signup = first_signup < big
+        conv = np.zeros(len(users), bool)
+        pu = ~sg
+        lo = first_signup[codes[pu]]
+        ok = (ts[pu] > lo) & (ts[pu] <= lo + window_us)
+        conv_users = np.unique(codes[pu][ok])
+        conv[conv_users] = True
+        conv &= has_signup
+        return pa.table(
+            {
+                "n_signup_users": pa.array([int(has_signup.sum())], pa.int64()),
+                "n_converted": pa.array([int(conv.sum())], pa.int64()),
+            }
+        )
+
+    parts = map_partitions(
+        _user_partitioned(
+            ds.map_batches(
+                light, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+            )
+        ),
+        "__part",
+        fold,
+        out_schema,
+    )
+    tot = parts.to_pandas().sum()
+    return pa.table(
+        {c: pa.array([int(tot[c])], pa.int64()) for c in out_schema.names}
+    )
