@@ -660,6 +660,24 @@ def _kg_alias_coverage(sf_dir: str) -> Any:
     )
 
 
+def _turn_volume_weekly(sf_dir: str) -> Any:
+    """Per-(week, role) turn/char volume curve (all-integer mergeable
+    partials, calendar-bounded combine)."""
+    from chunksilo_ray import datagen
+    from chunksilo_ray.ops.window import turn_volume_weekly
+
+    corpus = datagen.corpus_dir(datagen.sf_from_dir(sf_dir))
+    return turn_volume_weekly(f"{corpus}/transcripts.parquet")
+
+
+def _top_users_profile(sf_dir: str) -> Any:
+    """Top-20 users by exact integer-cents value with dominant event type
+    (one user-hash exchange, per-partition partial top-k)."""
+    from chunksilo_ray.ops.window import top_users_profile
+
+    return top_users_profile(sf_dir)
+
+
 def _hybrid_search_rrf(sf_dir: str) -> Any:
     """Hybrid BM25 + dense-cosine retrieval fused by reciprocal rank
     (RRF, c=60) — the reference's vector+BM25 merge as one operator."""
@@ -1213,6 +1231,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 batch 26: windowed funnel conversion + alias coverage
         "conversion_within_window": _conversion_within_window,
         "kg_alias_coverage": _kg_alias_coverage,
+        # round-4 batch 27: temporal volume curve + whale report
+        "turn_volume_weekly": _turn_volume_weekly,
+        "top_users_profile": _top_users_profile,
         # round-4 batch 7: JSONL/CSV interchange sinks+sources — the query
         # answers from the roundtripped files, the oracle from the original
         # parquet, so a value match proves the roundtrip is lossless
@@ -3107,6 +3128,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE pred IN ('asks_about', 'states', 'configures')
             GROUP BY subj
             HAVING COUNT(DISTINCT pred) = 3
+        """,
+        "turn_volume_weekly": """
+            SELECT CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week,
+                   role,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   CAST(SUM(length(text)) AS BIGINT) AS total_chars
+            FROM read_parquet('/tmp/chunksilo_ray_testdata/sf0.01-seed42/transcripts.parquet')
+            GROUP BY week, role
+        """,
+        "top_users_profile": """
+            WITH ut AS (SELECT user_id, event_type,
+                               CAST(COUNT(*) AS BIGINT) AS n,
+                               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                                      AS BIGINT) AS cents
+                        FROM events GROUP BY user_id, event_type),
+            u AS (SELECT user_id, SUM(n) AS n_events, SUM(cents) AS total_cents
+                  FROM ut GROUP BY user_id),
+            d AS (SELECT user_id, event_type AS top_type,
+                         ROW_NUMBER() OVER (PARTITION BY user_id
+                                            ORDER BY n DESC, event_type) AS rn
+                  FROM ut)
+            SELECT u.user_id,
+                   CAST(n_events AS BIGINT) AS n_events,
+                   CAST(total_cents AS BIGINT) AS total_cents,
+                   d.top_type
+            FROM u JOIN d USING (user_id) WHERE d.rn = 1
+            ORDER BY total_cents DESC, u.user_id LIMIT 20
         """,
         "conversion_within_window": """
             WITH s AS (SELECT user_id, MIN(epoch_us(ts)) AS s_ts

@@ -2193,3 +2193,143 @@ def conversion_within_window(
     return pa.table(
         {c: pa.array([int(tot[c])], pa.int64()) for c in out_schema.names}
     )
+
+
+def turn_volume_weekly(transcripts_path: str) -> Dataset:
+    """Temporal corpus drift: per (epoch-week, role) turn count and total
+    text characters — the volume curve an ingest monitor alarms on. All
+    integers; per-block Arrow group_by partials, one calendar x |roles|
+    bounded combine, no conversation co-location needed."""
+    from ray.data.aggregate import Sum as _Sum
+
+    WEEK_US = 7 * 86_400_000_000
+    ds = rd.read_parquet(transcripts_path, columns=["ts", "role", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        week = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) // WEEK_US
+        g = (
+            pa.table(
+                {
+                    "week": pa.array(week.astype(np.int64)),
+                    "role": t["role"],
+                    "total_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+                }
+            )
+            .group_by(["week", "role"], use_threads=False)
+            .aggregate([("total_chars", "sum"), ([], "count_all")])
+        )
+        return g.rename_columns(["week", "role", "total_chars", "n_turns"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True)
+        .groupby(["week", "role"])
+        .aggregate(
+            _Sum("n_turns", alias_name="n_turns"),
+            _Sum("total_chars", alias_name="total_chars"),
+        )
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "week": pc.cast(t["week"], pa.int64()),
+                "role": t["role"],
+                "n_turns": pc.cast(t["n_turns"], pa.int64()),
+                "total_chars": pc.cast(t["total_chars"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def top_users_profile(sf_dir: str, k: int = 20) -> Dataset:
+    """Whale report: the top ``k`` users by EXACT total event value
+    (integer cents — events money is cents-exact, the q5/q6 contract),
+    each with their event count and dominant event type (count DESC, type
+    ASC tie-break). Emits (user_id, n_events, total_cents, top_type)
+    ranked (total_cents DESC, user_id).
+
+    Scale shape: per-block (user, type) partials; ONE user-hash exchange;
+    per partition the dominant type is one lexsort pick and the top-k is a
+    per-partition partial before the k-row driver merge."""
+    from ..util import map_partitions
+
+    ds = _events(sf_dir, ["user_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            t["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "event_type": t["event_type"],
+                    "n": pa.array(np.ones(t.num_rows, np.int64)),
+                    "cents": pa.array(cents),
+                }
+            )
+            .group_by(["user_id", "event_type"], use_threads=False)
+            .aggregate([("n", "sum"), ("cents", "sum")])
+        )
+        return g.rename_columns(["user_id", "event_type", "n", "cents"])
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_events", pa.int64()),
+            ("total_cents", pa.int64()),
+            ("top_type", pa.string()),
+        ]
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["user_id", "event_type", "n", "cents"])
+            .group_by(["user_id", "event_type"], use_threads=False)
+            .aggregate([("n", "sum"), ("cents", "sum")])
+        )
+        uid = g["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ty = g["event_type"].to_numpy(zero_copy_only=False)
+        n = g["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = g["cents_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ty, -n, uid))  # per user: count DESC, type ASC
+        uid_o, ty_o = uid[order], ty[order]
+        first = np.ones(len(uid_o), bool)
+        if len(uid_o) > 1:
+            first[1:] = uid_o[1:] != uid_o[:-1]
+        users = uid_o[first]
+        top_type = ty_o[first]
+        # totals per user (bincount over codes aligned with `users` order)
+        _, codes = np.unique(uid, return_inverse=True)
+        n_events = np.bincount(codes, weights=n).astype(np.int64)
+        total_cents = np.bincount(codes, weights=cents).astype(np.int64)
+        # np.unique sorts ascending = same order as `users` (lexsort by uid)
+        out = pa.table(
+            {
+                "user_id": pa.array(users),
+                "n_events": pa.array(n_events),
+                "total_cents": pa.array(total_cents),
+                "top_type": pa.array(top_type.tolist(), pa.string()),
+            }
+        )
+        if out.num_rows > k:
+            idx = pc.select_k_unstable(
+                out, k,
+                sort_keys=[("total_cents", "descending"), ("user_id", "ascending")],
+            )
+            out = out.take(idx)
+        return out
+
+    cand = map_partitions(
+        _user_partitioned(
+            ds.map_batches(
+                partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+            )
+        ),
+        "__part",
+        fold,
+        out_schema,
+    )
+    return cand.sort(["total_cents", "user_id"], descending=[True, False]).limit(k)
