@@ -678,6 +678,24 @@ def _top_users_profile(sf_dir: str) -> Any:
     return top_users_profile(sf_dir)
 
 
+def _first_tool_distribution(sf_dir: str) -> Any:
+    """Which tool each conversation invokes FIRST ('<none>' spine included;
+    one conv-hash exchange, lexsort segment heads)."""
+    from chunksilo_ray import datagen
+    from chunksilo_ray.ops.window import first_tool_distribution
+
+    corpus = datagen.corpus_dir(datagen.sf_from_dir(sf_dir))
+    return first_tool_distribution(f"{corpus}/transcripts.parquet")
+
+
+def _order_size_histogram(sf_dir: str) -> Any:
+    """Lineitems-per-order histogram (two-level distributed aggregate:
+    one orderkey exchange, bounded count-of-counts combine)."""
+    from chunksilo_ray.ops.relational import order_size_histogram
+
+    return order_size_histogram(sf_dir)
+
+
 def _hybrid_search_rrf(sf_dir: str) -> Any:
     """Hybrid BM25 + dense-cosine retrieval fused by reciprocal rank
     (RRF, c=60) — the reference's vector+BM25 merge as one operator."""
@@ -1234,6 +1252,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 batch 27: temporal volume curve + whale report
         "turn_volume_weekly": _turn_volume_weekly,
         "top_users_profile": _top_users_profile,
+        # round-4 batch 28: opener analysis + count-of-counts
+        "first_tool_distribution": _first_tool_distribution,
+        "order_size_histogram": _order_size_histogram,
         # round-4 batch 7: JSONL/CSV interchange sinks+sources — the query
         # answers from the roundtripped files, the oracle from the original
         # parquet, so a value match proves the roundtrip is lossless
@@ -3128,6 +3149,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE pred IN ('asks_about', 'states', 'configures')
             GROUP BY subj
             HAVING COUNT(DISTINCT pred) = 3
+        """,
+        "first_tool_distribution": """
+            WITH ft AS (SELECT conv_id, tool,
+                               ROW_NUMBER() OVER (PARTITION BY conv_id
+                                                  ORDER BY turn_idx) AS rn
+                        FROM read_parquet('/tmp/chunksilo_ray_testdata/sf0.01-seed42/transcripts.parquet')
+                        WHERE role = 'tool'),
+            convs AS (SELECT DISTINCT conv_id
+                      FROM read_parquet('/tmp/chunksilo_ray_testdata/sf0.01-seed42/transcripts.parquet'))
+            SELECT COALESCE(ft.tool, '<none>') AS first_tool,
+                   CAST(COUNT(*) AS BIGINT) AS n_convs
+            FROM convs LEFT JOIN ft
+              ON ft.conv_id = convs.conv_id AND ft.rn = 1
+            GROUP BY first_tool
+        """,
+        "order_size_histogram": """
+            WITH per_order AS (SELECT l_orderkey, COUNT(*) AS n_items
+                               FROM lineitem GROUP BY l_orderkey)
+            SELECT CAST(n_items AS BIGINT) AS n_items,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM per_order GROUP BY n_items
         """,
         "turn_volume_weekly": """
             SELECT CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week,

@@ -1456,3 +1456,51 @@ def segment_priority_chi2(sf_dir: str) -> "pa.Table":
             "n_orders": pa.array([int(total)], pa.int64()),
         }
     )
+
+
+def order_size_histogram(sf_dir: str) -> Dataset:
+    """Order-size distribution: lineitems per order folded into the
+    (n_items, n_orders) histogram — the two-level distributed aggregate
+    (per-key count, then count-of-counts) every skew analysis starts with.
+
+    Scale shape: per-block (orderkey, count) partials; ONE orderkey-keyed
+    exchange (the only data-sized one); the histogram fold emits a bounded
+    (size, count) table per partition and the final combine is tiny."""
+    from ray.data.aggregate import Sum
+
+    ds = _pq(sf_dir, "lineitem", ["l_orderkey"])
+
+    def part(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_orderkey", use_threads=False).aggregate([([], "count_all")])
+        g = g.rename_columns(["l_orderkey", "n"])
+        return g.set_column(g.column_names.index("n"), "n", pc.cast(g["n"], pa.int64()))
+
+    per_order = (
+        ds.map_batches(part, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Sum("n", alias_name="n_items"))
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"n_items": pc.cast(t["n_items"], pa.int64())})
+            .group_by("n_items", use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        g = g.rename_columns(["n_items", "n_orders"])
+        return g.set_column(
+            g.column_names.index("n_orders"), "n_orders", pc.cast(g["n_orders"], pa.int64())
+        )
+
+    agg = (
+        per_order.map_batches(hist, batch_format="pyarrow", batch_size=None)
+        .groupby("n_items")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("n_orders"), "n_orders", pc.cast(t["n_orders"], pa.int64())
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

@@ -2333,3 +2333,82 @@ def top_users_profile(sf_dir: str, k: int = 20) -> Dataset:
         out_schema,
     )
     return cand.sort(["total_cents", "user_id"], descending=[True, False]).limit(k)
+
+
+def first_tool_distribution(transcripts_path: str) -> Dataset:
+    """Conversation-opener analysis: which tool a conversation invokes
+    FIRST (its earliest role='tool' turn), counted across the corpus;
+    conversations that never invoke a tool count under '<none>'. Emits
+    (first_tool, n_convs) — the agent-behavior prior a routing layer reads.
+
+    Scale shape: tool turns reduce to (conv, turn_idx, tool) light rows
+    and the no-tool spine to (conv) rows; ONE conv-hash exchange; per
+    partition the first tool is a lexsort segment head; |tools|+1 partials
+    combine."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..util import map_partitions
+
+    ds = rd.read_parquet(transcripts_path, columns=["conv_id", "turn_idx", "role", "tool"])
+
+    def light(t: pa.Table) -> pa.Table:
+        is_tool = pc.equal(t["role"], "tool")
+        out = pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                "is_tool": pc.cast(is_tool, pa.int8()),
+                "tool": t["tool"],
+            }
+        )
+        return _conv_tag(out)
+
+    out_schema = pa.schema([("first_tool", pa.string()), ("n_convs", pa.int64())])
+
+    def fold(t: pa.Table) -> pa.Table:
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        idx = t["turn_idx"].to_numpy(zero_copy_only=False)
+        it = t["is_tool"].to_numpy(zero_copy_only=False) == 1
+        tool = t["tool"].to_numpy(zero_copy_only=False)
+        _, codes = np.unique(conv, return_inverse=True)
+        n_convs = codes.max() + 1 if len(codes) else 0
+        first_tool = np.full(n_convs, "<none>", object)
+        big = np.iinfo(np.int64).max
+        best = np.full(n_convs, big, np.int64)
+        # earliest tool turn per conv: lexsort then first tool row per conv
+        order = np.lexsort((idx, codes))
+        c_o, i_o, it_o, t_o = codes[order], idx[order], it[order], tool[order]
+        tl = np.flatnonzero(it_o)
+        if len(tl):
+            seen_first = np.ones(len(tl), bool)
+            seen_first[1:] = c_o[tl[1:]] != c_o[tl[:-1]]
+            heads = tl[seen_first]
+            first_tool[c_o[heads]] = t_o[heads]
+            best[c_o[heads]] = i_o[heads]
+        vals, cnt = np.unique(first_tool, return_counts=True)
+        return pa.table(
+            {
+                "first_tool": pa.array(vals.tolist(), pa.string()),
+                "n_convs": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        map_partitions(
+            ds.map_batches(
+                light, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+            ),
+            "__part",
+            fold,
+            out_schema,
+        )
+        .groupby("first_tool")
+        .aggregate(_Sum("n_convs", alias_name="n_convs"))
+    )
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("n_convs"), "n_convs", pc.cast(t["n_convs"], pa.int64())
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
