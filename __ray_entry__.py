@@ -696,6 +696,14 @@ def _order_size_histogram(sf_dir: str) -> Any:
     return order_size_histogram(sf_dir)
 
 
+def _lang_confusion_matrix(sf_dir: str) -> Any:
+    """Tagged vs predicted language confusion matrix (memoized LangId
+    kernel per block, |langs|^2-bounded combine)."""
+    from chunksilo_ray.ops.textstats import lang_confusion_matrix
+
+    return lang_confusion_matrix(sf_dir)
+
+
 def _hybrid_search_rrf(sf_dir: str) -> Any:
     """Hybrid BM25 + dense-cosine retrieval fused by reciprocal rank
     (RRF, c=60) — the reference's vector+BM25 merge as one operator."""
@@ -1255,6 +1263,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 batch 28: opener analysis + count-of-counts
         "first_tool_distribution": _first_tool_distribution,
         "order_size_histogram": _order_size_histogram,
+        # round-4 batch 29: language-ID eval
+        "lang_confusion_matrix": _lang_confusion_matrix,
         # round-4 batch 7: JSONL/CSV interchange sinks+sources — the query
         # answers from the roundtripped files, the oracle from the original
         # parquet, so a value match proves the roundtrip is lossless
@@ -1883,6 +1893,25 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings ORDER BY cosine DESC LIMIT 10
         """,
         # --- round-2 oracles: text analysis -------------------------------
+        "lang_confusion_matrix": f"""
+            WITH t AS (SELECT lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                       FROM documents),
+            s AS (SELECT lang, len(w) AS n_tokens,
+                         len(list_filter(w, x -> list_contains({prof['en']}, x))) AS h_en,
+                         len(list_filter(w, x -> list_contains({prof['de']}, x))) AS h_de,
+                         len(list_filter(w, x -> list_contains({prof['fr']}, x))) AS h_fr,
+                         len(list_filter(w, x -> list_contains({prof['es']}, x))) AS h_es
+                  FROM t),
+            p AS (SELECT lang,
+                         CASE WHEN n_tokens = 0
+                                   OR 20 * GREATEST(h_en, h_de, h_fr, h_es) <= n_tokens THEN 'und'
+                              WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+                              WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+                              WHEN h_fr >= h_es THEN 'fr' ELSE 'es' END AS pred_lang
+                  FROM s)
+            SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM p GROUP BY lang, pred_lang
+        """,
         "detect_language": f"""
             WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
                        FROM documents),

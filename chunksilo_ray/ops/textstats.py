@@ -753,3 +753,41 @@ def lang_source_crosstab(sf_dir: str) -> Dataset:
         return pa.table(cols)
 
     return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def lang_confusion_matrix(sf_dir: str) -> Dataset:
+    """Language-ID quality card: the confusion matrix between the corpus's
+    TAGGED language column and the stopword-profile heuristic's prediction
+    — (lang, pred_lang, n_docs). The eval every language filter needs
+    before anyone trusts `docs_by_lang` splits downstream.
+
+    Scale shape: the LangId kernel runs per block (worker-global memoized
+    state — no per-batch rebuild), the matrix partial collapses each block
+    to <= |langs| x (|langs|+1) rows, and the combine is tiny. The oracle
+    replays the identical profile/threshold arithmetic in SQL (the
+    detect_language contract) and joins it to the tag."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pred = _langid_batch(t.select(["text"]))  # row-aligned with t
+        g = (
+            pa.table({"lang": t["lang"], "pred_lang": pred["pred_lang"]})
+            .group_by(["lang", "pred_lang"], use_threads=False)
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["lang", "pred_lang", "n_docs"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby(["lang", "pred_lang"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("n_docs"), "n_docs", pc.cast(t["n_docs"], pa.int64())
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
