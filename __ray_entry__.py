@@ -704,6 +704,14 @@ def _lang_confusion_matrix(sf_dir: str) -> Any:
     return lang_confusion_matrix(sf_dir)
 
 
+def _kg_self_loop_audit(sf_dir: str) -> Any:
+    """Per-predicate self-loop hygiene card (pure per-block partials,
+    |P|-row combine)."""
+    from chunksilo_ray.ops.graph import kg_self_loop_audit
+
+    return kg_self_loop_audit(_kg_result(sf_dir)["edges_agg"])
+
+
 def _hybrid_search_rrf(sf_dir: str) -> Any:
     """Hybrid BM25 + dense-cosine retrieval fused by reciprocal rank
     (RRF, c=60) — the reference's vector+BM25 merge as one operator."""
@@ -1263,8 +1271,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 batch 28: opener analysis + count-of-counts
         "first_tool_distribution": _first_tool_distribution,
         "order_size_histogram": _order_size_histogram,
-        # round-4 batch 29: language-ID eval
+        # round-4 batch 29: language-ID eval + KG hygiene
         "lang_confusion_matrix": _lang_confusion_matrix,
+        "kg_self_loop_audit": _kg_self_loop_audit,
         # round-4 batch 7: JSONL/CSV interchange sinks+sources — the query
         # answers from the roundtripped files, the oracle from the original
         # parquet, so a value match proves the roundtrip is lossless
@@ -1893,6 +1902,17 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings ORDER BY cosine DESC LIMIT 10
         """,
         # --- round-2 oracles: text analysis -------------------------------
+        "kg_self_loop_audit": f"""
+            SELECT pred,
+                   CAST(COUNT(*) AS BIGINT) AS n_triples,
+                   CAST(SUM(CASE WHEN subj = obj THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_self_loops,
+                   CAST(SUM(weight) AS BIGINT) AS w_total,
+                   CAST(SUM(CASE WHEN subj = obj THEN weight ELSE 0 END)
+                          AS BIGINT) AS w_self
+            FROM read_parquet('{_KG_OUT01}/edges_agg/*.parquet')
+            GROUP BY pred
+        """,
         "lang_confusion_matrix": f"""
             WITH t AS (SELECT lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
                        FROM documents),

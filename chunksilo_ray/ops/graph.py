@@ -3442,3 +3442,64 @@ def kg_alias_coverage(edges_agg: Dataset, alias_path: str) -> "pa.Table":
             "n_in_graph": pa.array([n_in[t] for t in types], pa.int64()),
         }
     )
+
+
+def kg_self_loop_audit(edges_agg: Dataset) -> Dataset:
+    """KG hygiene card: per predicate, how many distinct triples are
+    self-loops (subj == obj) and their weight mass next to the predicate's
+    totals — reflexive assertions are almost always extraction artifacts.
+    Emits (pred, n_triples, n_self_loops, w_total, w_self). Pure per-block
+    partials (the loop test is one vectorized equality), |P|-row combine."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        loop = pc.cast(pc.equal(t["subj"], t["obj"]), pa.int64())
+        w = pc.cast(t["weight"], pa.int64())
+        g = (
+            pa.table(
+                {
+                    "pred": t["pred"],
+                    "n_triples": pa.array(np.ones(t.num_rows, np.int64)),
+                    "n_self_loops": loop,
+                    "w_total": w,
+                    "w_self": pc.multiply(loop, w),
+                }
+            )
+            .group_by("pred", use_threads=False)
+            .aggregate(
+                [
+                    ("n_triples", "sum"),
+                    ("n_self_loops", "sum"),
+                    ("w_total", "sum"),
+                    ("w_self", "sum"),
+                ]
+            )
+        )
+        return g.rename_columns(
+            ["pred", "n_triples", "n_self_loops", "w_total", "w_self"]
+        )
+
+    agg = (
+        edges_agg.map_batches(
+            partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+        .groupby("pred")
+        .aggregate(
+            Sum("n_triples", alias_name="n_triples"),
+            Sum("n_self_loops", alias_name="n_self_loops"),
+            Sum("w_total", alias_name="w_total"),
+            Sum("w_self", alias_name="w_self"),
+        )
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "pred": t["pred"],
+                "n_triples": pc.cast(t["n_triples"], pa.int64()),
+                "n_self_loops": pc.cast(t["n_self_loops"], pa.int64()),
+                "w_total": pc.cast(t["w_total"], pa.int64()),
+                "w_self": pc.cast(t["w_self"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

@@ -48,3 +48,20 @@ def test_confusion_mass_and_consistency():
     marg = det.groupby("pred_lang").size()
     ours = got.groupby("pred_lang")["n_docs"].sum()
     assert ours.to_dict() == marg.to_dict()
+
+
+def test_self_loop_audit_parity_and_bounds():
+    import __ray_entry__ as E
+
+    KG_OUT = "/tmp/chunksilo_ray_kg_out/sf0.001"
+    got = _as_df(E.queries()["kg_self_loop_audit"](SF))
+    sql = E.oracle_sql()["kg_self_loop_audit"].replace(
+        "/tmp/chunksilo_ray_kg_out/sf0.01", KG_OUT
+    )
+    exp = duckdb.connect().execute(sql).fetchdf()
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    b = exp[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert (got["n_self_loops"] <= got["n_triples"]).all()
+    assert (got["w_self"] <= got["w_total"]).all()
