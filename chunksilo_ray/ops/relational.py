@@ -320,6 +320,37 @@ def broadcast_left_join(
     return fact.map_batches(ljoin, batch_format="pyarrow", batch_size=None)
 
 
+def dim_join(
+    fact: Dataset,
+    fact_key: str,
+    dim: Dataset,
+    dim_key: str,
+    dim_cols: list[str],
+    how: str = "inner",
+    broadcast_limit: int = BROADCAST_ROW_LIMIT,
+) -> Dataset:
+    """Runtime size-gated dimension join (round 5): the broadcast-vs-shuffle
+    decision is made from the dim Dataset's actual row count BEFORE any
+    driver collect — ``count()`` on a parquet-backed dim is a metadata read.
+    Under the budget: collect once, ship via ray.put, vectorized sorted-key
+    lookup per batch. Over the budget: NOTHING is driver-materialized — the
+    join degrades to the tagged-union coarse-hash shuffle
+    (``_shuffle_inner_join`` / ``_shuffle_left_join``). Both regimes return
+    identical schemas (fact columns in original order, then dim_cols)."""
+    dim = dim.select_columns([dim_key, *dim_cols])
+    n = dim.count()
+    if broadcast_limit > 0 and n <= broadcast_limit:
+        dim_df = dim.to_pandas()  # bounded by the gate just checked
+        fn = broadcast_inner_join if how == "inner" else broadcast_left_join
+        return fn(fact, fact_key, dim_df, dim_key, dim_cols, broadcast_limit=n + 1)
+    fact_cols = [c for c in fact.columns() if c != fact_key]
+    sfn = _shuffle_inner_join if how == "inner" else _shuffle_left_join
+    return sfn(
+        fact, fact_key, fact_cols, dim, dim_key, dim_cols,
+        out_order=[*fact.columns(), *dim_cols],
+    )
+
+
 _JOIN_PARTS = 64
 
 
@@ -503,10 +534,10 @@ def customers_per_nation(sf_dir: str, broadcast_limit: int = BROADCAST_ROW_LIMIT
     """Broadcast hash join: nation (small) shipped once via ray.put, looked
     up vectorized per batch (SURVEY.md §2.4 broadcast-map-join pattern);
     degrades to a co-groupby shuffle join past the broadcast budget."""
-    nation = _pq(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nation = _pq(sf_dir, "nation", ["n_nationkey", "n_name"])
     cust = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    joined = broadcast_inner_join(
-        cust, "c_nationkey", nation, "n_nationkey", ["n_name"], broadcast_limit
+    joined = dim_join(
+        cust, "c_nationkey", nation, "n_nationkey", ["n_name"], "inner", broadcast_limit
     )
     return joined.groupby("n_name").aggregate(Count(alias_name="n_customers"))
 
@@ -514,12 +545,14 @@ def customers_per_nation(sf_dir: str, broadcast_limit: int = BROADCAST_ROW_LIMIT
 def orders_with_customer_segment(
     sf_dir: str, broadcast_limit: int = BROADCAST_ROW_LIMIT
 ) -> Dataset:
-    """Broadcast join of orders against the customer dimension, then grouped
-    revenue per market segment (shuffle-join fallback past the budget)."""
-    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    """Size-gated join of orders against the customer dimension, then
+    grouped revenue per market segment. The gate (``dim_join``) counts the
+    customer table BEFORE collecting: at TPC-H sf100k customer is TB-scale
+    and rides the shuffle join, never the driver."""
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    joined = broadcast_inner_join(
-        orders, "o_custkey", cust, "c_custkey", ["c_mktsegment"], broadcast_limit
+    joined = dim_join(
+        orders, "o_custkey", cust, "c_custkey", ["c_mktsegment"], "inner", broadcast_limit
     )
 
     def partial(t: pa.Table) -> pa.Table:
@@ -628,37 +661,28 @@ def _shuffle_anti_join(
     )
 
 
-def supplier_nation_region(sf_dir: str) -> Dataset:
-    """Two-level broadcast join chain: supplier -> nation -> region."""
+def supplier_nation_region(
+    sf_dir: str, broadcast_limit: int = BROADCAST_ROW_LIMIT
+) -> Dataset:
+    """Two-level join chain: supplier -> nation -> region. nation and region
+    are spec-bounded (25 / 5 rows at every TPC-H scale), so their pre-join
+    is driver-trivial by construction; the supplier-side attach is the
+    size-gated ``dim_join`` (broadcast here, shuffle past the budget —
+    parity-tested via broadcast_limit=0)."""
     nation = _pq(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
     region = _pq(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
-    # pre-join the two dimension tables on the driver (both tiny), broadcast
-    # one sorted-key lookup: per batch it's one searchsorted + two takes —
-    # no per-row Python
-    rlut = dict(zip(region["r_regionkey"], region["r_name"]))
-    nkeys = nation["n_nationkey"].to_numpy().astype(np.int64)
-    order = np.argsort(nkeys)
-    n_names = nation["n_name"].to_numpy()[order]
-    r_names = np.asarray(
-        [rlut.get(int(rk)) for rk in nation["n_regionkey"].to_numpy()[order]], dtype=object
-    )
-    ref = ray.put((nkeys[order], n_names, r_names))
+    nr = nation.merge(
+        region, left_on="n_regionkey", right_on="r_regionkey", how="inner"
+    )[["n_nationkey", "n_name", "r_name"]]
     sup = _pq(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
-
-    def join_nr(t: pa.Table) -> pa.Table:
-        from ..util import cached_get
-
-        skeys, sn_names, sr_names = cached_get(ref)
-        nk = t["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = np.clip(np.searchsorted(skeys, nk), 0, len(skeys) - 1)
-        valid = skeys[pos] == nk
-        t = t.filter(pa.array(valid))
-        hit = pos[valid]
-        t = t.append_column("n_name", pa.array(sn_names[hit].tolist(), pa.string()))
-        t = t.append_column("r_name", pa.array(sr_names[hit].tolist(), pa.string()))
-        return t.select(["s_suppkey", "s_name", "n_name", "r_name"])
-
-    return sup.map_batches(join_nr, batch_format="pyarrow", batch_size=None)
+    joined = dim_join(
+        sup, "s_nationkey", rd.from_pandas(nr), "n_nationkey",
+        ["n_name", "r_name"], "inner", broadcast_limit,
+    )
+    return joined.map_batches(
+        lambda t: t.select(["s_suppkey", "s_name", "n_name", "r_name"]),
+        batch_format="pyarrow", batch_size=None,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -702,11 +726,16 @@ def orders_left_rich_segment(
     end to end; shuffle fallback past the broadcast budget). The null
     segment rides the exchange as a sentinel string and is restored to a
     real null afterward, so the groupby never sees a null key."""
-    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"]).to_pandas()
-    rich = cust[cust["c_acctbal"] > min_acctbal][["c_custkey", "c_mktsegment"]]
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+    rich = cust.map_batches(
+        lambda t: t.filter(pc.greater(t["c_acctbal"], pa.scalar(min_acctbal))).select(
+            ["c_custkey", "c_mktsegment"]
+        ),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )
     orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    joined = broadcast_left_join(
-        orders, "o_custkey", rich, "c_custkey", ["c_mktsegment"], broadcast_limit
+    joined = dim_join(
+        orders, "o_custkey", rich, "c_custkey", ["c_mktsegment"], "left", broadcast_limit
     )
 
     _SENTINEL = "\x00none"
@@ -810,9 +839,14 @@ def q3_order_revenue_topn(sf_dir: str, k: int = 10, cutoff: str = "1998-06-01") 
     (search.py candidate cap + rerank shape)."""
     cut = np.datetime64(cutoff, "us").astype("int64")
 
-    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    building = cust[cust["c_mktsegment"] == "BUILDING"][["c_custkey"]]
-    building["__one"] = np.int8(1)
+    def c_filter(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["c_mktsegment"], pa.scalar("BUILDING")))
+        t = t.select(["c_custkey"])
+        return t.append_column("__one", pa.array(np.ones(t.num_rows, np.int8)))
+
+    building = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        c_filter, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
 
     orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
 
@@ -821,8 +855,10 @@ def q3_order_revenue_topn(sf_dir: str, k: int = 10, cutoff: str = "1998-06-01") 
         return t.filter(keep)
 
     orders = orders.map_batches(o_filter, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-    # semi join: inner-join against the 1-column key frame, drop the marker
-    orders = broadcast_inner_join(orders, "o_custkey", building, "c_custkey", ["__one"])
+    # semi join: size-gated inner join against the 1-column key set + marker
+    # drop — the customer side is filtered distributed and only collected if
+    # it fits the broadcast budget
+    orders = dim_join(orders, "o_custkey", building, "c_custkey", ["__one"])
     orders = orders.map_batches(
         lambda t: t.drop_columns(["__one", "o_custkey"]),
         batch_format="pyarrow", batch_size=None,
@@ -1195,6 +1231,7 @@ def q5_revenue_by_nation(
     region: str = "ASIA",
     date_from: str = "1996-01-01",
     date_to: str = "1997-01-01",
+    broadcast_limit: int = BROADCAST_ROW_LIMIT,
 ) -> Dataset:
     """TPC-H Q5-style local-supplier volume: revenue per nation where the
     customer and the supplier sit in the SAME nation of one region, over a
@@ -1208,12 +1245,14 @@ def q5_revenue_by_nation(
     bit-identical.
 
     Scale shape: lineitem pre-shrinks to (orderkey, suppkey, cents) in its
-    scan; orders prune on the date BEFORE the exchange; the only all-to-all
-    is the lineitem x orders equi-join through the tagged-union coarse-hash
-    exchange. Customer/supplier/nation/region ride a ray.put broadcast
-    (sorted-key searchsorted lookups) — at 100 TB customer outgrows a
-    broadcast and its hop becomes a second `_shuffle_inner_join` on
-    o_custkey; the swap is local to this function."""
+    scan; orders prune on the date BEFORE the exchange; the only mandatory
+    all-to-all is the lineitem x orders equi-join through the tagged-union
+    coarse-hash exchange. Customer and supplier are SIZE-GATED at runtime
+    (round 5): a metadata ``count_rows()`` decides per table whether its
+    nationkey attach rides a ray.put broadcast (sorted-key searchsorted) or
+    a second `_shuffle_inner_join` — at TPC-H sf100k customer is TB-scale
+    and never touches the driver. nation/region are spec-bounded (25/5
+    rows) and always broadcast."""
     import ray
 
     from ..util import cached_get
@@ -1233,26 +1272,33 @@ def q5_revenue_by_nation(
     names = np.empty(nk.max() + 1, object)
     names[nk] = nname
 
-    supp = pads.dataset(f"{sf_dir}/supplier.parquet").to_table(
-        columns=["s_suppkey", "s_nationkey"]
-    )
-    cust = pads.dataset(f"{sf_dir}/customer.parquet").to_table(
-        columns=["c_custkey", "c_nationkey"]
-    )
-
-    def _sorted_map(keys, vals):
-        k = np.asarray(keys, dtype=np.int64)
-        v = np.asarray(vals, dtype=np.int64)
+    def _sorted_map(tbl: pa.Table, key: str, val: str):
+        k = np.asarray(tbl[key].to_pylist(), dtype=np.int64)
+        v = np.asarray(tbl[val].to_pylist(), dtype=np.int64)
         o = np.argsort(k)
         return k[o], v[o]
 
-    side = ray.put(
-        (
-            _sorted_map(supp["s_suppkey"].to_pylist(), supp["s_nationkey"].to_pylist()),
-            _sorted_map(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()),
-            in_region,
+    # per-dimension size gate: metadata row count, no driver read unless small
+    supp_src = pads.dataset(f"{sf_dir}/supplier.parquet")
+    cust_src = pads.dataset(f"{sf_dir}/customer.parquet")
+    supp_small = broadcast_limit > 0 and supp_src.count_rows() <= broadcast_limit
+    cust_small = broadcast_limit > 0 and cust_src.count_rows() <= broadcast_limit
+
+    smap = (
+        _sorted_map(
+            supp_src.to_table(columns=["s_suppkey", "s_nationkey"]), "s_suppkey", "s_nationkey"
         )
+        if supp_small
+        else None
     )
+    cmap_ = (
+        _sorted_map(
+            cust_src.to_table(columns=["c_custkey", "c_nationkey"]), "c_custkey", "c_nationkey"
+        )
+        if cust_small
+        else None
+    )
+    side = ray.put((smap, cmap_, in_region))
 
     lo = np.datetime64(date_from, "us").astype("int64")
     hi = np.datetime64(date_to, "us").astype("int64")
@@ -1292,15 +1338,41 @@ def q5_revenue_by_nation(
         li, "l_orderkey", ["l_suppkey", "cents"], orders, "o_orderkey", ["o_custkey"]
     )
 
+    # over-budget dimensions: attach the nationkey through a second shuffle
+    # join instead of a broadcast (the fact side is already pre-shrunk)
+    if not cust_small:
+        cust_ds = _pq(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        joined = _shuffle_inner_join(
+            joined, "o_custkey", [c for c in joined.columns() if c != "o_custkey"],
+            cust_ds, "c_custkey", ["c_nationkey"],
+        )
+    if not supp_small:
+        supp_ds = _pq(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        joined = _shuffle_inner_join(
+            joined, "l_suppkey", [c for c in joined.columns() if c != "l_suppkey"],
+            supp_ds, "s_suppkey", ["s_nationkey"],
+        )
+
     def nation_partial(t: pa.Table) -> pa.Table:
-        (sk, sv), (ck, cv), in_reg = cached_get(side)
-        supp_keys = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cust_keys = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        si = np.searchsorted(sk, supp_keys)
-        ci = np.searchsorted(ck, cust_keys)
-        if (sk[si] != supp_keys).any() or (ck[ci] != cust_keys).any():
-            raise ValueError("q5: dangling supplier/customer key")
-        s_nat, c_nat = sv[si], cv[ci]
+        smap_, cmap__, in_reg = cached_get(side)
+        if smap_ is not None:
+            sk, sv = smap_
+            supp_keys = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            si = np.searchsorted(sk, supp_keys)
+            if (sk[si] != supp_keys).any():
+                raise ValueError("q5: dangling supplier key")
+            s_nat = sv[si]
+        else:
+            s_nat = t["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if cmap__ is not None:
+            ck, cv = cmap__
+            cust_keys = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ci = np.searchsorted(ck, cust_keys)
+            if (ck[ci] != cust_keys).any():
+                raise ValueError("q5: dangling customer key")
+            c_nat = cv[ci]
+        else:
+            c_nat = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         keep = (s_nat == c_nat) & in_reg[s_nat]
         g = (
             pa.table(

@@ -174,7 +174,7 @@ def _finalize_fn(bases: dict[tuple[str, int], tuple[int, int]]):
     return finalize
 
 
-def _assemble_sort(turns: Dataset) -> Dataset:
+def _assemble_sort(turns: Dataset) -> Dataset:  # retained: parity baseline + GRAFT_ASM_FALLBACK=sort
     """The full-payload global-sort path (round-2 design): the fallback when
     the per-turn offset table itself is too big to broadcast."""
     prepped = turns.map_batches(
@@ -430,24 +430,213 @@ def _assemble_broadcast(turns: Dataset) -> Dataset:
     )
 
 
+# ---------------------------------------------------------------------------
+# Co-partitioned attach (round 5): the over-budget path that STILL never
+# moves text. The broadcast path above is O(#turns) per attach worker (every
+# worker merges all 64 part payloads into one heap-resident offsets index) —
+# fine to ~8M turns, fatal at 10^10. This path exchanges ONLY light rows in
+# BOTH directions:
+#
+#   forward   (conv-hash): (conv_id, turn_idx, contrib_len, block_id,
+#              row_idx) — tens of bytes/row — so each reduce task sees every
+#              turn of its conversations and computes exact global offsets;
+#   backward  (block-id):  (row_idx, conv_n_turns, turn_char_start) —
+#              24 bytes/row — routed back to the block each row came from
+#              (reduce task p returns B position-addressable slices);
+#   attach    (per block): scatter the two derived columns onto the UNMOVED
+#              block by row position. Per-task memory is O(part) or
+#              O(block), never O(#turns); the driver holds only refs.
+#
+# This is the same two-stage targeted exchange as ops/graph.py::
+# kg_edge_timestamps, specialized with a per-source-block return route so
+# the result lands back on the original rows without a join.
+
+_COPART_PARTS = _OFFSET_PARTS
+
+
+def _split_lengths_keyed(block, block_id: int, parts: int) -> list[pa.Table]:
+    """Map side of the forward exchange for one input block: light rows
+    (conv_id, turn_idx, contrib_len, block_id, row_idx) split into ``parts``
+    conv-hash sub-tables. Hashing must agree across blocks -> pandas
+    hash_array (fixed-key siphash), same recipe as _lengths_batch."""
+    if not isinstance(block, pa.Table):
+        block = pa.Table.from_pandas(block, preserve_index=False)
+    from pandas.util import hash_array
+
+    contrib = pc.add(
+        pc.add(pc.utf8_length(block["role"]), pc.utf8_length(block["text"])),
+        pa.scalar(3, pa.int32()),
+    )
+    t = block.select(["conv_id", "turn_idx"])
+    t = t.append_column("contrib_len", pc.cast(contrib, pa.int64()))
+    n = t.num_rows
+    t = t.append_column("block_id", pa.array(np.full(n, block_id, np.int64)))
+    t = t.append_column("row_idx", pa.array(np.arange(n, dtype=np.int64)))
+    enc = pc.dictionary_encode(t["conv_id"].combine_chunks())
+    uniq = enc.dictionary.to_numpy(zero_copy_only=False)
+    h_u = hash_array(uniq, categorize=False).astype(np.uint64)
+    part_u = ((h_u >> np.uint64(33)) % np.uint64(parts)).astype(np.int64)
+    part = part_u[enc.indices.to_numpy(zero_copy_only=False)]
+    order = np.argsort(part, kind="stable")
+    sorted_tbl = t.take(pa.array(order))
+    bounds = np.searchsorted(part[order], np.arange(parts + 1))
+    slices = [
+        sorted_tbl.slice(int(bounds[p]), int(bounds[p + 1] - bounds[p]))
+        for p in range(parts)
+    ]
+    return slices if parts > 1 else slices[0]
+
+
+def _reduce_route_part(n_blocks: int, *tables: pa.Table):
+    """Reduce side of the forward exchange: all lengths rows of ONE conv-hash
+    partition -> per-turn offsets, returned as ``n_blocks`` slices keyed by
+    source block (the backward route). Conversations are complete within the
+    partition by construction, so offsets are exact and global."""
+    live = [t for t in tables if t.num_rows]
+    if not live:
+        empty = pa.table(
+            {
+                "row_idx": pa.array([], pa.int64()),
+                "conv_n_turns": pa.array([], pa.int32()),
+                "turn_char_start": pa.array([], pa.int64()),
+            }
+        )
+        return [empty] * n_blocks if n_blocks > 1 else empty
+    t = pa.concat_tables(live)
+    conv = t["conv_id"].combine_chunks()
+    codes = pc.dictionary_encode(conv).indices.to_numpy(zero_copy_only=False)
+    turn = t["turn_idx"].to_numpy(zero_copy_only=False)
+    contrib = t["contrib_len"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((turn, codes))
+    codes_s, contrib_s = codes[order], contrib[order]
+    n = len(codes_s)
+    starts = np.concatenate(([0], np.flatnonzero(codes_s[1:] != codes_s[:-1]) + 1))
+    ends = np.concatenate((starts[1:], [n]))
+    seg_len = ends - starts
+    seg_id = np.repeat(np.arange(len(starts)), seg_len)
+    excl = np.concatenate(([0], np.cumsum(contrib_s[:-1])))
+    local = excl - excl[starts][seg_id]
+    n_turns = seg_len[seg_id].astype(np.int32)
+
+    blk = t["block_id"].to_numpy(zero_copy_only=False)[order]
+    row = t["row_idx"].to_numpy(zero_copy_only=False)[order]
+    # route back by source block: one stable sort on block_id, then
+    # position-addressable slices (searchsorted bounds)
+    border = np.argsort(blk, kind="stable")
+    blk_s = blk[border]
+    bounds = np.searchsorted(blk_s, np.arange(n_blocks + 1))
+    out_tbl = pa.table(
+        {
+            "row_idx": pa.array(row[border]),
+            "conv_n_turns": pa.array(n_turns[border]),
+            "turn_char_start": pa.array(local[border], pa.int64()),
+        }
+    )
+    slices = [
+        out_tbl.slice(int(bounds[b]), int(bounds[b + 1] - bounds[b]))
+        for b in range(n_blocks)
+    ]
+    return slices if n_blocks > 1 else slices[0]
+
+
+def _attach_block(block, *parts: pa.Table) -> pa.Table:
+    """Scatter the routed offset rows onto the unmoved source block by row
+    position and finish doc_char_start (= turn char start + len(role) + 2)."""
+    if not isinstance(block, pa.Table):
+        block = pa.Table.from_pandas(block, preserve_index=False)
+    n = block.num_rows
+    n_turns = np.zeros(n, np.int32)
+    char_start = np.zeros(n, np.int64)
+    got = 0
+    for p in parts:
+        if p.num_rows == 0:
+            continue
+        ri = p["row_idx"].to_numpy(zero_copy_only=False)
+        n_turns[ri] = p["conv_n_turns"].to_numpy(zero_copy_only=False)
+        char_start[ri] = p["turn_char_start"].to_numpy(zero_copy_only=False)
+        got += p.num_rows
+    if got != n:
+        raise ValueError(
+            f"assembly co-partition attach: routed {got} offset rows for a "
+            f"{n}-row block — input changed mid-run"
+        )
+    role_len = pc.utf8_length(block["role"]).to_numpy(zero_copy_only=False).astype(np.int64)
+    out = block.append_column("conv_n_turns", pa.array(n_turns))
+    out = out.append_column(
+        "doc_char_start", pa.array(char_start + role_len + 2, pa.int64())
+    )
+    return out.select(ASSEMBLED_COLUMNS)
+
+
+def _assemble_copartition(turns: Dataset) -> Dataset:
+    import ray
+    import ray.data as rd
+
+    turns = turns.materialize()  # pin blocks: source of both exchanges + attach
+    block_refs = list(turns.to_arrow_refs())
+    n_blocks = len(block_refs)
+    if n_blocks == 0:
+        return _assemble_broadcast(turns)  # empty input: trivial either way
+    parts = max(1, min(_COPART_PARTS, n_blocks * 4))
+    split_task = ray.remote(num_returns=parts)(_split_lengths_keyed) if parts > 1 \
+        else ray.remote(_split_lengths_keyed)
+    reduce_task = ray.remote(num_returns=n_blocks)(_reduce_route_part) if n_blocks > 1 \
+        else ray.remote(_reduce_route_part)
+
+    splits = [split_task.remote(b, i, parts) for i, b in enumerate(block_refs)]
+    if parts == 1:
+        splits = [[s] for s in splits]
+    routed = [
+        reduce_task.remote(n_blocks, *[s[p] for s in splits]) for p in range(parts)
+    ]
+    if n_blocks == 1:
+        routed = [[r] for r in routed]
+    attach_task = ray.remote(_attach_block)
+    out_refs = [
+        attach_task.remote(block_refs[b], *[routed[p][b] for p in range(parts)])
+        for b in range(n_blocks)
+    ]
+    return rd.from_arrow_refs(out_refs)
+
+
 def assemble_dialogues(
-    turns: Dataset, salt_threshold: int = 512, broadcast_limit: int | None = None
+    turns: Dataset,
+    salt_threshold: int = 512,
+    broadcast_limit: int | None = None,
+    path: str | None = None,
 ) -> Dataset:
     """SHUFFLE #1 of the KG pipeline (SURVEY.md §3.4). Returns per-turn rows
     with ``conv_n_turns`` and ``doc_char_start`` (offset of the turn text
     inside the assembled "<role>: <text>\\n" conversation document).
 
-    Path selection: when the per-turn offset table fits the broadcast budget
-    (``broadcast_limit`` rows, default 8M ~ 300 MB), the text payload never
-    enters an exchange — lengths-only shuffle + broadcast attach (module
-    comment above). Past the budget: the round-2 global sort, whose range
-    partitioning also discharges conversation skew. ``salt_threshold`` is
-    retained for config/fingerprint compatibility. Output columns and values
-    are identical on both paths (parity-tested); row ORDER is not part of
-    the contract (broadcast path preserves input order, sort path sorts)."""
+    Path selection (``path=None`` auto): when the per-turn offset table fits
+    the broadcast budget (``broadcast_limit`` rows, default 8M ~ 300 MB),
+    lengths-only exchange + broadcast attach — fastest, but each attach
+    worker holds the full merged offsets index. Past the budget: the
+    CO-PARTITIONED attach (round 5) — light rows exchanged in both
+    directions, per-task memory O(part)/O(block), text still never moves;
+    this is the 100-TB path. The round-2 full-payload global sort is kept
+    as ``path="sort"`` / env ``GRAFT_ASM_FALLBACK=sort`` for parity
+    baselines only. ``salt_threshold`` is retained for config/fingerprint
+    compatibility. Output columns and values are identical on all paths
+    (parity-tested); row ORDER is not part of the contract (broadcast and
+    co-partition preserve input order, sort path sorts)."""
+    import os as _os
+
     del salt_threshold
-    if broadcast_limit is None:
-        broadcast_limit = 8_000_000
-    if broadcast_limit > 0 and turns.count() <= broadcast_limit:
+    if path is None:
+        if broadcast_limit is None:
+            broadcast_limit = 8_000_000
+        if broadcast_limit > 0 and turns.count() <= broadcast_limit:
+            path = "broadcast"
+        elif _os.environ.get("GRAFT_ASM_FALLBACK") == "sort":
+            path = "sort"
+        else:
+            path = "copartition"
+    if path == "broadcast":
         return _assemble_broadcast(turns)
-    return _assemble_sort(turns)
+    if path == "copartition":
+        return _assemble_copartition(turns)
+    if path == "sort":
+        return _assemble_sort(turns)
+    raise ValueError(f"unknown assembly path: {path!r}")
