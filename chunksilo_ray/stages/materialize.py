@@ -67,7 +67,13 @@ def _canonicalizer(cmap: dict[str, str]):
 def _canon_array(arr: pa.Array, canon) -> pa.Array:
     """Vectorized canonical-map application: dictionary-encode the column
     (entity ids repeat massively), rewrite only the small dictionary in
-    Python, rebuild. O(distinct ids) python work per batch, not O(rows)."""
+    Python, rebuild. O(distinct ids) python work per batch, not O(rows).
+    ``canon=None`` is the identity (over-budget regime: raw ids pass
+    through and a distributed shuffle apply rewrites them later)."""
+    if canon is None:
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        return arr
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     d = arr.dictionary_encode()
@@ -84,7 +90,10 @@ def _edge_builder(cmap_ref):
     def build_edges(t: pa.Table) -> pa.Table:
         import numpy as np
 
-        canon = _canonicalizer(_cached_cmap(cmap_ref))
+        # cmap_ref=None -> identity explode (raw surface: ids kept) for the
+        # over-budget regime, where canonicalization happens in a later
+        # distributed shuffle apply
+        canon = None if cmap_ref is None else _canonicalizer(_cached_cmap(cmap_ref))
         lst = t.column("triples")
         if isinstance(lst, pa.ChunkedArray):
             lst = lst.combine_chunks()
@@ -117,14 +126,55 @@ def _edge_builder(cmap_ref):
     return build_edges
 
 
-def materialize_edges(extracted: Dataset, cmap: dict[str, str]) -> Dataset:
-    """Extraction output -> per-turn weighted edges. Shuffle-free (see module
-    docstring)."""
-    cmap_ref = ray.put(cmap)
-    return extracted.map_batches(
-        _edge_builder(cmap_ref),
+def materialize_edges(
+    extracted: Dataset, cmap: dict[str, str], broadcast_limit: int | None = None
+) -> Dataset:
+    """Extraction output -> per-turn weighted edges. Under the canonical-map
+    broadcast budget: shuffle-free (see module docstring). Over it (round
+    5): identity explode -> distributed shuffle apply of the map on
+    subj/obj -> one coarse-hash re-aggregate restoring per-turn key
+    uniqueness (canonicalization can merge two raw triples of one turn).
+    No worker ever holds the whole map; parity-tested vs broadcast."""
+    from .canon import CANON_BROADCAST_LIMIT, _apply_cmap_shuffle, canonical_map_dataset
+
+    if broadcast_limit is None:
+        broadcast_limit = CANON_BROADCAST_LIMIT
+    if len(cmap) <= broadcast_limit:
+        cmap_ref = ray.put(cmap)
+        return extracted.map_batches(
+            _edge_builder(cmap_ref),
+            batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True,
+        )
+
+    raw = extracted.map_batches(
+        _edge_builder(None),
         batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
+    )
+    canoned = _apply_cmap_shuffle(raw, canonical_map_dataset(cmap), ["subj", "obj"])
+    edge_keys = ["subj", "pred", "obj", "conv_id", "turn_idx"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(edge_keys, use_threads=False).aggregate([("weight", "sum")])
+        g = g.rename_columns([*edge_keys, "weight"])
+        return g.append_column(
+            "__part", _string_key_part(g, ["subj", "pred", "obj", "conv_id"])
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        g = t.group_by(edge_keys, use_threads=False).aggregate([("weight", "sum")])
+        return pa.table(
+            {
+                **{k: g.column(k) for k in edge_keys},
+                "weight": pc.cast(g.column("weight_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        canoned.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(final, batch_format="pyarrow")
     )
 
 
@@ -187,7 +237,7 @@ def _node_partial(cmap_ref):
     keys per batch — the partial/combiner pattern."""
 
     def node_partial(t: pa.Table) -> pa.Table:
-        canon = _canonicalizer(_cached_cmap(cmap_ref))
+        canon = None if cmap_ref is None else _canonicalizer(_cached_cmap(cmap_ref))
         lst = t.column("mentions")
         if isinstance(lst, pa.ChunkedArray):
             lst = lst.combine_chunks()
@@ -214,12 +264,55 @@ def _node_partial(cmap_ref):
     return node_partial
 
 
-def materialize_nodes(extracted: Dataset, cmap: dict[str, str]) -> Dataset:
+def materialize_nodes(
+    extracted: Dataset, cmap: dict[str, str], broadcast_limit: int | None = None
+) -> Dataset:
     """Extraction output -> node rows with per-surface frequencies. Same
-    coarse-hash-partition aggregate shape as materialize_edges_agg."""
+    coarse-hash-partition aggregate shape as materialize_edges_agg. Over
+    the canonical-map broadcast budget: identity partials -> distributed
+    shuffle apply on entity_id -> the same final aggregate (which already
+    re-merges rows the rewrite made equal)."""
+    from .canon import CANON_BROADCAST_LIMIT, _apply_cmap_shuffle, canonical_map_dataset
+
+    if broadcast_limit is None:
+        broadcast_limit = CANON_BROADCAST_LIMIT
+    node_keys = ["entity_id", "surface", "entity_type"]
+
+    if len(cmap) > broadcast_limit:
+        raw = extracted.map_batches(
+            _node_partial(None),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+        )
+        applied = _apply_cmap_shuffle(
+            raw, canonical_map_dataset(cmap), ["entity_id"]
+        )
+
+        def part_col(t: pa.Table) -> pa.Table:
+            return t.append_column("__part", _string_key_part(t, node_keys))
+
+        def final_dist(t: pa.Table) -> pa.Table:
+            g = t.group_by(node_keys, use_threads=False).aggregate([("n", "sum")])
+            canonical = pc.replace_substring_regex(
+                g.column("entity_id"), pattern=r"^[a-z]+:", replacement=""
+            )
+            return pa.table(
+                {
+                    "entity_id": g.column("entity_id"),
+                    "surface": g.column("surface"),
+                    "canonical": canonical,
+                    "type": g.column("entity_type"),
+                    "freq": pc.cast(g.column("n_sum"), pa.int64()),
+                }
+            )
+
+        return (
+            applied.map_batches(part_col, batch_format="pyarrow", batch_size=None)
+            .groupby("__part")
+            .map_groups(final_dist, batch_format="pyarrow")
+        )
+
     cmap_ref = ray.put(cmap)
 
-    node_keys = ["entity_id", "surface", "entity_type"]
     base_partial = _node_partial(cmap_ref)
 
     def partial(t: pa.Table) -> pa.Table:

@@ -137,3 +137,81 @@ def test_dim_join_helper_both_regimes():
     left_s = _df(dim_join(fact, "k", dim, "k2", ["name"], "left", broadcast_limit=0))
     pd.testing.assert_frame_equal(left_b, left_s)
     assert len(left_b) == 5 and left_b["name"].isna().sum() == 1
+
+
+# ---------------------------------------------------------------------------
+# size-gated canonical-map apply (broadcast vs distributed shuffle parity)
+
+
+def _fake_extracted():
+    triples_type = pa.list_(
+        pa.struct([("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string())])
+    )
+    mentions_type = pa.list_(
+        pa.struct(
+            [("entity_id", pa.string()), ("surface", pa.string()), ("entity_type", pa.string())]
+        )
+    )
+    rows_triples = [
+        [("surface:acme corp", "mentions", "surface:bob"),
+         ("surface:acme", "mentions", "surface:bob"),       # merges with above post-canon
+         ("ent:fixed", "uses", "surface:tool x")],
+        [("surface:bob", "asks", "ent:fixed")],
+        [],
+    ]
+    rows_mentions = [
+        [("surface:acme corp", "Acme Corp", "org"), ("surface:acme", "ACME", "org")],
+        [("surface:bob", "Bob", "person"), ("ent:fixed", "Fixed", "tool")],
+        [],
+    ]
+    return pa.table(
+        {
+            "conv_id": pa.array(["c1", "c1", "c2"]),
+            "turn_idx": pa.array([0, 1, 0], pa.int32()),
+            "triples": pa.array(
+                [[{"subj": s, "pred": p, "obj": o} for s, p, o in r] for r in rows_triples],
+                triples_type,
+            ),
+            "mentions": pa.array(
+                [
+                    [{"entity_id": e, "surface": s, "entity_type": ty} for e, s, ty in r]
+                    for r in rows_mentions
+                ],
+                mentions_type,
+            ),
+        }
+    )
+
+
+def test_materialize_cmap_gate_parity():
+    from chunksilo_ray.stages.materialize import materialize_edges, materialize_nodes
+
+    cmap = {"acme corp": "acme", "acme": "acme"}
+    ext = rd.from_arrow(_fake_extracted()).repartition(2)
+    eb = _df(materialize_edges(ext, cmap))
+    es = _df(materialize_edges(ext, cmap, broadcast_limit=0))
+    pd.testing.assert_frame_equal(eb, es)
+    # the two raw acme triples of (c1, turn 0) merged into weight 2
+    merged = eb[(eb["subj"] == "ent:acme") & (eb["obj"] == "ent:bob")]
+    assert list(merged["weight"]) == [2]
+    nb = _df(materialize_nodes(ext, cmap))
+    ns = _df(materialize_nodes(ext, cmap, broadcast_limit=0))
+    pd.testing.assert_frame_equal(nb, ns)
+    assert set(nb["canonical"]) >= {"acme", "bob", "fixed"}
+
+
+def test_apply_canonical_map_gate_parity():
+    from chunksilo_ray.stages.canon import apply_canonical_map
+
+    cmap = {"a b": "ab", "x": "ab"}
+    t = pa.table(
+        {
+            "id": pa.array(["surface:a b", "surface:x", "surface:zz", "ent:k", "other"]),
+            "v": pa.array([1, 2, 3, 4, 5]),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(2)
+    b = _df(apply_canonical_map(ds, cmap, ["id"]))
+    s = _df(apply_canonical_map(ds, cmap, ["id"], broadcast_limit=0))
+    pd.testing.assert_frame_equal(b, s)
+    assert set(b["id"]) == {"ent:ab", "ent:zz", "ent:k", "other"}
