@@ -958,9 +958,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_by_type": relational.events_value_by_type,
         "orders_by_year": relational.orders_by_year,
         "filter_events_date_range": relational.filter_events_date_range,
-        "top_orders_by_price": relational.top_orders_by_price,
-        "distinct_mktsegment": relational.distinct_mktsegment,
-        "union_regions_dedup": relational.union_regions_dedup,
+        # round-5 prefix rotation (VERDICT r4 #3): the driver's 50-query
+        # prefix re-attests the newest heavy machinery each round — Q5's
+        # big x big shuffle join + size-gated dims, SemDeDup's kmeans-
+        # bucketed cosine dedup, and merge_edges_agg incremental compaction
+        # replace three long-green trivial rows (top-k / DISTINCT / union-
+        # dedup semantics stay driver-attested via topk_events_per_user,
+        # exact_dedup_docs and the oracle rows the demoted queries keep).
+        "q5_revenue_by_nation": _q5_revenue_by_nation,
+        "semdedup": similarity.semdedup,
+        "kg_incremental_update": _kg_incremental_update,
         "customers_per_nation": relational.customers_per_nation,
         "orders_with_customer_segment": relational.orders_with_customer_segment,
         "customers_without_orders": relational.customers_without_orders,
@@ -1097,7 +1104,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 batch 5: SemDeDup-style semantic dedup — kmeans bucketing
         # then in-cluster pairwise cosine keep-first (Abbas et al. 2023);
         # oracle = the kmeans CTE chain + an in-cluster cosine self-join
-        "semdedup": similarity.semdedup,
+        # semdedup promoted into the driver prefix (round-5 rotation);
+        # top_orders_by_price takes its old slot — still value-oracled here
+        "top_orders_by_price": relational.top_orders_by_price,
         # round-4: corpus-global paragraph dedup (Dolma/RefinedWeb staple);
         # SQL-oracled here, constructed-positive + shuffle-path parity
         # gates in tests/test_round4.py (this corpus has no blank-line
@@ -1235,7 +1244,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree_histogram": _kg_degree_histogram,
         "tool_latency_profile": _tool_latency_profile,
         # round-4 batch 18: incremental compaction, sessionization, integrity
-        "kg_incremental_update": _kg_incremental_update,
+        # kg_incremental_update promoted into the driver prefix (round-5
+        # rotation); union_regions_dedup takes its old slot
+        "union_regions_dedup": relational.union_regions_dedup,
         "transcript_sessionize": _transcript_sessionize,
         "turn_integrity_audit": _turn_integrity_audit,
         # round-4 batch 19: cohort retention, readability, predicate confusion
@@ -1243,7 +1254,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability_scores": _readability_scores,
         "kg_pred_confusion": _kg_pred_confusion,
         # round-4 batch 20: TPC-H Q5 multi-way join, assistant echo rate
-        "q5_revenue_by_nation": _q5_revenue_by_nation,
+        # q5_revenue_by_nation promoted into the driver prefix (round-5
+        # rotation); distinct_mktsegment takes its old slot
+        "distinct_mktsegment": relational.distinct_mktsegment,
         "echo_rate_histogram": _echo_rate_histogram,
         # round-4 batch 21: Q6 scan, event bigrams, partitioned export
         "q6_revenue_filtered": _q6_revenue_filtered,
