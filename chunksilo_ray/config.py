@@ -62,6 +62,17 @@ DEFAULTS: dict[str, Any] = {
         # lengths-only broadcast path; assemble_dialogues discards it.
         "salt_threshold": 512,
     },
+    "incremental": {
+        # persist out/state/ (conv-id manifest, distinct norms, build info)
+        # during build so `append_kg` can fold new conversations in later;
+        # the extra cost is piggybacked on the existing extracted scan plus
+        # two small driver-side parquet writes
+        "track": True,
+        # driver-side cap on exported dead-letter ROWS (the count stays
+        # exact); pathological corpora should switch to a distributed
+        # filter+write
+        "dead_letter_cap": 1_000_000,
+    },
     "runtime": {
         "batch_size": 4096,
         "read_override_num_blocks": None,

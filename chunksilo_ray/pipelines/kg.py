@@ -45,6 +45,104 @@ from ..state.manifest import (
 )
 
 
+class ScanStats:
+    """Result of the combined one-pass scan over the extracted table."""
+
+    __slots__ = ("dead_total", "norms", "convs", "dead_rows")
+
+    def __init__(self, dead_total: int, norms: set, convs: set, dead_rows: list):
+        self.dead_total = dead_total
+        self.norms = norms
+        self.convs = convs
+        self.dead_rows = dead_rows  # [(conv_id, turn_idx, error), ...] capped
+
+
+def scan_extracted_stats(
+    extracted, collect_convs: bool = False, dead_cap: int = 1_000_000
+):
+    """Returns a zero-arg callable (pool-submittable) running ONE streaming
+    pass over the extracted dataset that collects, as a tagged union of
+    per-block partials: the dead-letter count AND rows (kind=3), the
+    distinct unknown norms (kind=1, vocabulary-bounded by construction), and
+    optionally the per-block distinct conv_ids (kind=2) for the incremental
+    manifest. Driver memory is O(norm vocab + #convs + capped dead rows);
+    at extreme conv counts the manifest write should switch to a distributed
+    per-block write_parquet — documented, not needed below ~10^7 convs."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    from ..stages.canon import batch_distinct_unknown_norms
+
+    def _flat(a):
+        return a.combine_chunks() if isinstance(a, _pa.ChunkedArray) else a
+
+    def _partial(t):
+        n_err = int(t.num_rows - t.column("error").null_count)
+        norms = _flat(batch_distinct_unknown_norms(t).column("norm"))
+        kinds = [0] + [1] * len(norms)
+        s_parts = [_pa.array([None], _pa.string()), norms]
+        turn_parts = [_pa.array([None] * (1 + len(norms)), _pa.int64())]
+        err_parts = [_pa.array([None] * (1 + len(norms)), _pa.string())]
+        if collect_convs:
+            convs = _flat(_pc.unique(t.column("conv_id")))
+            kinds += [2] * len(convs)
+            s_parts.append(convs)
+            turn_parts.append(_pa.array([None] * len(convs), _pa.int64()))
+            err_parts.append(_pa.array([None] * len(convs), _pa.string()))
+        if n_err:
+            dead = t.filter(_pc.is_valid(t.column("error")))
+            kinds += [3] * dead.num_rows
+            s_parts.append(_flat(dead.column("conv_id")))
+            turn_parts.append(_flat(_pc.cast(dead.column("turn_idx"), _pa.int64())))
+            err_parts.append(_flat(dead.column("error")))
+        return _pa.table(
+            {
+                "kind": _pa.array(kinds, _pa.int8()),
+                "n_err": _pa.array([n_err] + [0] * (len(kinds) - 1), _pa.int64()),
+                "s": _pa.concat_arrays([_flat(a) for a in s_parts]),
+                "turn_idx": _pa.concat_arrays([_flat(a) for a in turn_parts]),
+                "err": _pa.concat_arrays([_flat(a) for a in err_parts]),
+            }
+        )
+
+    def run() -> ScanStats:
+        total = 0
+        norms: set = set()
+        convs: set = set()
+        dead_rows: list = []
+        capped = False
+        for b in extracted.map_batches(
+            _partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow"):
+            kinds = b["kind"].to_pylist()
+            ss = b["s"].to_pylist()
+            total += int(sum(n for k, n in zip(kinds, b["n_err"].to_pylist()) if k == 0))
+            for i, k in enumerate(kinds):
+                if k == 1:
+                    norms.add(ss[i])
+                elif k == 2:
+                    convs.add(ss[i])
+                elif k == 3:
+                    if len(dead_rows) < dead_cap:
+                        dead_rows.append(
+                            (ss[i], b["turn_idx"][i].as_py(), b["err"][i].as_py())
+                        )
+                    else:
+                        capped = True
+        if capped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "dead-letter rows exceeded cap=%d; export truncated (count is "
+                "still exact) — switch to a distributed filter+write for "
+                "pathological corpora",
+                dead_cap,
+            )
+        return ScanStats(total, norms, convs, dead_rows)
+
+    return run
+
+
 def build_kg(
     transcripts_path: str,
     alias_path: str,
@@ -182,38 +280,17 @@ def build_kg(
     extracted = ext_ckpt.run(_build_extracted, keep_in_memory=True, write_executor=writer)
     _mark("extracted materialized")
 
-    # ONE combined scan over the pinned extracted blocks collects BOTH the
-    # dead-letter count (rows the extractor marked failed) and the distinct
-    # unknown norms canonicalization needs — the two separate passes of
-    # round 1 read the biggest intermediate table twice
-    def _scan_extracted() -> tuple[int, set]:
-        import pyarrow as _pa
-
-        from ..stages.canon import batch_distinct_unknown_norms
-
-        def _partial(t):
-            # one row per distinct unknown norm (n_err=0) plus ONE summary row
-            # (norm=NULL) carrying the batch's dead-letter count — an honest
-            # tagged union of the two partials this single scan collects
-            n_err = int(t.num_rows - t.column("error").null_count)
-            norms = batch_distinct_unknown_norms(t).column("norm").combine_chunks()
-            n = len(norms)
-            return _pa.table(
-                {
-                    "n_err": _pa.array([n_err] + [0] * n, _pa.int64()),
-                    "norm": _pa.concat_arrays(
-                        [_pa.array([None], _pa.string()), norms]
-                    ),
-                }
-            )
-
-        total, norms = 0, set()
-        for b in extracted.map_batches(
-            _partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-        ).iter_batches(batch_format="pyarrow"):
-            total += int(sum(b["n_err"].to_pylist()))
-            norms.update(x for x in b["norm"].to_pylist() if x is not None)
-        return total, norms
+    # ONE combined scan over the pinned extracted blocks collects FOUR
+    # partials at once — the dead-letter count + rows (the extractor marks
+    # failed rows with a non-null ``error``), the distinct unknown norms
+    # canonicalization needs, and (when incremental tracking is on) the
+    # per-block distinct conv_ids the append flow's membership check reads.
+    # One pass over the biggest intermediate table instead of four.
+    track = bool(cfg.get("incremental.track"))
+    dead_cap = int(cfg.get("incremental.dead_letter_cap") or 1_000_000)
+    _scan_extracted = scan_extracted_stats(
+        extracted, collect_convs=track, dead_cap=dead_cap
+    )
 
     # the scan is SMALL (one pass over pinned blocks + a tiny driver drain)
     # but a full streaming execution nonetheless — its executor startup and
@@ -246,7 +323,7 @@ def build_kg(
         cmap = None  # type: ignore[assignment]
     cmap_rebuilt = cmap is None
     if cmap is None:
-        dead_letters, distinct_norms = scan_future.result()
+        distinct_norms = scan_future.result().norms
         _mark("extracted scan drained")
         cmap = build_canonical_map(
             extracted,  # nested extraction output, pinned blocks
@@ -331,6 +408,68 @@ def build_kg(
     writer.shutdown(wait=True)
     _mark("checkpoint writes durable")
 
+    stats = scan_future.result()
+
+    # ---- incremental-ingest state + dead-letter surfacing -------------------
+    # state/ carries what `append_kg` (pipelines/kg_append.py) needs to fold a
+    # new day of conversations in WITHOUT touching the base corpus again:
+    # the conv-id manifest (membership check), the distinct unknown norms
+    # (canonical-map extension), and the build parameters. dead_letter/ is
+    # the explicit-policy export of extractor-failed rows (SURVEY.md §4) —
+    # counted in metrics AND persisted as a queryable Parquet partition.
+    dead_letter_path = None
+    if stats.dead_total:
+        import pyarrow as _pa
+        import pyarrow.parquet as _pqw
+
+        dl_dir = out / "dead_letter"
+        dl_dir.mkdir(exist_ok=True)
+        dead_letter_path = str(dl_dir / "part-build.parquet")
+        _pqw.write_table(
+            _pa.table(
+                {
+                    "conv_id": _pa.array([r[0] for r in stats.dead_rows], _pa.string()),
+                    "turn_idx": _pa.array([r[1] for r in stats.dead_rows], _pa.int64()),
+                    "error": _pa.array([r[2] for r in stats.dead_rows], _pa.string()),
+                }
+            ),
+            dead_letter_path,
+        )
+    if track:
+        import pyarrow as _pa
+        import pyarrow.parquet as _pqw
+
+        state_dir = out / "state"
+        (state_dir / "conv_ids").mkdir(parents=True, exist_ok=True)
+        _pqw.write_table(
+            _pa.table({"conv_id": _pa.array(sorted(stats.convs), _pa.string())}),
+            state_dir / "conv_ids" / "part-build.parquet",
+        )
+        _pqw.write_table(
+            _pa.table({"norm": _pa.array(sorted(stats.norms), _pa.string())}),
+            state_dir / "distinct_norms.parquet",
+        )
+        (state_dir / "build_info.json").write_text(
+            json.dumps(
+                {
+                    "transcripts_path": str(transcripts_path),
+                    "alias_path": str(alias_path),
+                    "code_fp": code_fp,
+                    "in_fp": in_fp,
+                    "cmap_fp": cmap_fp,
+                    "edges_fp": edges_fp,
+                    "edges_agg_fp": edges_agg_fp,
+                    "nodes_fp": nodes_fp,
+                    "appends": [],
+                    "sections": {
+                        k: dict(cfg.section(k))
+                        for k in ("linking", "canon", "assembly", "incremental")
+                    },
+                },
+                indent=1,
+            )
+        )
+
     metrics = {
         "turns": (asm_ckpt.manifest() or {}).get("rows"),
         "extracted_turns": (ext_ckpt.manifest() or {}).get("rows"),
@@ -338,7 +477,8 @@ def build_kg(
         "edges_agg": (edges_agg_ckpt.manifest() or {}).get("rows"),
         "nodes": (nodes_ckpt.manifest() or {}).get("rows"),
         "canonical_merges": len(cmap),
-        "dead_letter_turns": scan_future.result()[0],
+        "dead_letter_turns": stats.dead_total,
+        "dead_letter_path": dead_letter_path,
     }
     edges_ckpt.record_metrics({"emitted_edges": metrics["edges"]})
     return {
