@@ -51,10 +51,17 @@ def _ray_session() -> _RaySession:
 def cmd_build(args) -> int:
     from .config import Config
 
+    if not getattr(args, "append", False) and not args.alias:
+        print("error: --alias is required unless --append", file=sys.stderr)
+        return 2
     cfg = Config.from_yaml(args.config) if args.config else None
     ray = _ray_session()
     try:
-        if args.sharded:
+        if getattr(args, "append", False):
+            from .pipelines.kg_append import append_kg
+
+            res = append_kg(args.out, args.input, alias_path=args.alias, cfg=cfg)
+        elif args.sharded:
             from .pipelines.kg_sharded import build_kg_sharded
 
             res = build_kg_sharded(args.input, args.alias, args.out, cfg=cfg)
@@ -165,7 +172,20 @@ def main(argv: list[str] | None = None) -> int:
 
     b = sub.add_parser("build", help="run the KG-construction pipeline")
     b.add_argument("--input", required=True, help="transcripts parquet file/dir")
-    b.add_argument("--alias", required=True, help="alias_index parquet")
+    b.add_argument(
+        "--alias",
+        default=None,
+        help="alias_index parquet (with --append, defaults to the path "
+        "recorded at build time)",
+    )
+    b.add_argument(
+        "--append",
+        action="store_true",
+        help="incremental ingest: --input is a NEW batch of conversations "
+        "folded into the KG already built at --out (new conv_ids detected "
+        "via the persisted manifest; only they are extracted, then merged "
+        "into edges/edges_agg/nodes)",
+    )
     b.add_argument("--out", required=True, help="output/checkpoint directory")
     b.add_argument("--config", default=None, help="YAML config (deep-merged over defaults)")
     b.add_argument(

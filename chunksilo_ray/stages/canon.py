@@ -329,6 +329,47 @@ def _driver_lsh_map(
     return canonical_map_from_edges(edges)
 
 
+class CanonicalDriftError(RuntimeError):
+    """Raised when an appended corpus re-canonicalizes old norms in a way
+    that is not a pure cluster merge (only possible via LSH bucket caps) —
+    the incremental fold would be lossy, so the caller must full-rebuild."""
+
+
+def canonical_remap(
+    old_map: dict[str, str], new_map: dict[str, str], old_norms
+) -> dict[str, str]:
+    """Cluster-level delta between two canonical maps over the SAME old norm
+    vocabulary: {old_canonical -> new_canonical} for every drifted cluster.
+
+    Adding norms/pairs to union-find can only MERGE clusters (monotone), so
+    drift is representable as a canonical->canonical rewrite of the already
+    materialized base tables — no re-extraction. If two norms that shared an
+    old canonical now disagree (a split, possible only when an LSH bucket
+    cap dropped pairs), the fold would be wrong: fail loud with
+    CanonicalDriftError and require a rebuild."""
+    remap: dict[str, str] = {}
+    for n in old_norms:
+        oc = old_map.get(n, n)
+        nc = new_map.get(n, n)
+        if oc == nc:
+            continue
+        prev = remap.get(oc)
+        if prev is not None and prev != nc:
+            raise CanonicalDriftError(
+                f"non-merge canonical drift: old cluster {oc!r} maps to both "
+                f"{prev!r} and {nc!r}; incremental fold impossible — rebuild"
+            )
+        remap[oc] = nc
+    # a merge target that is itself an old canonical must not also drift
+    for oc, nc in remap.items():
+        final = remap.get(nc)
+        if final is not None and final != nc:
+            raise CanonicalDriftError(
+                f"chained canonical drift {oc!r}->{nc!r}->{final!r}; rebuild"
+            )
+    return remap
+
+
 def canonicalize_id(entity_id: str, cmap: dict[str, str]) -> str:
     if entity_id.startswith(rules.UNKNOWN_PREFIX):
         norm = entity_id[len(rules.UNKNOWN_PREFIX) :]

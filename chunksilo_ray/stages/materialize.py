@@ -397,6 +397,114 @@ def merge_edges_agg(base_agg: Dataset, delta_edges: Dataset) -> Dataset:
     return merged.groupby("__part").map_groups(final, batch_format="pyarrow")
 
 
+def merge_nodes_agg(base_nodes: Dataset, delta_nodes: Dataset) -> Dataset:
+    """Incremental twin of ``merge_edges_agg`` for the node table: fold a
+    delta's (entity_id, surface, canonical, type, freq) rows into the base
+    aggregate. Frequencies are additive, so merge(nodes(A), nodes(B)) ==
+    nodes(A + B) exactly when both sides were materialized under the SAME
+    canonical map (append_kg remaps the base first when the map drifted).
+    Same coarse int-keyed hash exchange as materialize_nodes."""
+    node_keys = ["entity_id", "surface", "type"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([*node_keys, "freq"])
+        return g.append_column("__part", _string_key_part(g, node_keys))
+
+    def final(t: pa.Table) -> pa.Table:
+        g = t.group_by(node_keys, use_threads=False).aggregate([("freq", "sum")])
+        canonical = pc.replace_substring_regex(
+            g.column("entity_id"), pattern=r"^[a-z]+:", replacement=""
+        )
+        return pa.table(
+            {
+                "entity_id": g.column("entity_id"),
+                "surface": g.column("surface"),
+                "canonical": canonical,
+                "type": g.column("type"),
+                "freq": pc.cast(g.column("freq_sum"), pa.int64()),
+            }
+        )
+
+    merged = base_nodes.map_batches(
+        partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).union(
+        delta_nodes.map_batches(
+            partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+    )
+    return merged.groupby("__part").map_groups(final, batch_format="pyarrow")
+
+
+def remap_canonical_ids(ds: Dataset, remap: dict[str, str], columns: list[str]) -> Dataset:
+    """Rewrite drifted canonical entity ids (``canon:<old>`` -> ``canon:<new>``)
+    in the given columns. ``remap`` is keyed/valued on BARE canonical norms
+    and is tiny (one entry per drifted CLUSTER, not per norm), so a broadcast
+    is always safe; the rewrite is dictionary-encoded (O(distinct ids) Python
+    per batch). Also rewrites a bare ``canonical`` column if present/asked."""
+    if not remap:
+        return ds
+    cp = rules.CANONICAL_PREFIX
+    remap_ref = ray.put(dict(remap))
+
+    def fn(t: pa.Table) -> pa.Table:
+        m = _cached_cmap(remap_ref)
+
+        def rewrite(v: str) -> str:
+            if v.startswith(cp):
+                return cp + m.get(v[len(cp):], v[len(cp):])
+            return v
+
+        cols = {}
+        for name in t.column_names:
+            if name in columns:
+                if name == "canonical":
+                    # bare canonical norms (node table) — no prefix
+                    arr = t.column(name)
+                    if isinstance(arr, pa.ChunkedArray):
+                        arr = arr.combine_chunks()
+                    d = arr.dictionary_encode()
+                    new_dict = pa.array(
+                        [m.get(v, v) for v in d.dictionary.to_pylist()], pa.string()
+                    )
+                    cols[name] = pa.DictionaryArray.from_arrays(d.indices, new_dict).cast(pa.string())
+                else:
+                    cols[name] = _canon_array(t.column(name), rewrite)
+            else:
+                cols[name] = t.column(name)
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+def reaggregate_turn_edges(edges: Dataset) -> Dataset:
+    """Restore per-(subj, pred, obj, conv_id, turn_idx) key uniqueness after a
+    canonical remap merged two of one turn's triples (same kernel as the
+    over-budget path of materialize_edges)."""
+    edge_keys = ["subj", "pred", "obj", "conv_id", "turn_idx"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(edge_keys, use_threads=False).aggregate([("weight", "sum")])
+        g = g.rename_columns([*edge_keys, "weight"])
+        return g.append_column(
+            "__part", _string_key_part(g, ["subj", "pred", "obj", "conv_id"])
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        g = t.group_by(edge_keys, use_threads=False).aggregate([("weight", "sum")])
+        return pa.table(
+            {
+                **{k: g.column(k) for k in edge_keys},
+                "weight": pc.cast(g.column("weight_sum"), pa.int64()),
+            }
+        )
+
+    return (
+        edges.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
 def incremental_update_by_conv(
     edges: Dataset, parts: int = 4, delta_part: int = 0
 ) -> Dataset:
