@@ -85,6 +85,9 @@ DEFAULTS: dict[str, Any] = {
         "overlap": False,
     },
     "search": {
+        # query-embedding backend — must mirror embedding.backend used at
+        # build time ("bow" or "charngram")
+        "embed_backend": "bow",
         # retained reference knobs (cfgload.py:86-96) for the search-style ops
         "embed_top_k": 20,
         "rerank_candidates": 100,

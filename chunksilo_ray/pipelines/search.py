@@ -32,7 +32,7 @@ from ray.data import Dataset
 
 from ..config import Config
 from ..functions.textutils import extract_quoted_phrases, preprocess_query, tokenize_surface
-from ..stages.embed import bow_hash_embed
+from ..stages.embed import bow_hash_embed, charngram_embed
 
 
 def search_chunks(
@@ -56,7 +56,13 @@ def search_chunks(
 
     phrases, remainder = extract_quoted_phrases(query)
     q = preprocess_query(remainder or query)
-    qvec = bow_hash_embed([q])[0]
+    # the query MUST be embedded with the same backend the chunks were
+    # (search.embed_backend mirrors embedding.backend at build time)
+    embed_backend = s.get("embed_backend", "bow")
+    if embed_backend == "charngram":
+        qvec = charngram_embed([q])[0]
+    else:
+        qvec = bow_hash_embed([q])[0]
     q_tokens = set(tokenize_surface(q))
     phrases_lower = [p.lower() for p in phrases]
 

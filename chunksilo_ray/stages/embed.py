@@ -112,6 +112,99 @@ def bow_hash_embed(
     return out
 
 
+def _charngram_word_buckets(word: str, dim: int) -> np.ndarray:
+    """Hashed char n-gram bucket ids for one word, fastText-style
+    (Bojanowski et al. 2017, public): boundary-marked 3..5-grams plus the
+    whole word, each CRC-hashed into [0, dim). Subword overlap is what makes
+    alias variants ('database' / 'data-base' / 'DB_URL') land near each
+    other — the stronger deterministic stand-in the BoW contract lacks."""
+    import zlib
+
+    w = f"<{word}>"
+    grams = [w]
+    for n in (3, 4, 5):
+        if len(w) > n:
+            grams.extend(w[i : i + n] for i in range(len(w) - n + 1))
+    return np.fromiter(
+        (zlib.crc32(g.encode("utf-8")) % dim for g in grams), np.int64, len(grams)
+    )
+
+
+def charngram_embed_arrow(
+    texts: pa.ChunkedArray | pa.Array,
+    dim: int = 384,
+    memo: dict[str, np.ndarray] | None = None,
+) -> np.ndarray:
+    """Char-ngram hashed embeddings, L2-normalized float32 (n, dim).
+    Python work is O(NEW distinct words) per batch — each unique word's
+    bucket array is memoized (worker-lifetime in the Ray stage) and the
+    per-occurrence accumulation is a single vectorized scatter-add."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    out = np.zeros((n, dim), dtype=np.float32)
+    if n == 0:
+        return out
+    if texts.null_count:
+        texts = pa.compute.fill_null(texts, "")
+    toks = pa.compute.split_pattern_regex(pa.compute.utf8_lower(texts), "[^a-z0-9]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    row_of = np.repeat(
+        np.arange(n, dtype=np.int64),
+        toks.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64),
+    )
+    flat = toks.flatten()
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    if len(flat) == 0:
+        return out
+    d = flat.dictionary_encode()
+    uniq = d.dictionary.to_pylist()
+    inv = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    memo = memo if memo is not None else {}
+    if len(memo) > _BUCKET_CACHE_CAP:
+        memo.clear()
+    bucket_list = []
+    for w in uniq:
+        if not w:
+            bucket_list.append(np.empty(0, np.int64))  # split() edge fragments
+            continue
+        b = memo.get(w)
+        if b is None:
+            b = _charngram_word_buckets(w, dim)
+            memo[w] = b
+        bucket_list.append(b)
+    lens_u = np.fromiter((len(b) for b in bucket_list), np.int64, len(bucket_list))
+    flat_u = np.concatenate(bucket_list) if bucket_list else np.empty(0, np.int64)
+    starts_u = np.concatenate(([0], np.cumsum(lens_u)))[:-1]
+
+    occ_lens = lens_u[inv]
+    total = int(occ_lens.sum())
+    if total == 0:
+        return out
+    # gather each occurrence's bucket run from the unique-word flat buffer
+    ends = np.cumsum(occ_lens)
+    pos = np.arange(total, dtype=np.int64) - np.repeat(ends - occ_lens, occ_lens)
+    gather = np.repeat(starts_u[inv], occ_lens) + pos
+    rows_rep = np.repeat(row_of, occ_lens)
+    np.add.at(out.reshape(-1), rows_rep * dim + flat_u[gather], 1.0)
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    np.divide(out, norms, out=out, where=norms > 0)
+    return out
+
+
+# worker-global memo for the stateless-task charngram stage (same pattern as
+# link.py's _WORKER_ALIAS: state builds once per warm worker, keyed by dim)
+_WORKER_NGRAM_MEMO: dict[int, dict[str, np.ndarray]] = {}
+
+
+def charngram_embed(texts: list[str], dim: int = 384) -> np.ndarray:
+    """List-of-str convenience twin (query-time single-text embedding)."""
+    return charngram_embed_arrow(pa.array(texts, pa.string()), dim=dim)
+
+
 class EmbedActor:
     """Actor-pool stage: adds a fixed-size ``embedding`` list<float32>[dim]
     column. State (model/backend) initialized once per actor."""
@@ -127,6 +220,14 @@ class EmbedActor:
         self.text_column = text_column
         if backend == "bow":
             self._embed = None  # __call__ uses the vectorized Arrow kernel
+        elif backend == "charngram":
+            memo: dict[str, np.ndarray] = {}  # actor-lifetime word memo
+
+            def _cg(col: pa.Array) -> np.ndarray:
+                return charngram_embed_arrow(col, self.dim, memo)
+
+            self._embed_arrow = _cg
+            self._embed = "arrow"  # sentinel: __call__ keeps the Arrow column
         elif backend == "onnx":
             # real-model seam (reference lazy ONNX load, index.py:1091-1124):
             # the model loads ONCE here — per actor, not per batch — and the
@@ -152,13 +253,16 @@ class EmbedActor:
         else:
             raise NotImplementedError(
                 f"embedding backend {backend!r}: known backends are 'bow' "
-                "(deterministic test contract) and 'onnx' (fastembed seam)"
+                "(deterministic test contract), 'charngram' (deterministic "
+                "subword-hash, fastText-style) and 'onnx' (fastembed seam)"
             )
 
     def __call__(self, t: pa.Table) -> pa.Table:
         col_in = t.column(self.text_column)
         if self._embed is None:
             vecs = bow_hash_embed_arrow(col_in, self.dim)
+        elif self._embed == "arrow":
+            vecs = self._embed_arrow(col_in)
         else:
             vecs = self._embed(col_in.to_pylist())
         col = pa.FixedSizeListArray.from_arrays(pa.array(vecs.ravel(), pa.float32()), self.dim)
@@ -179,12 +283,16 @@ def embed_chunks(
     stateless tasks on warm workers; a real model backend (onnx) keeps the
     actor pool so weights load once per actor, never per task-worker."""
     if mode == "auto":
-        mode = "tasks" if backend == "bow" else "actors"
-    if mode == "tasks" and backend == "bow":
+        mode = "tasks" if backend in ("bow", "charngram") else "actors"
+    if mode == "tasks" and backend in ("bow", "charngram"):
         text_column = "text"
 
         def _task(t: pa.Table) -> pa.Table:
-            vecs = bow_hash_embed_arrow(t.column(text_column), dim)
+            if backend == "bow":
+                vecs = bow_hash_embed_arrow(t.column(text_column), dim)
+            else:
+                memo = _WORKER_NGRAM_MEMO.setdefault(dim, {})
+                vecs = charngram_embed_arrow(t.column(text_column), dim, memo)
             col = pa.FixedSizeListArray.from_arrays(pa.array(vecs.ravel(), pa.float32()), dim)
             return t.append_column("embedding", col)
 
