@@ -173,10 +173,11 @@ def test_kg_entity_pagerank_matches_duckdb():
     power-iteration CTEs over the written edges_agg checkpoint (string
     node keys) — the graph op composes with the KG outputs end to end."""
     import __ray_entry__ as E
+    from chunksilo_ray import oracles as O
 
     got = _as_df(E.queries()["kg_entity_pagerank"](SF).to_pandas())
     exp = duckdb.connect().execute(
-        E._kg_pagerank_sql("/tmp/chunksilo_ray_kg_out/sf0.001")
+        O._kg_pagerank_sql("/tmp/chunksilo_ray_kg_out/sf0.001")
     ).fetchdf()
     assert len(got) > 100
     assert abs(got["pr"].mean() - 1.0) < 1e-3  # mass conservation, xN scale

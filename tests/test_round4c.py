@@ -12,6 +12,8 @@ import pandas as pd
 import pyarrow as pa
 import pytest
 
+from chunksilo_ray import oracles as O
+
 pytestmark = pytest.mark.usefixtures("ray_session")
 
 SF = "/root/testdata/sf0.001"
@@ -49,7 +51,7 @@ def test_kg_hits_matches_duckdb():
     import __ray_entry__ as E
 
     got = _as_df(E.queries()["kg_hits"](SF).to_pandas())
-    exp = duckdb.connect().execute(E._kg_hits_sql(KG_OUT)).fetchdf()
+    exp = duckdb.connect().execute(O._kg_hits_sql(KG_OUT)).fetchdf()
     assert len(got) > 100
     # L1 normalization: both score columns sum to ~1
     assert abs(got["hub"].sum() - 1.0) < 1e-3
@@ -61,7 +63,7 @@ def test_kg_random_walks_matches_duckdb():
     import __ray_entry__ as E
 
     got = _as_df(E.queries()["kg_random_walks"](SF).to_pandas())
-    exp = duckdb.connect().execute(E._kg_walks_sql(KG_OUT)).fetchdf()
+    exp = duckdb.connect().execute(O._kg_walks_sql(KG_OUT)).fetchdf()
     # 8 seeds x 2 walks x (walk_len + 1 = 5) steps
     assert len(got) == 8 * 2 * 5
     _assert_value_match(got, exp)
@@ -71,7 +73,7 @@ def test_kg_component_sizes_matches_duckdb():
     import __ray_entry__ as E
 
     got = _as_df(E.queries()["kg_component_sizes"](SF).to_pandas())
-    exp = duckdb.connect().execute(E._kg_csize_sql(KG_OUT)).fetchdf()
+    exp = duckdb.connect().execute(O._kg_csize_sql(KG_OUT)).fetchdf()
     assert len(got) > 0
     _assert_value_match(got, exp)
 
@@ -80,7 +82,7 @@ def test_error_turn_fraction_matches_duckdb():
     import __ray_entry__ as E
 
     got = _as_df(E.queries()["error_turn_fraction"](SF).to_pandas())
-    exp = duckdb.connect().execute(E._flagged_turns_sql(TP)).fetchdf()
+    exp = duckdb.connect().execute(O._flagged_turns_sql(TP)).fetchdf()
     assert len(got) > 0
     # the default pattern actually fires on this corpus (templates carry
     # "failing with" / "error in the") — the signal is non-degenerate
@@ -92,7 +94,7 @@ def test_prompt_prefix_dedup_matches_duckdb():
     import __ray_entry__ as E
 
     got = _as_df(E.queries()["prompt_prefix_dedup"](SF).to_pandas())
-    exp = duckdb.connect().execute(E._prompt_dedup_sql(TP)).fetchdf()
+    exp = duckdb.connect().execute(O._prompt_dedup_sql(TP)).fetchdf()
     assert len(got) > 0
     _assert_value_match(got, exp)
 
@@ -316,7 +318,7 @@ def test_kg_label_prop_matches_duckdb():
     import __ray_entry__ as E
 
     got = _as_df(E.queries()["kg_label_prop"](SF).to_pandas())
-    exp = duckdb.connect().execute(E._kg_label_prop_sql(KG_OUT)).fetchdf()
+    exp = duckdb.connect().execute(O._kg_label_prop_sql(KG_OUT)).fetchdf()
     assert len(got) > 0
     _assert_value_match(got, exp)
 

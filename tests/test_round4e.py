@@ -11,6 +11,8 @@ import pandas as pd
 import pyarrow as pa
 import pytest
 
+from chunksilo_ray import queries as Q
+
 pytestmark = pytest.mark.usefixtures("ray_session")
 
 SF = "/root/testdata/sf0.001"
@@ -33,7 +35,7 @@ def _assert_value_match(ray_df: pd.DataFrame, ora_df: pd.DataFrame):
 def _kg(name):
     import __ray_entry__ as E
 
-    return E._kg_result(SF)[name]
+    return Q._kg_result(SF)[name]
 
 
 def _sql01_to_sf0001(sql: str) -> str:
